@@ -1,0 +1,103 @@
+"""Connected components — hash-min label propagation + pointer jumping.
+
+Re-creates the semantics of the reference's Soman-style hooking /
+pointer-jumping CC (gunrock/app/cc/): component id of every vertex =
+the MINIMUM vertex id in its (weakly) connected component
+(hook min wins: cc_functor.cuh:179-193,427-462; pointer jumping
+cid[v]=cid[cid[v]]: cc_functor.cuh:544-560). Output matches exactly.
+
+Spark plan per iteration (SURVEY.md §2.2 CC row):
+  1. hash-min over the symmetrized edge table:
+       cand = labels ⋈ edges on v=src -> (dst, label)
+       nbr_min = groupBy(dst).min(label);  new = min(own, nbr_min)
+     (the analog of HookMax over every edge, via ALL_EDGES advance)
+  2. pointer jump: label(v) := label(label(v)) via a self-join of the
+     label table — the reference's jump loop, collapsed to one join per
+     outer iteration; gives O(log diameter) rounds on long chains.
+  3. stop when no label changed (vertex_flag/edge_flag analog).
+
+At web scale the label table is |V|-sized; both joins shuffle only
+|V| + |E| rows and map-side partial min absorbs dst skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gunrock_spark.engine.checkpoint import CheckpointManager
+from gunrock_spark.engine.iterate import IterationResult, iterate
+from gunrock_spark.graph.edge_table import EdgeTable
+
+
+def connected_components(
+    graph: EdgeTable,
+    max_iter: int = 100,
+    pointer_jump: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> IterationResult:
+    """Weakly connected components. State: (v long, label long, prev long);
+    converged label = min vertex id in the component."""
+    spark = graph.edges.sparkSession
+    edges = graph.symmetrized().edges  # undirected view, both directions
+
+    state = graph.vertices.select(
+        "v", F.col("v").alias("label")
+    ).repartition(spark.sparkContext.defaultParallelism, "v").localCheckpoint(eager=True)
+
+    checkpointer = None
+    start_iter, prior_metrics = 0, None
+    if checkpoint_dir is not None:
+        checkpointer = CheckpointManager(
+            checkpoint_dir, config={"algorithm": "connected_components", "max_iter": max_iter}
+        )
+        if resume:
+            loaded = checkpointer.load_latest(spark)
+            if loaded is not None:
+                state, start_iter, prior_metrics = loaded
+                state = state.select("v", "label")
+
+    def step(cur: DataFrame, i: int):
+        cur = cur.select("v", "label")
+        # 1. hash-min over neighbors (edges symmetric -> both directions)
+        cand = (
+            cur.join(edges, cur["v"] == edges["src"])
+            .select(edges["dst"].alias("v"), F.col("label"))
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = cur.withColumnRenamed("label", "prev").join(cand, "v", "left").select(
+            "v", F.least(F.col("prev"), F.coalesce("nbr_min", F.col("prev"))).alias("label"), "prev"
+        )
+        # 2. pointer jump: label := label(label). Labels only shrink, so
+        # every label value is a vertex id present in the table.
+        if pointer_jump:
+            parents = new.select(F.col("v").alias("pv"), F.col("label").alias("plabel"))
+            new = (
+                new.join(parents, new["label"] == parents["pv"], "left")
+                .select("v", F.coalesce("plabel", "label").alias("label"), "prev")
+            )
+
+        def metrics(materialized: DataFrame) -> dict:
+            changed = materialized.where(F.col("label") != F.col("prev")).count()
+            return {"changed": changed, "edges_traversed": graph.num_edges()}
+
+        return new, metrics
+
+    return iterate(
+        state,
+        step,
+        stop=lambda m: m["changed"] == 0,
+        max_iter=max_iter,
+        checkpointer=checkpointer,
+        checkpoint_interval=checkpoint_interval,
+        start_iteration=start_iter,
+        prior_metrics=prior_metrics,
+    )
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    """(label, n_vertices) per component — the reference's component
+    count diagnostic (num components = distinct roots)."""
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_vertices"))

@@ -1,0 +1,185 @@
+"""EdgeTable — the engine's graph abstraction.
+
+The Spark-native analog of the reference's COO/CSR pair
+(``gunrock/csr.cuh:44-63``, ``gunrock/coo.cuh:37-46``): a cleaned
+DataFrame of ``(src long, dst long[, weight double])`` plus cached
+degree and vertex tables.
+
+Cleaning contract reproduces the reference's COO->CSR build
+(``gunrock/csr.cuh:588``): drop self-loops and duplicate edges.
+Symmetrization mirrors the .mtx ``symmetric`` handling
+(``gunrock/graphio/market.cuh:241-242,413-421``): emit both directions.
+
+Scale notes (100 TB design): edges are hash-partitioned by ``src`` so
+the per-iteration ``state ⋈ edges`` join co-locates with a prior
+iteration's shuffle output; degree/vertex tables are |V|-sized (small
+relative to |E|) and cached. Power-law dst skew is handled downstream
+by Spark's map-side partial aggregation plus AQE skew-join splitting;
+``salted_degrees`` exposes the degree histogram the reference keeps
+first-class (``gunrock/csr.cuh:707-751``) for choosing a salt factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+class EdgeTable:
+    """A cleaned, partitioned edge table with cached degree metadata."""
+
+    def __init__(self, edges: DataFrame, *, weighted: bool = False):
+        self.edges = edges
+        self.weighted = weighted
+        self._degrees: DataFrame | None = None
+        self._vertices: DataFrame | None = None
+        self._num_edges: int | None = None
+        self._num_vertices: int | None = None
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_df(
+        cls,
+        df: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        weight: str | None = None,
+        *,
+        drop_self_loops: bool = True,
+        dedup: bool = True,
+        symmetrize: bool = False,
+        num_partitions: int | None = None,
+        persist: bool = True,
+    ) -> "EdgeTable":
+        """Build a cleaned EdgeTable from any DataFrame with edge columns.
+
+        Reproduces the reference cleaning pass (gunrock/csr.cuh:588):
+        self-loops and exact duplicates are removed. ``symmetrize``
+        unions the reversed edges (then re-dedups) like the .mtx
+        ``symmetric`` reader.
+        """
+        cols = [F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")]
+        weighted = weight is not None
+        if weighted:
+            cols.append(F.col(weight).cast("double").alias("weight"))
+        e = df.select(*cols)
+        if symmetrize:
+            rev_cols = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+            if weighted:
+                rev_cols.append(F.col("weight"))
+            e = e.unionByName(e.select(*rev_cols))
+        if drop_self_loops:
+            e = e.where(F.col("src") != F.col("dst"))
+        if dedup:
+            # duplicate edge = same (src, dst); weights: keep min for
+            # determinism (the reference keeps the first after sort).
+            if weighted:
+                e = e.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+            else:
+                e = e.dropDuplicates(["src", "dst"])
+        if num_partitions:
+            e = e.repartition(num_partitions, "src")
+        if persist:
+            e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        return cls(e, weighted=weighted)
+
+    def reversed(self) -> "EdgeTable":
+        """Edge table with src/dst swapped (the CSC mirror,
+        gunrock/csr.cuh:127-154). Already clean; no re-clean needed."""
+        cols = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+        if self.weighted:
+            cols.append(F.col("weight"))
+        return EdgeTable(self.edges.select(*cols), weighted=self.weighted)
+
+    def symmetrized(self) -> "EdgeTable":
+        """Union of both directions, deduped (undirected view)."""
+        rev = self.reversed().edges
+        e = self.edges.unionByName(rev)
+        if self.weighted:
+            e = e.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+        else:
+            e = e.dropDuplicates(["src", "dst"])
+        return EdgeTable(e.persist(StorageLevel.MEMORY_AND_DISK), weighted=self.weighted)
+
+    # ------------------------------------------------------------------
+    # metadata (cached)
+    # ------------------------------------------------------------------
+    @property
+    def vertices(self) -> DataFrame:
+        """All vertex ids appearing as an endpoint: DataFrame[v long]."""
+        if self._vertices is None:
+            v = (
+                self.edges.select(F.col("src").alias("v"))
+                .unionByName(self.edges.select(F.col("dst").alias("v")))
+                .distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._vertices = v
+        return self._vertices
+
+    @property
+    def degrees(self) -> DataFrame:
+        """DataFrame[v, out_degree, in_degree] over ALL vertices (0 filled).
+
+        The analog of the reference's first-class degree arrays
+        (gunrock/csr.cuh:895-941); cached because every iterative
+        primitive reuses it every iteration.
+        """
+        if self._degrees is None:
+            out_d = self.edges.groupBy(F.col("src").alias("v")).agg(
+                F.count(F.lit(1)).alias("out_degree")
+            )
+            in_d = self.edges.groupBy(F.col("dst").alias("v")).agg(
+                F.count(F.lit(1)).alias("in_degree")
+            )
+            d = (
+                self.vertices.join(out_d, "v", "left")
+                .join(in_d, "v", "left")
+                .select(
+                    "v",
+                    F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._degrees = d
+        return self._degrees
+
+    def num_edges(self) -> int:
+        if self._num_edges is None:
+            self._num_edges = self.edges.count()
+        return self._num_edges
+
+    def num_vertices(self) -> int:
+        if self._num_vertices is None:
+            self._num_vertices = self.vertices.count()
+        return self._num_vertices
+
+    # ------------------------------------------------------------------
+    # diagnostics (reference: PrintHistogram, gunrock/csr.cuh:707-751)
+    # ------------------------------------------------------------------
+    def degree_histogram(self) -> DataFrame:
+        """Log2-scale out-degree histogram: DataFrame[log2_degree, n_vertices].
+
+        The reference prints this to reason about power-law skew; we use
+        it to pick salting factors for hot keys.
+        """
+        return (
+            self.degrees.select(
+                F.when(F.col("out_degree") == 0, F.lit(-1))
+                .otherwise(F.floor(F.log2("out_degree")))
+                .cast("int")
+                .alias("log2_degree")
+            )
+            .groupBy("log2_degree")
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+            .orderBy("log2_degree")
+        )
+
+    def unpersist(self) -> None:
+        for df in (self._degrees, self._vertices):
+            if df is not None:
+                df.unpersist()
+        self.edges.unpersist()

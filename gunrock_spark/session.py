@@ -1,0 +1,55 @@
+"""SparkSession construction with engine defaults.
+
+Centralizes the configuration the engine cares about at scale:
+AQE (runtime re-planning + skew-join splitting), Arrow exchange for
+pandas UDFs, UTC timestamps (oracle comparability), and a shuffle
+partition count sized to the cluster rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "gunrock_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    On a real cluster, ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be ~2-3x total executor cores; in
+    the sandbox we default to local[*] with one shuffle partition per
+    core.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; a real cluster should pass an explicit value.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if n in ("*", "") else max(int(n), 1)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Iterative algorithms re-broadcast small state every iteration;
+        # keep the threshold modest so AQE can up/downgrade at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,81 @@
+import numpy as np
+
+from gunrock_spark.algorithms.components import component_sizes, connected_components
+from gunrock_spark.algorithms.label_propagation import label_propagation
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.generators import G_CC11, G_TOY7, edges_df, rmat_edges
+from tests.oracles import clean_edges, connected_components_ref, label_propagation_mode_ref
+
+
+def _labels(spark, edge_list, **kw):
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    res = connected_components(g, **kw)
+    return {r["v"]: r["label"] for r in res.state.collect()}, res
+
+
+def test_cc_two_components_golden(spark):
+    labels, res = _labels(spark, G_CC11)
+    expect = connected_components_ref(G_CC11)
+    assert labels == {v: int(expect[v]) for v in range(11)}
+    assert res.converged
+    sizes = {r["label"]: r["n_vertices"] for r in component_sizes(
+        EdgeTable.from_df(edges_df(spark, G_CC11)).vertices.sparkSession.createDataFrame(
+            list(labels.items()), "v long, label long"
+        )
+    ).collect()}
+    assert sizes == {0: 7, 7: 4}
+
+
+def test_cc_single_component(spark):
+    labels, _ = _labels(spark, G_TOY7)
+    assert set(labels.values()) == {0}
+
+
+def test_cc_long_chain_pointer_jumping(spark):
+    # a 64-vertex path: diameter 63; pointer jumping must converge in
+    # O(log n) rounds, not 63
+    chain = [(i, i + 1) for i in range(63)]
+    labels, res = _labels(spark, chain)
+    assert set(labels.values()) == {0}
+    assert res.iterations <= 12
+
+
+def test_cc_rmat(spark):
+    raw = [(int(s), int(d)) for s, d in rmat_edges(7, 4, seed=11)]
+    edge_list = clean_edges(raw)
+    vs = sorted({v for e in edge_list for v in e})
+    labels, _ = _labels(spark, edge_list)
+    idx = {v: i for i, v in enumerate(vs)}
+    dense = [(idx[s], idx[d]) for s, d in edge_list]
+    ref = connected_components_ref(dense, n=len(vs))
+    back = {i: v for v, i in idx.items()}
+    expect = {back[i]: back[int(ref[i])] for i in range(len(vs))}
+    assert labels == expect
+
+
+def test_label_propagation_min_equals_cc(spark):
+    g = EdgeTable.from_df(edges_df(spark, G_CC11))
+    res = label_propagation(g, mode="min")
+    labels = {r["v"]: r["label"] for r in res.state.collect()}
+    expect = connected_components_ref(G_CC11)
+    assert labels == {v: int(expect[v]) for v in range(11)}
+
+
+def test_label_propagation_min_with_seeds(spark):
+    # seed labels propagate: smallest seed wins per component
+    g = EdgeTable.from_df(edges_df(spark, G_CC11))
+    seeds = g.edges.sparkSession.createDataFrame(
+        [(3, -5), (9, -9)], "v long, label long"
+    )
+    res = label_propagation(g, initial_labels=seeds, mode="min")
+    labels = {r["v"]: r["label"] for r in res.state.collect()}
+    assert all(labels[v] == -5 for v in range(7))
+    assert all(labels[v] == -9 for v in range(7, 11))
+
+
+def test_label_propagation_mode_matches_oracle(spark):
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    res = label_propagation(g, mode="mode", max_iter=4)
+    labels = {r["v"]: r["label"] for r in res.state.collect()}
+    ref = label_propagation_mode_ref(G_TOY7, n=7, max_iter=4)
+    assert labels == {v: int(ref[v]) for v in range(7)}

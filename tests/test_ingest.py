@@ -1,0 +1,27 @@
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.generators import pages_table, url_for
+from gunrock_spark.ingest.links import pages_to_edges, verify_extraction
+
+
+def test_text_extraction_byte_identical(spark):
+    pages, _ = pages_table(spark, n_pages=64, edge_factor=4, seed=42)
+    assert verify_extraction(pages) == 0
+
+
+def test_recovered_edges_match_generator(spark):
+    pages, true_edges = pages_table(spark, n_pages=64, edge_factor=4, seed=42)
+    edges, dictionary = pages_to_edges(pages)
+    # dictionary: urls sorted; our url scheme sorts identically to
+    # vertex order (zero-padded), so id == original vertex id
+    d = {r["url"]: r["v"] for r in dictionary.collect()}
+    assert all(d[url_for(v)] == v for v in range(64))
+    got = set((r["src"], r["dst"]) for r in edges.collect())
+    assert got == set(true_edges)
+
+
+def test_pages_to_edge_table_pipeline(spark):
+    pages, true_edges = pages_table(spark, n_pages=32, edge_factor=4, seed=7)
+    edges, _ = pages_to_edges(pages)
+    g = EdgeTable.from_df(edges)
+    # generator already drops self-loops and dedups per page
+    assert g.num_edges() == len(set(true_edges))

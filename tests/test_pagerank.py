@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from gunrock_spark.algorithms.pagerank import pagerank, ranked
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.generators import G_PR4, G_TOY7, edges_df, rmat_edges
+from tests.oracles import clean_edges, pagerank_ref
+
+
+def _run(spark, edge_list, n=None, **kw):
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    res = pagerank(g, **kw)
+    got = {r["v"]: r["rank"] for r in res.state.collect()}
+    n = n or (max(max(e) for e in edge_list) + 1)
+    return np.array([got[v] for v in range(n)]), res
+
+
+@pytest.mark.parametrize("edge_list", [G_PR4, G_TOY7], ids=["g_pr4", "g_toy7"])
+def test_pagerank_matches_reference_default_threshold(spark, edge_list):
+    got, res = _run(spark, edge_list)
+    ref = pagerank_ref(edge_list)
+    assert np.allclose(got, ref, atol=1e-6, rtol=0)
+    assert res.converged
+
+
+def test_pagerank_strict_threshold_1e6(spark):
+    got, res = _run(spark, G_TOY7, threshold=1e-9, max_iter=200)
+    ref = pagerank_ref(G_TOY7, error=1e-9, max_iteration=200)
+    assert np.allclose(got, ref, atol=1e-6, rtol=0)
+    # true PageRank property: ranks sum to ~1 on a graph with no danglers
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_pagerank_dangling_compensate(spark):
+    # G_PR4 has no dangling vertex; add one (vertex 4 with only in-edges)
+    edge_list = G_PR4 + [(0, 4)]
+    got, res = _run(spark, edge_list, compensate=True)
+    ref = pagerank_ref(edge_list, compensate=True)
+    assert np.allclose(got, ref, atol=1e-6, rtol=0)
+
+
+def test_pagerank_without_compensate_loses_dangling_mass(spark):
+    edge_list = G_PR4 + [(0, 4)]
+    got, _ = _run(spark, edge_list)
+    ref = pagerank_ref(edge_list)
+    assert np.allclose(got, ref, atol=1e-6, rtol=0)
+    assert got.sum() < 1.0  # mass lost through the dangler, by design
+
+
+def test_pagerank_scaled_mode(spark):
+    # unnormalized (scaled) mode — reference requires undirected input
+    sym = G_TOY7  # toy7 is symmetric already
+    got, _ = _run(spark, sym, normalized=False)
+    ref = pagerank_ref(sym, scaled=True)
+    assert np.allclose(got, ref, atol=1e-6, rtol=0)
+
+
+def test_pagerank_rmat_power_law(spark):
+    raw = [(int(s), int(d)) for s, d in rmat_edges(8, 8, seed=3)]
+    edge_list = clean_edges(raw)
+    vs = sorted({v for e in edge_list for v in e})
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    res = pagerank(g, threshold=1e-10, max_iter=100)
+    got = {r["v"]: r["rank"] for r in res.state.collect()}
+    # oracle over the same vertex set: relabel to dense ids
+    idx = {v: i for i, v in enumerate(vs)}
+    dense = [(idx[s], idx[d]) for s, d in edge_list]
+    ref = pagerank_ref(dense, n=len(vs), error=1e-10, max_iteration=100)
+    got_arr = np.array([got[v] for v in vs])
+    assert np.allclose(got_arr, ref, atol=1e-6, rtol=0)
+
+
+def test_ranked_output_stable_order(spark):
+    g = EdgeTable.from_df(edges_df(spark, G_PR4))
+    res = pagerank(g)
+    rows = ranked(res.state).collect()
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # metrics manifest contract
+    m = res.manifest(algorithm="pagerank")
+    assert m["search_depth"] == res.iterations
+    assert len(m["per_iteration"]) == res.iterations

@@ -1,0 +1,34 @@
+from gunrock_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.generators import G_CC11, G_TOY7, edges_df, rmat_edges
+from tests.oracles import clean_edges, triangle_count_ref, triangles_per_vertex_ref
+
+
+def test_triangle_golden_k3(spark):
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2), (2, 0)]))
+    assert triangle_count(g) == 1
+
+
+def test_triangle_toy7(spark):
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    assert triangle_count(g) == triangle_count_ref(G_TOY7, n=7)
+
+
+def test_triangle_cc11(spark):
+    g = EdgeTable.from_df(edges_df(spark, G_CC11))
+    assert triangle_count(g) == triangle_count_ref(G_CC11, n=11)
+
+
+def test_triangle_per_vertex_toy7(spark):
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    got = {r["v"]: r["n_triangles"] for r in triangle_count_per_vertex(g).collect()}
+    ref = triangles_per_vertex_ref(G_TOY7, n=7)
+    assert got == {v: int(ref[v]) for v in range(7)}
+
+
+def test_triangle_rmat_power_law(spark):
+    raw = [(int(s), int(d)) for s, d in rmat_edges(7, 8, seed=5)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    n = max(max(e) for e in edge_list) + 1
+    assert triangle_count(g) == triangle_count_ref(edge_list, n=n)
