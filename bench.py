@@ -1,0 +1,101 @@
+"""Benchmark harness — headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_runtime", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "teps": {...}}
+
+TEPS follows the reference's accounting (gunrock/util/info.cuh:
+1297-1425; PR queues |E| edges per iteration, pr_enactor.cuh:542):
+  TEPS = |E| * iterations / elapsed_seconds.
+
+Usage:
+  python bench.py                 # bench graph from lineitem at sf dir
+  python bench.py --cpus 8        # override parallelism (scaling runs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gunrock_spark.algorithms.components import connected_components
+from gunrock_spark.algorithms.label_propagation import label_propagation
+from gunrock_spark.algorithms.pagerank import pagerank
+from gunrock_spark.algorithms.triangles import triangle_count_df
+from gunrock_spark.session import build_session
+from gunrock_spark.sources.tables import derived_edge_table
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--source", default="lineitem", choices=["lineitem", "orders"])
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    spark = build_session("gunrock-spark-bench", master=f"local[{args.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    graph = derived_edge_table(spark, args.sf_dir, source=args.source)
+    n_edges = graph.num_edges()
+    n_vertices = graph.num_vertices()
+    graph.degrees.count()  # warm the cached degree table
+
+    timings: dict[str, float] = {}
+    teps: dict[str, float] = {}
+    iters: dict[str, int] = {}
+
+    t0 = time.monotonic()
+    pr = pagerank(graph, delta=0.85, threshold=0.01, max_iter=50)
+    pr.state.select("v", "rank").orderBy("rank", ascending=False).limit(10).collect()
+    timings["pagerank"] = time.monotonic() - t0
+    iters["pagerank"] = pr.iterations
+    teps["pagerank"] = n_edges * pr.iterations / timings["pagerank"]
+
+    t0 = time.monotonic()
+    cc = connected_components(graph)
+    cc.state.select("label").distinct().count()
+    timings["connected_components"] = time.monotonic() - t0
+    iters["connected_components"] = cc.iterations
+    # CC touches 2|E| (symmetrized) edges per iteration
+    teps["connected_components"] = 2 * n_edges * cc.iterations / timings["connected_components"]
+
+    t0 = time.monotonic()
+    lp = label_propagation(graph, mode="mode", max_iter=5)
+    lp.state.select("label").distinct().count()
+    timings["label_propagation"] = time.monotonic() - t0
+    iters["label_propagation"] = lp.iterations
+    teps["label_propagation"] = 2 * n_edges * lp.iterations / timings["label_propagation"]
+
+    t0 = time.monotonic()
+    n_tri = triangle_count_df(graph).collect()[0]["n_triangles"]
+    timings["triangle_count"] = time.monotonic() - t0
+    teps["triangle_count"] = n_edges / timings["triangle_count"]
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+                "cpus": args.cpus,
+                "graph": {"vertices": n_vertices, "edges": n_edges, "triangles": n_tri},
+                "iterations": iters,
+                "teps": {k: round(v) for k, v in teps.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -164,12 +164,15 @@ class EdgeTable:
         """Log2-scale out-degree histogram: DataFrame[log2_degree, n_vertices].
 
         The reference prints this to reason about power-law skew; we use
-        it to pick salting factors for hot keys.
+        it to pick salting factors for hot keys. floor(log2(d)) is
+        computed as the integer bit width (length(bin(d)) - 1) so the
+        bucket is exact on powers of two (libm log2 can land a hair
+        under the integer and floor() off-by-one).
         """
         return (
             self.degrees.select(
                 F.when(F.col("out_degree") == 0, F.lit(-1))
-                .otherwise(F.floor(F.log2("out_degree")))
+                .otherwise(F.length(F.bin("out_degree")) - 1)
                 .cast("int")
                 .alias("log2_degree")
             )
