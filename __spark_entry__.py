@@ -19,13 +19,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gunrock_spark.algorithms.bc import bc_single_source
+from gunrock_spark.algorithms.bfs import bfs
 from gunrock_spark.algorithms.components import component_sizes, connected_components
+from gunrock_spark.algorithms.hits import hits
 from gunrock_spark.algorithms.label_propagation import label_propagation
 from gunrock_spark.algorithms.pagerank import pagerank, ranked
+from gunrock_spark.algorithms.salsa import salsa
+from gunrock_spark.algorithms.sssp import sssp
 from gunrock_spark.algorithms.triangles import (
     triangle_count_df,
     triangle_count_per_vertex,
 )
+from gunrock_spark.algorithms.wtf import who_to_follow
 from gunrock_spark.sources.tables import EDGE_MOD, derived_edge_table
 
 # ---------------------------------------------------------------------------
@@ -34,15 +40,15 @@ from gunrock_spark.sources.tables import EDGE_MOD, derived_edge_table
 # ---------------------------------------------------------------------------
 
 _EDGES_CTES = f"""
-raw AS (
+raw AS MATERIALIZED (
   SELECT CAST(o_orderkey % {EDGE_MOD} AS BIGINT) AS src,
          CAST((o_custkey * 31) % {EDGE_MOD} AS BIGINT) AS dst
   FROM orders
 ),
-edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
-verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
-deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
-sym AS (SELECT src, dst FROM edges
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+sym AS MATERIALIZED (SELECT src, dst FROM edges
         UNION
         SELECT dst AS src, src AS dst FROM edges)
 """
@@ -50,6 +56,19 @@ sym AS (SELECT src, dst FROM edges
 PR_FIXED_ITERS = 10
 LP_MODE_ITERS = 3
 TOPK_K = 20
+HITS_ITERS = 5
+SALSA_ITERS = 4
+SSSP_ROUNDS = 20  # sf0.01 converges in 13 frontier rounds; margin
+BFS_DEPTH_CAP = 30
+
+# weighted derived edges (lockstep with sources.weighted_edges_df)
+_WEDGES_CTE = """
+edges_w AS MATERIALIZED (
+  SELECT src, dst, CAST((src * 7 + dst * 13) % 19 + 1 AS DOUBLE) AS w FROM edges
+),
+srcv AS (SELECT MIN(v) AS s FROM verts),
+indeg AS MATERIALIZED (SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS ind FROM edges GROUP BY dst)
+"""
 
 
 def _pagerank_fixed_sql(k: int = PR_FIXED_ITERS, delta: float = 0.85) -> str:
@@ -58,7 +77,7 @@ def _pagerank_fixed_sql(k: int = PR_FIXED_ITERS, delta: float = 0.85) -> str:
     body = ["r0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts)"]
     for i in range(1, k + 1):
         body.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT verts.v,
          (1.0 - {delta}) / (SELECT COUNT(*) FROM verts)
            + {delta} * COALESCE(s.msg, 0.0) AS rank
@@ -119,7 +138,7 @@ def _lp_mode_sql(k: int = LP_MODE_ITERS) -> str:
     body = ["l0 AS (SELECT v, v AS label FROM verts)"]
     for i in range(1, k + 1):
         body.append(
-            f"""l{i} AS (
+            f"""l{i} AS MATERIALIZED (
   SELECT l.v, COALESCE(nb.new_label, l.label) AS label
   FROM l{i - 1} l
   LEFT JOIN (
@@ -218,6 +237,160 @@ FROM d GROUP BY 1"""
     )
 
 
+def _bfs_sql() -> str:
+    """Converged BFS depths + deterministic min-parent preds."""
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + ","
+        + _WEDGES_CTE
+        + f""",
+walk(v, depth) AS (
+  SELECT s, 0 FROM srcv
+  UNION
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.depth < {BFS_DEPTH_CAP}
+),
+d AS (SELECT v, CAST(MIN(depth) AS BIGINT) AS depth FROM walk GROUP BY v),
+p AS (
+  SELECT e.dst AS v, MIN(e.src) AS pred
+  FROM edges e JOIN d du ON du.v = e.src JOIN d dv ON dv.v = e.dst
+  WHERE du.depth = dv.depth - 1 GROUP BY e.dst
+)
+SELECT d.v, d.depth, CASE WHEN d.depth = 0 THEN NULL ELSE p.pred END AS pred
+FROM d LEFT JOIN p ON p.v = d.v"""
+    )
+
+
+def _sssp_sql(k: int = SSSP_ROUNDS) -> str:
+    """k rounds of synchronous Bellman-Ford over the weighted derived
+    edges (weights are a pure function of the endpoints — exact
+    integer-valued doubles, no rounding needed)."""
+    body = [
+        "d0 AS (SELECT v, CASE WHEN v = (SELECT s FROM srcv) THEN 0.0 ELSE 1e18 END AS dist FROM verts)"
+    ]
+    for i in range(1, k + 1):
+        body.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT d.v, LEAST(d.dist, COALESCE(m.nd, 1e18)) AS dist
+  FROM d{i - 1} d LEFT JOIN (
+    SELECT e.dst AS v, MIN(p.dist + e.w) AS nd
+    FROM edges_w e JOIN d{i - 1} p ON p.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = d.v
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ","
+        + _WEDGES_CTE
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, dist FROM d{k} WHERE dist < 1e17"
+    )
+
+
+def _hits_sql(k: int = HITS_ITERS, delta: float = 0.85) -> str:
+    """k iterations of this fork's HITS (zero init, AUTH then HUB,
+    personalization seed at the min vertex)."""
+    body = ["h0 AS (SELECT v, 0.0 AS hub FROM verts)"]
+    for i in range(1, k + 1):
+        body.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(s.nauth, 0.0) AS auth
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(h.hub / GREATEST(d.outd, 1.0)) AS nauth
+    FROM edges e JOIN h{i - 1} h ON h.v = e.src JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) s ON s.v = verts.v
+)"""
+        )
+        body.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT verts.v,
+         CASE WHEN verts.v = (SELECT s FROM srcv)
+                   AND COALESCE(dd.outd, 0.0) > 0 THEN {delta} ELSE 0.0 END
+         + (1.0 - {delta}) * COALESCE(m.msg, 0.0) AS hub
+  FROM verts
+  LEFT JOIN deg dd ON dd.v = verts.v
+  LEFT JOIN (
+    SELECT e.src AS v, SUM(a.auth / i.ind) AS msg
+    FROM edges e JOIN a{i} a ON a.v = e.dst JOIN indeg i ON i.v = e.dst
+    GROUP BY e.src
+  ) m ON m.v = verts.v
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ","
+        + _WEDGES_CTE
+        + ",\n"
+        + ",\n".join(body)
+        + f"""
+SELECT h.v, ROUND(h.hub, 9) AS hub, ROUND(a.auth, 9) AS auth
+FROM h{k} h JOIN a{k} a ON a.v = h.v"""
+    )
+
+
+def _salsa_sql(k: int = SALSA_ITERS) -> str:
+    """k iterations of reference SALSA (init 1/out_nodes, 1/in_nodes),
+    factored into the same two linear passes as the engine."""
+    body = [
+        "onodes AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM deg)",
+        "inodes AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM indeg)",
+        "h0 AS (SELECT v, 1.0 / (SELECT c FROM onodes) AS hub FROM verts)",
+        "a0 AS (SELECT v, 1.0 / (SELECT c FROM inodes) AS auth FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        body.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT e.dst AS v, SUM(h.hub / d.outd) AS t
+  FROM edges e JOIN h{i - 1} h ON h.v = e.src JOIN deg d ON d.v = e.src
+  GROUP BY e.dst
+)"""
+        )
+        body.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(m.nhub, 0.0) AS hub
+  FROM verts LEFT JOIN (
+    SELECT e.src AS v, SUM(t.t / i.ind) AS nhub
+    FROM edges e JOIN t{i} t ON t.v = e.dst JOIN indeg i ON i.v = e.dst
+    GROUP BY e.src
+  ) m ON m.v = verts.v
+)"""
+        )
+        body.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.src AS v, SUM(a.auth / i.ind) AS s
+  FROM edges e JOIN a{i - 1} a ON a.v = e.dst JOIN indeg i ON i.v = e.dst
+  GROUP BY e.src
+)"""
+        )
+        body.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(m.nauth, 0.0) AS auth
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(s.s / d.outd) AS nauth
+    FROM edges e JOIN s{i} s ON s.v = e.src JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = verts.v
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ","
+        + _WEDGES_CTE
+        + ",\n"
+        + ",\n".join(body)
+        + f"""
+SELECT h.v, ROUND(h.hub, 9) AS hub, ROUND(a.auth, 9) AS auth
+FROM h{k} h JOIN a{k} a ON a.v = h.v"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-side queries (engine API)
 # ---------------------------------------------------------------------------
@@ -284,6 +457,48 @@ def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph(spark, sf_dir).degree_histogram()
 
 
+def _min_vertex(g) -> int:
+    return int(g.vertices.agg(F.min("v")).collect()[0][0])
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    res = bfs(g, source=_min_vertex(g), mark_predecessors=True)
+    return res.state.select("v", "depth", "pred")
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derived_edge_table(spark, sf_dir, weighted=True)
+    res = sssp(g, source=_min_vertex(g))
+    return res.state.where(F.col("dist") != float("inf")).select("v", "dist")
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    res = hits(g, src=_min_vertex(g), delta=0.85, max_iter=HITS_ITERS)
+    return res.state.select(
+        "v", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    )
+
+
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    res = salsa(g, max_iter=SALSA_ITERS)
+    return res.state.select(
+        "v", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    )
+
+
+def _q_wtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return who_to_follow(g, src=_min_vertex(g), alpha=0.2)
+
+
+def _q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return bc_single_source(g, source=_min_vertex(g))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -308,6 +523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_topk": _q_degree_topk,
         "edge_clean": _q_edge_clean,
         "degree_histogram": _q_degree_histogram,
+        "bfs_depths": _q_bfs,
+        "sssp_dist": _q_sssp,
+        "hits_k5": _q_hits,
+        "salsa_k4": _q_salsa,
+        "wtf_refscores": _q_wtf,
+        "bc_single_source": _q_bc,
     }
 
 
@@ -325,4 +546,11 @@ def oracle_sql() -> dict[str, str]:
         "degree_topk": _degree_topk_sql(),
         "edge_clean": _edge_clean_sql(),
         "degree_histogram": _degree_histogram_sql(),
+        "bfs_depths": _bfs_sql(),
+        "sssp_dist": _sssp_sql(),
+        "hits_k5": _hits_sql(),
+        "salsa_k4": _salsa_sql(),
+        # wtf_refscores / bc_single_source: multi-phase, data-dependent
+        # level structure — not SQL-expressible; rows-only here, exact
+        # numpy-oracle parity in tests/test_linkrank.py & test_traversal.py.
     }

@@ -21,12 +21,27 @@ Layers (SURVEY.md §7.0):
 from gunrock_spark.graph.edge_table import EdgeTable
 from gunrock_spark.engine.iterate import iterate, IterationResult
 from gunrock_spark.engine.checkpoint import CheckpointManager
-from gunrock_spark.algorithms.pagerank import pagerank
-from gunrock_spark.algorithms.components import connected_components
-from gunrock_spark.algorithms.label_propagation import label_propagation
-from gunrock_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
+from gunrock_spark.algorithms import (
+    bc_single_source,
+    betweenness_centrality,
+    bfs,
+    component_sizes,
+    connected_components,
+    degree_topk,
+    distances,
+    hits,
+    label_propagation,
+    pagerank,
+    ranked,
+    salsa,
+    sssp,
+    triangle_count,
+    triangle_count_df,
+    triangle_count_per_vertex,
+    who_to_follow,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "EdgeTable",
@@ -34,8 +49,20 @@ __all__ = [
     "IterationResult",
     "CheckpointManager",
     "pagerank",
+    "ranked",
     "connected_components",
+    "component_sizes",
     "label_propagation",
     "triangle_count",
+    "triangle_count_df",
     "triangle_count_per_vertex",
+    "bfs",
+    "sssp",
+    "distances",
+    "bc_single_source",
+    "betweenness_centrality",
+    "hits",
+    "salsa",
+    "who_to_follow",
+    "degree_topk",
 ]

@@ -1,12 +1,35 @@
-from gunrock_spark.algorithms.pagerank import pagerank
-from gunrock_spark.algorithms.components import connected_components
+from gunrock_spark.algorithms.pagerank import pagerank, ranked
+from gunrock_spark.algorithms.components import component_sizes, connected_components
 from gunrock_spark.algorithms.label_propagation import label_propagation
-from gunrock_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
+from gunrock_spark.algorithms.triangles import (
+    triangle_count,
+    triangle_count_df,
+    triangle_count_per_vertex,
+)
+from gunrock_spark.algorithms.bfs import bfs
+from gunrock_spark.algorithms.sssp import distances, sssp
+from gunrock_spark.algorithms.bc import bc_single_source, betweenness_centrality
+from gunrock_spark.algorithms.hits import hits
+from gunrock_spark.algorithms.salsa import salsa
+from gunrock_spark.algorithms.wtf import who_to_follow
+from gunrock_spark.algorithms.topk import degree_topk
 
 __all__ = [
     "pagerank",
+    "ranked",
     "connected_components",
+    "component_sizes",
     "label_propagation",
     "triangle_count",
+    "triangle_count_df",
     "triangle_count_per_vertex",
+    "bfs",
+    "sssp",
+    "distances",
+    "bc_single_source",
+    "betweenness_centrality",
+    "hits",
+    "salsa",
+    "who_to_follow",
+    "degree_topk",
 ]

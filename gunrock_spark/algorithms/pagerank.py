@@ -49,6 +49,7 @@ def pagerank(
     max_iter: int = 50,
     normalized: bool = True,
     compensate: bool = False,
+    src: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
@@ -102,6 +103,7 @@ def pagerank(
                 "max_iter": max_iter,
                 "normalized": normalized,
                 "compensate": compensate,
+                "src": src,
                 "n": n,
             },
         )
@@ -145,10 +147,18 @@ def pagerank(
                 F.coalesce("msg", F.lit(0.0))
                 + F.when(F.col("v") != SINK, F.col("sc")).otherwise(F.lit(0.0)),
             ).drop("sc")
+        # personalized mode (src set): the whole (1-delta) reset mass
+        # lands on src — wtf_functor.cuh:119's
+        # (1-delta) * [src_node == node || src_node == -1] term.
+        reset_col = (
+            F.lit(reset)
+            if src is None
+            else F.when(F.col("v") == src, F.lit(1.0 - delta)).otherwise(F.lit(0.0))
+        )
         new = new.select(
             "v",
             "out_degree",
-            (F.lit(reset) + F.lit(delta) * F.coalesce("msg", F.lit(0.0))).alias("rank"),
+            (reset_col + F.lit(delta) * F.coalesce("msg", F.lit(0.0))).alias("rank"),
             "prev",
         )
 

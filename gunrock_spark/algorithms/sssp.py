@@ -1,0 +1,120 @@
+"""SSSP — frontier-based Bellman-Ford relaxation (+ optional
+delta-stepping buckets).
+
+Re-creates the reference's SSSP (gunrock/app/sssp/): per-edge
+relaxation ``new = dist[src] + w(e)``, keep if it improves
+(atomicMin, sssp_functor.cuh:59-82); only improved vertices join the
+next frontier. ``mark_paths`` records a predecessor (sssp_functor.cuh:
+99+) — ours is the deterministic argmin (dist, parent id) pair.
+
+Delta-stepping (priority_queue/, sssp_enactor.cuh:272-310): the
+reference splits the frontier into near/far piles by
+``priority = dist / delta``; our analog filters the active set to
+``dist < (level+1) * delta`` and only promotes the level when the
+near pile drains — same work-ordering idea, two predicates instead
+of a bisect kernel.
+
+Spark plan per iteration:
+    frontier(v, dist) ⋈ edges on v = src
+      -> cand(dst, dist + weight, src)
+      -> groupBy(dst).agg(min(struct(ndist, src)))   [one shuffle]
+      -> join state, keep strict improvements -> new state + frontier
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gunrock_spark.engine.iterate import IterationResult, iterate
+from gunrock_spark.graph.edge_table import EdgeTable
+
+INF = float("inf")
+
+
+def sssp(
+    graph: EdgeTable,
+    source: int,
+    max_iter: int = 10_000,
+    mark_paths: bool = False,
+    delta: float | None = None,
+) -> IterationResult:
+    """SSSP from ``source`` over ``graph`` (must be weighted; weight
+    column ``weight``). Result state: (v long, dist double
+    [, pred long], active boolean) — unreached vertices carry
+    dist = +inf. ``delta``: enable delta-stepping with that bucket
+    width."""
+    if not graph.weighted:
+        raise ValueError("sssp requires a weighted EdgeTable (weight column)")
+    spark = graph.edges.sparkSession
+    edges = graph.edges
+
+    state = graph.vertices.select(
+        "v",
+        F.when(F.col("v") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+        F.lit(None).cast("long").alias("pred"),
+        (F.col("v") == source).alias("active"),
+    )
+    state = state.repartition(spark.sparkContext.defaultParallelism, "v").localCheckpoint(
+        eager=True
+    )
+    level = {"value": 0}  # delta-stepping bucket level
+
+    def step(cur: DataFrame, i: int):
+        frontier = cur.where(F.col("active"))
+        if delta is not None:
+            near = frontier.where(F.col("dist") < (level["value"] + 1) * delta)
+            # promote the level when the near pile is drained
+            if near.limit(1).count() == 0:
+                level["value"] += 1
+                near = frontier.where(F.col("dist") < (level["value"] + 1) * delta)
+            frontier = near
+        cand = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select(
+                edges["dst"].alias("nv"),
+                F.struct(
+                    (F.col("dist") + F.col("weight")).alias("ndist"),
+                    edges["src"].alias("npred"),
+                ).alias("c"),
+            )
+            .groupBy("nv")
+            .agg(F.min("c").alias("c"))
+            .select("nv", F.col("c.ndist").alias("ndist"), F.col("c.npred").alias("npred"))
+        )
+        processed = frontier.select(F.col("v").alias("pv"), F.lit(True).alias("processed"))
+        new = (
+            cur.join(cand, cur["v"] == cand["nv"], "left")
+            .join(processed, cur["v"] == processed["pv"], "left")
+            .select(
+                "v",
+                F.when(
+                    F.col("ndist") < F.col("dist"), F.col("ndist")
+                ).otherwise(F.col("dist")).alias("dist"),
+                F.when(
+                    F.col("ndist") < F.col("dist"), F.col("npred")
+                ).otherwise(F.col("pred")).alias("pred"),
+                (
+                    F.coalesce(F.col("ndist") < F.col("dist"), F.lit(False))
+                    # far-pile actives not processed this round stay active
+                    | (F.col("active") & F.col("processed").isNull())
+                ).alias("active"),
+            )
+        )
+
+        def metrics(materialized: DataFrame) -> dict:
+            improved = materialized.where(F.col("active")).count()
+            return {"improved": improved, "edges_traversed": improved}
+
+        return new, metrics
+
+    result = iterate(
+        state, step, stop=lambda m: m["improved"] == 0, max_iter=max_iter
+    )
+    if not mark_paths:
+        result.state = result.state.select("v", "dist", "active")
+    return result
+
+
+def distances(result_state: DataFrame) -> DataFrame:
+    """(v, dist) for reached vertices only."""
+    return result_state.where(F.col("dist") != INF).select("v", "dist")

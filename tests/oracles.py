@@ -159,3 +159,233 @@ def triangles_per_vertex_ref(edges: list[tuple[int, int]], n: int | None = None)
                         out[b] += 1
                         out[c] += 1
     return out
+
+
+def bfs_ref(
+    edges: list[tuple[int, int]], source: int, n: int | None = None
+) -> dict[int, tuple[int, int | None]]:
+    """BFS depths + deterministic min-parent preds (reference
+    semantics tests/bfs/test_bfs.cu ReferenceBFS; pred = MIN parent at
+    depth-1, our documented deterministic choice).
+    Returns {v: (depth, pred)} for reached vertices."""
+    edges = clean_edges(edges)
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    depth = {source: 0}
+    pred: dict[int, int | None] = {source: None}
+    frontier = [source]
+    lvl = 0
+    while frontier:
+        nxt: dict[int, int] = {}
+        for u in frontier:
+            for v in out.get(u, []):
+                if v not in depth:
+                    if v not in nxt or u < nxt[v]:
+                        nxt[v] = u
+        for v, p in nxt.items():
+            depth[v] = lvl + 1
+            pred[v] = p
+        frontier = sorted(nxt)
+        lvl += 1
+    return {v: (depth[v], pred[v]) for v in depth}
+
+
+def sssp_ref(
+    edges: list[tuple[int, int, float]], source: int, n: int | None = None
+) -> dict[int, float]:
+    """Bellman-Ford distances (reference: Boost dijkstra check,
+    tests/sssp/test_sssp.cu:41-45). Returns {v: dist} for reached."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    seen = set()
+    for s, d, w in edges:
+        if s != d and (s, d) not in seen:
+            seen.add((s, d))
+            adj.setdefault(s, []).append((d, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def bc_ref(edges: list[tuple[int, int]], source: int, n: int | None = None) -> np.ndarray:
+    """Brandes single-source dependency scores (reference:
+    gunrock/app/bc/bc_functor.cuh:37-239 semantics)."""
+    edges = clean_edges(edges)
+    n = n or _vertex_count(edges)
+    out: list[list[int]] = [[] for _ in range(n)]
+    for s, d in edges:
+        out[s].append(d)
+    sigma = np.zeros(n)
+    depth = np.full(n, -1)
+    sigma[source] = 1.0
+    depth[source] = 0
+    stack_levels = [[source]]
+    frontier = [source]
+    lvl = 0
+    while frontier:
+        nxt: list[int] = []
+        for u in frontier:
+            for v in out[u]:
+                if depth[v] == -1:
+                    depth[v] = lvl + 1
+                    nxt.append(v)
+        for u in frontier:
+            for v in out[u]:
+                if depth[v] == lvl + 1:
+                    sigma[v] += sigma[u]
+        nxt = sorted(set(nxt))
+        if nxt:
+            stack_levels.append(nxt)
+        frontier = nxt
+        lvl += 1
+    delta = np.zeros(n)
+    for level in reversed(range(len(stack_levels) - 1)):
+        for u in stack_levels[level]:
+            acc = 0.0
+            for v in out[u]:
+                if depth[v] == level + 1:
+                    acc += (1.0 + delta[v]) / sigma[v]
+            delta[u] = sigma[u] * acc
+    delta[source] = 0.0
+    return delta
+
+
+def hits_ref(
+    edges: list[tuple[int, int]],
+    src: int,
+    delta: float = 0.85,
+    max_iter: int = 20,
+    n: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """This fork's HITS (gunrock/app/hits/hits_functor.cuh:91-92,
+    165-166; zero init hits_problem.cuh:327-330; swap-only
+    'normalize' hits_enactor.cuh:93-113). Returns (hub, auth)."""
+    edges = clean_edges(edges)
+    n = n or _vertex_count(edges)
+    outd = np.zeros(n, dtype=np.int64)
+    ind = np.zeros(n, dtype=np.int64)
+    for s, d in edges:
+        outd[s] += 1
+        ind[d] += 1
+    hub = np.zeros(n)
+    auth = np.zeros(n)
+    for _ in range(max_iter):
+        nauth = np.zeros(n)
+        for s, d in edges:
+            nauth[d] += hub[s] / max(outd[s], 1)
+        auth = nauth
+        nhub = np.zeros(n)
+        for s, d in edges:
+            nhub[s] += (delta / outd[s] if s == src else 0.0) + (
+                1.0 - delta
+            ) * auth[d] / ind[d]
+        hub = nhub
+    return hub, auth
+
+
+def salsa_ref(
+    edges: list[tuple[int, int]], max_iter: int = 20, n: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reference SALSA (gunrock/app/salsa/salsa_functor.cuh:168-170,
+    319-321; init salsa_problem.cuh:366-372). Returns (hub, auth)."""
+    edges = clean_edges(edges)
+    n = n or _vertex_count(edges)
+    outd = np.zeros(n, dtype=np.int64)
+    ind = np.zeros(n, dtype=np.int64)
+    for s, d in edges:
+        outd[s] += 1
+        ind[d] += 1
+    hub = np.full(n, 1.0 / max(int(np.sum(outd > 0)), 1))
+    auth = np.full(n, 1.0 / max(int(np.sum(ind > 0)), 1))
+    for _ in range(max_iter):
+        t = np.zeros(n)
+        for w, v in edges:
+            t[v] += hub[w] / outd[w]
+        nhub = np.zeros(n)
+        for u, v in edges:
+            nhub[u] += t[v] / ind[v]
+        s_arr = np.zeros(n)
+        for u, x in edges:
+            s_arr[u] += auth[x] / ind[x]
+        nauth = np.zeros(n)
+        for u, v in edges:
+            nauth[v] += s_arr[u] / outd[u]
+        hub, auth = nhub, nauth
+    return hub, auth
+
+
+def wtf_ref(
+    edges: list[tuple[int, int]],
+    src: int,
+    alpha: float = 0.2,
+    delta: float = 0.85,
+    error: float = 0.01,
+    max_iter: int = 50,
+    cot_size: int = 1000,
+    n: int | None = None,
+) -> np.ndarray:
+    """WTF refscores (transcribed from ReferenceWTF,
+    tests/wtf/test_wtf.cu:178-316, with the personalized PR phase of
+    wtf_functor.cuh:91,119). Returns refscore per vertex."""
+    edges = clean_edges(edges)
+    n = n or _vertex_count(edges)
+    outd = np.zeros(n, dtype=np.int64)
+    for s, _ in edges:
+        outd[s] += 1
+    # phase 1: personalized PR (our engine's spec: init 1/n, update
+    # new = (1-delta)*[v==src] + delta * sum msgs, per-vertex stop)
+    rank = np.full(n, 1.0 / n)
+    it = 0
+    while it < max_iter:
+        msgs = np.zeros(n)
+        for s, d in edges:
+            if outd[s] > 0:
+                msgs[d] += rank[s] / outd[s]
+        new = delta * msgs
+        new[src] += 1.0 - delta
+        it += 1
+        if not np.any(np.abs(new - rank) > error * rank):
+            rank = new
+            break
+        rank = new
+    # phase 2: circle of trust — top-k (rank desc, v asc)
+    order = sorted(range(n), key=lambda v: (-rank[v], v))
+    cot = order[: min(cot_size, n)]
+    cot_set = set(cot)
+    # phase 3: reference SALSA relevance loop (test_wtf.cu:245-302)
+    cot_indeg = np.zeros(n, dtype=np.int64)
+    for s, d in edges:
+        if s in cot_set:
+            cot_indeg[d] += 1
+    r = np.zeros(n)
+    r[src] = 1.0 if src in cot_set else 0.0
+    refscore = np.zeros(n)
+    salsa_iter = int(1.0 / alpha) + 1
+    for itr in range(salsa_iter):
+        for u in cot:
+            for s, d in edges:
+                if s == u:
+                    refscore[d] += r[u] / (outd[u] if outd[u] > 0 else 1.0)
+        for u in cot:
+            r[u] = 0.0
+        for u in cot:
+            acc = alpha if u == src else 0.0
+            for s, d in edges:
+                if s == u:
+                    acc += (1.0 - alpha) * refscore[d] / cot_indeg[d]
+            r[u] = acc
+        if itr + 1 < salsa_iter:
+            for u in cot:
+                refscore[u] = 0.0
+    return refscore

@@ -1,0 +1,87 @@
+"""BFS / SSSP / BC against numpy oracles (reference CPU-check style,
+SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gunrock_spark.algorithms.bc import bc_single_source
+from gunrock_spark.algorithms.bfs import bfs
+from gunrock_spark.algorithms.sssp import sssp
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.generators import G_CC11, G_PR4, G_TOY7, edges_df, rmat_edges
+from tests.oracles import bc_ref, bfs_ref, clean_edges, sssp_ref
+
+
+def _graph(spark, edge_list):
+    return EdgeTable.from_df(edges_df(spark, edge_list))
+
+
+def _wgraph(spark, edge_list):
+    # deterministic weights — same formula as sources.weighted_edges_df
+    rows = [
+        (s, d, float((s * 7 + d * 13) % 19 + 1)) for s, d in clean_edges(edge_list)
+    ]
+    df = spark.createDataFrame(rows, schema="src long, dst long, weight double")
+    return EdgeTable.from_df(df, weight="weight")
+
+
+@pytest.mark.parametrize("edge_list", [G_PR4, G_TOY7, G_CC11], ids=["pr4", "toy7", "cc11"])
+def test_bfs_depths_and_preds(spark, edge_list):
+    res = bfs(_graph(spark, edge_list), source=0, mark_predecessors=True)
+    got = {r["v"]: (r["depth"], r["pred"]) for r in res.state.collect()}
+    ref = bfs_ref(edge_list, source=0)
+    assert got == ref
+    assert res.converged
+
+
+def test_bfs_rmat(spark):
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(7, 8, seed=5)])
+    res = bfs(_graph(spark, edge_list), source=0)
+    got = {r["v"]: r["depth"] for r in res.state.collect()}
+    ref = {v: d for v, (d, _) in bfs_ref(edge_list, source=0).items()}
+    assert got == ref
+
+
+@pytest.mark.parametrize("edge_list", [G_PR4, G_TOY7, G_CC11], ids=["pr4", "toy7", "cc11"])
+def test_sssp_distances(spark, edge_list):
+    g = _wgraph(spark, edge_list)
+    res = sssp(g, source=0)
+    got = {
+        r["v"]: r["dist"]
+        for r in res.state.where(F.col("dist") != float("inf")).collect()
+    }
+    ref = sssp_ref(
+        [(s, d, float((s * 7 + d * 13) % 19 + 1)) for s, d in clean_edges(edge_list)],
+        source=0,
+    )
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], abs=1e-9)
+    assert res.converged
+
+
+def test_sssp_delta_stepping_matches_plain(spark):
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(6, 8, seed=9)])
+    g = _wgraph(spark, edge_list)
+    plain = {
+        r["v"]: r["dist"]
+        for r in sssp(g, source=0).state.where(F.col("dist") != float("inf")).collect()
+    }
+    ds = {
+        r["v"]: r["dist"]
+        for r in sssp(g, source=0, delta=8.0)
+        .state.where(F.col("dist") != float("inf"))
+        .collect()
+    }
+    assert plain == ds
+
+
+@pytest.mark.parametrize("edge_list", [G_PR4, G_TOY7], ids=["pr4", "toy7"])
+def test_bc_single_source(spark, edge_list):
+    got_df = bc_single_source(_graph(spark, edge_list), source=0)
+    got = {r["v"]: r["bc"] for r in got_df.collect()}
+    ref = bc_ref(edge_list, source=0)
+    n = max(max(e) for e in edge_list) + 1
+    for v in range(n):
+        assert got.get(v, 0.0) == pytest.approx(ref[v], abs=1e-6)
