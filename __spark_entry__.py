@@ -32,7 +32,21 @@ from gunrock_spark.algorithms.triangles import (
     triangle_count_per_vertex,
 )
 from gunrock_spark.algorithms.wtf import who_to_follow
-from gunrock_spark.sources.tables import EDGE_MOD, derived_edge_table
+from gunrock_spark.pipeline.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    near_duplicates,
+    shingles,
+    simhash,
+)
+from gunrock_spark.pipeline.similarity import cosine_near_dup_pairs, cosine_topk
+from gunrock_spark.pipeline.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from gunrock_spark.sources.tables import EDGE_MOD, derived_edge_table, load_table
 
 # ---------------------------------------------------------------------------
 # shared SQL prologue — MUST stay in lockstep with
@@ -392,6 +406,241 @@ FROM h{k} h JOIN a{k} a ON a.v = h.v"""
 
 
 # ---------------------------------------------------------------------------
+# pipeline oracles (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_STOP_EN = "('the','a','of','and','to','in','is','that','it','for')"
+
+_DOCS_CTES = """
+toks AS MATERIALIZED (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+)
+"""
+
+_SHINGLE_CTES = (
+    _DOCS_CTES
+    + f""",
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+  UNION
+  SELECT doc_id, array_to_string(t, ' ') AS shingle FROM toks WHERE len(t) < 3
+)"""
+)
+
+EMBED_DEDUP_THRESHOLD = 0.4  # sf embeddings: random 64-dim, max cos ~0.51
+LSH_JACCARD_THRESHOLD = 0.2
+
+
+def _dedup_exact_sql() -> str:
+    h = _H60.format(x="text")
+    return f"""
+SELECT {h} AS content_hash, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1"""
+
+
+def _token_stats_sql() -> str:
+    return (
+        "WITH "
+        + _DOCS_CTES
+        + """
+SELECT doc_id,
+  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+  ROUND(CASE WHEN len(t) > 0
+             THEN list_sum(list_transform(t, s -> CAST(LENGTH(s) AS DOUBLE))) / len(t)
+             ELSE 0.0 END, 6) AS avg_token_len
+FROM toks"""
+    )
+
+
+def _quality_sql() -> str:
+    return (
+        "WITH "
+        + _DOCS_CTES
+        + f"""
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  ROUND(stop_ratio, 6) AS stopword_ratio,
+  ROUND(alpha_ratio, 6) AS alpha_ratio,
+  ROUND(0.4 * LEAST(1.0, len(t) / 50.0)
+      + 0.3 * GREATEST(0.0, 1.0 - ABS(stop_ratio - 0.4) / 0.4)
+      + 0.3 * alpha_ratio, 6) AS quality
+FROM (
+  SELECT doc_id, t,
+    CASE WHEN len(t) > 0
+         THEN CAST(len(list_filter(t, s -> s IN {_STOP_EN})) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN LENGTH(text) > 0
+         THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / LENGTH(text)
+         ELSE 0.0 END AS alpha_ratio
+  FROM toks
+) s"""
+    )
+
+
+def _langid_sql() -> str:
+    from gunrock_spark.pipeline.text import LANG_PROFILES
+
+    hits = ",\n    ".join(
+        f"len(list_filter(t, s -> s IN ({', '.join(repr(w) for w in words)}))) AS hits_{code}"
+        for code, words in sorted(LANG_PROFILES.items())
+    )
+    codes = sorted(LANG_PROFILES)
+    best = "GREATEST(" + ", ".join(f"hits_{c}" for c in codes) + ")"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{c} = best THEN '{c}'" for c in codes
+    ) + " END"
+    return (
+        "WITH "
+        + _DOCS_CTES
+        + f"""
+SELECT doc_id, {case} AS lang_pred, CAST(best AS BIGINT) AS lang_hits
+FROM (
+  SELECT doc_id, {best} AS best, * FROM (
+    SELECT doc_id,
+    {hits}
+    FROM toks
+  ) h
+) b"""
+    )
+
+
+def _fingerprint_sql() -> str:
+    h = _H60.format(x="array_to_string(list_sort(list_distinct(t)), ' ')")
+    return "WITH " + _DOCS_CTES + f"\nSELECT doc_id, {h} AS fp FROM toks"
+
+
+def _minhash_mins(num_hashes: int) -> str:
+    parts = []
+    for j in range(num_hashes):
+        inner = _H60.format(x=f"'{j}:' || shingle")
+        parts.append(f"MIN({inner}) AS mh{j}")
+    return ",\n  ".join(parts)
+
+
+def _minhash_sigs_sql(num_hashes: int = 16) -> str:
+    mins = _minhash_mins(num_hashes)
+    return (
+        "WITH "
+        + _SHINGLE_CTES
+        + f"\nSELECT doc_id AS id,\n  {mins}\nFROM sh GROUP BY doc_id"
+    )
+
+
+def _lsh_near_dups_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = LSH_JACCARD_THRESHOLD
+) -> str:
+    rows = num_hashes // bands
+    mins = _minhash_mins(num_hashes)
+    band_selects = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        key = _H60.format(x=concat)
+        band_selects.append(f"SELECT id, {b} AS band, {key} AS bucket FROM mh")
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return (
+        "WITH "
+        + _SHINGLE_CTES
+        + f""",
+mh AS MATERIALIZED (SELECT doc_id AS id,
+  {mins}
+FROM sh GROUP BY doc_id),
+bands AS MATERIALIZED ({bands_sql}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(COALESCE(i.inter, 0)
+               / (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+) t WHERE jaccard >= {threshold}"""
+    )
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    h = _H60.format(x="tok")
+    sums = ",\n  ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return (
+        "WITH "
+        + _DOCS_CTES
+        + f""",
+tok AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+hs AS (SELECT doc_id, {h} AS h FROM tok),
+bits AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id)
+SELECT doc_id AS id, CAST({assemble} AS BIGINT) AS simhash FROM bits"""
+    )
+
+
+def _ann_topk_sql(k: int = 5, n_queries: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(qv, cv)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM q, c WHERE q.query_id <> c.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""
+
+
+def _embed_near_dup_sql(threshold: float = EMBED_DEDUP_THRESHOLD) -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+) t WHERE cosine >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
 # Spark-side queries (engine API)
 # ---------------------------------------------------------------------------
 
@@ -499,6 +748,60 @@ def _q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc_single_source(g, source=_min_vertex(g))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(shingles(_docs(spark, sf_dir)))
+
+
+def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_duplicates(_docs(spark, sf_dir), threshold=LSH_JACCARD_THRESHOLD)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeds(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(e, queries, k=5)
+
+
+def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_near_dup_pairs(
+        _embeds(spark, sf_dir), threshold=EMBED_DEDUP_THRESHOLD, brute_force=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -529,6 +832,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_k4": _q_salsa,
         "wtf_refscores": _q_wtf,
         "bc_single_source": _q_bc,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "language_id": _q_langid,
+        "doc_fingerprint": _q_fingerprint,
+        "minhash_signatures": _q_minhash_sigs,
+        "minhash_lsh_near_dups": _q_lsh_near_dups,
+        "simhash": _q_simhash,
+        "ann_cosine_top5": _q_ann_topk,
+        "embedding_near_dups": _q_embed_near_dup,
     }
 
 
@@ -553,4 +866,14 @@ def oracle_sql() -> dict[str, str]:
         # wtf_refscores / bc_single_source: multi-phase, data-dependent
         # level structure — not SQL-expressible; rows-only here, exact
         # numpy-oracle parity in tests/test_linkrank.py & test_traversal.py.
+        "dedup_exact": _dedup_exact_sql(),
+        "token_stats": _token_stats_sql(),
+        "quality_score": _quality_sql(),
+        "language_id": _langid_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
+        "minhash_signatures": _minhash_sigs_sql(),
+        "minhash_lsh_near_dups": _lsh_near_dups_sql(),
+        "simhash": _simhash_sql(),
+        "ann_cosine_top5": _ann_topk_sql(),
+        "embedding_near_dups": _embed_near_dup_sql(),
     }

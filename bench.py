@@ -24,12 +24,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from gunrock_spark.algorithms.components import connected_components
 from gunrock_spark.algorithms.label_propagation import label_propagation
 from gunrock_spark.algorithms.pagerank import pagerank
 from gunrock_spark.algorithms.triangles import triangle_count_df
+from gunrock_spark.pipeline.dedup import near_duplicates
+from gunrock_spark.pipeline.similarity import cosine_topk
 from gunrock_spark.session import build_session
-from gunrock_spark.sources.tables import derived_edge_table
+from gunrock_spark.sources.tables import derived_edge_table, load_table
 
 
 def main() -> None:
@@ -79,6 +83,22 @@ def main() -> None:
     timings["triangle_count"] = time.monotonic() - t0
     teps["triangle_count"] = n_edges / timings["triangle_count"]
 
+    # training-data pipeline headliners
+    docs = load_table(spark, args.sf_dir, "documents")
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    n_near_dups = near_duplicates(docs, threshold=0.2).count()
+    timings["minhash_near_dup"] = time.monotonic() - t0
+
+    embeds = load_table(spark, args.sf_dir, "embeddings")
+    n_vecs = embeds.count()
+    queries_df = embeds.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.monotonic()
+    ann_rows = cosine_topk(embeds, queries_df, k=10).count()
+    timings["ann_cosine_top10"] = time.monotonic() - t0
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -90,6 +110,12 @@ def main() -> None:
                 "sf": float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
                 "cpus": args.cpus,
                 "graph": {"vertices": n_vertices, "edges": n_edges, "triangles": n_tri},
+                "pipeline": {
+                    "docs": n_docs,
+                    "near_dup_pairs": n_near_dups,
+                    "vectors": n_vecs,
+                    "ann_result_rows": ann_rows,
+                },
                 "iterations": iters,
                 "teps": {k: round(v) for k, v in teps.items()},
             }

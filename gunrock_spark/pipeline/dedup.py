@@ -1,0 +1,249 @@
+"""Deduplication over a documents table — exact, MinHash+LSH,
+SimHash, and n-gram-Jaccard near-dup detection.
+
+Scale design (the point of each op at 100 TB):
+- exact: one hash-groupBy — a single shuffle keyed on a 60-bit
+  content hash; map-side partial agg collapses most duplicates before
+  the wire.
+- minhash/LSH: signatures are ONE explode + ONE groupBy (16 min()
+  aggregates computed in the same pass); candidate generation is a
+  self-join on (band, band_hash) bucket keys — only colliding docs
+  ever meet, never the O(n²) pair space.
+- simhash: one explode + one groupBy with 60 bit-sum aggregates;
+  near-dup candidates via 15-bit chunk buckets (pigeonhole: hamming
+  ≤ 3 ⇒ at least one of 4 chunks equal).
+- n-gram Jaccard: exact verification joins shingles ONLY for LSH
+  candidate pairs (broadcast the pair list when small).
+
+Everything is Catalyst expressions over h60 (functions/hashing.py) —
+deterministic, engine-reproducible, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gunrock_spark.functions.hashing import h60, tokens
+
+NUM_MINHASHES = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(content_hash, keep_id, n_copies) — one row per distinct
+    content; keep_id = min id (the canonical survivor)."""
+    return (
+        df.select(F.col(id_col).alias("id"), h60(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) — distinct word n-gram shingles per document."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))  # short doc: 1 shingle
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
+    """(id, mh0..mh{H-1}) — one groupBy computing all H min-hashes in
+    a single pass over the exploded shingles."""
+    aggs = [
+        F.min(h60(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return shingle_df.groupBy("id").agg(*aggs)
+
+
+def lsh_buckets(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    num_hashes: int = NUM_MINHASHES,
+) -> DataFrame:
+    """(id, band, bucket) — band bucket keys (h60 of the band's
+    concatenated minhashes)."""
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        key = h60(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        parts.append(
+            signatures.select(
+                "id", F.lit(b).alias("band"), key.alias("bucket")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs (id_a < id_b) sharing at
+    least one band bucket."""
+    left = buckets.select(
+        F.col("band").alias("b1"), F.col("bucket").alias("k1"), F.col("id").alias("id_a")
+    )
+    right = buckets.select(
+        F.col("band").alias("b2"), F.col("bucket").alias("k2"), F.col("id").alias("id_b")
+    )
+    return (
+        left.join(
+            right,
+            (F.col("b1") == F.col("b2"))
+            & (F.col("k1") == F.col("k2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, inter, union_sz, jaccard) — exact shingle Jaccard
+    for candidate pairs only."""
+    sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingle_df.select(F.col("id").alias("ia"), F.col("shingle").alias("sh"))
+    sb = shingle_df.select(F.col("id").alias("ib"), F.col("shingle").alias("sh"))
+    p = pairs.select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
+    # intersection restricted to the candidate pairs (never the full
+    # co-shingle cross space): pairs ⋈ shingles(a) ⋈ shingles(b)
+    inter = (
+        p.join(sa, "ia")
+        .join(sb, ["ib", "sh"])
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("id").alias("ia"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("id").alias("ib"), F.col("sz").alias("sz_b"))
+    return (
+        p.join(inter, ["ia", "ib"], "left")
+        .join(za, "ia")
+        .join(zb, "ib")
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.coalesce("inter", F.lit(0)))
+            .cast("long")
+            .alias("union_sz"),
+            F.round(
+                F.coalesce("inter", F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce("inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    join → exact-Jaccard verify. (id_a, id_b, jaccard) with
+    jaccard >= threshold."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(lsh_buckets(sig, bands, num_hashes))
+    out = jaccard_pairs(sh, cands).where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over token occurrences (token
+    weight = occurrence count; bit b of h60(token) votes ±1)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    h = h60(F.col("tok"))
+    bit_sums = exploded.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(simhash) <= k, found
+    via 15-bit chunk buckets (4 chunks; hamming<=3 guarantees a shared
+    chunk — pigeonhole), then verified exactly with bit_count(xor)."""
+    sh = simhash(df, id_col, text_col).persist()
+    chunks = None
+    for c in range(4):
+        part = sh.select(
+            "id",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    left = chunks.select(
+        F.col("chunk").alias("c1"), F.col("key").alias("k1"), F.col("id").alias("id_a")
+    )
+    right = chunks.select(
+        F.col("chunk").alias("c2"), F.col("key").alias("k2"), F.col("id").alias("id_b")
+    )
+    cands = (
+        left.join(
+            right,
+            (F.col("c1") == F.col("c2"))
+            & (F.col("k1") == F.col("k2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,135 @@
+"""Text analysis over a documents table — language-ID, quality
+scoring, token statistics, fingerprinting.
+
+Operates on any DataFrame with (id, text) columns; the sandbox tables
+are ``documents(doc_id, text, lang, source, n_chars)``. Everything is
+pure Catalyst expressions (one projection, no shuffle except the
+explicit aggregates) so the per-document pass streams at scan speed —
+at 100 TB this pipeline is scan-bound, exactly what you want.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gunrock_spark.functions.hashing import h60, tokens
+
+# deterministic stopword profiles for the n-gram/stopword language
+# heuristic (tiny on purpose; swap in real profiles in production)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "no", "por", "para"),
+}
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def _token_col(text_col: str) -> Column:
+    return tokens(F.lower(F.col(text_col)))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, n_distinct_tokens, avg_token_len)."""
+    toks = _token_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, stopword_ratio, alpha_ratio, quality) — a
+    deterministic [0,1] quality heuristic:
+
+        quality = 0.4 * min(1, n_tokens/50)
+                + 0.3 * (1 - |stopword_ratio - 0.4| / 0.4  clamped to [0,1])
+                + 0.3 * alpha_ratio
+
+    (length saturation, stopword-profile proximity, alphabetic
+    cleanliness — the standard pretraining-filter trio.)
+    """
+    toks = _token_col(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        F.length(text_col) > 0, alpha_chars / F.length(text_col)
+    ).otherwise(F.lit(0.0))
+    stop_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)) / F.lit(0.4)
+    )
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        + F.lit(0.3) * stop_score
+        + F.lit(0.3) * alpha_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, lang_pred, lang_hits) — stopword-profile language ID:
+    the language whose profile hits the most tokens wins; zero hits →
+    'und'; ties → lexicographically smallest code (deterministic)."""
+    toks = _token_col(text_col)
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = df.select(
+        F.col(id_col),
+        *[
+            _hits(words).alias(f"hits_{code}")
+            for code, words in sorted(LANG_PROFILES.items())
+        ],
+    )
+    # argmax via greatest + chained when (codes in sorted order → ties
+    # resolve to the smallest code)
+    best = F.greatest(*[F.col(f"hits_{c}") for c in sorted(LANG_PROFILES)])
+    pred = F.when(best == 0, F.lit("und"))
+    for code in sorted(LANG_PROFILES):
+        pred = pred.when(F.col(f"hits_{code}") == best, F.lit(code))
+    return scored.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp) — order-insensitive 60-bit document fingerprint:
+    h60 of the sorted distinct token list (canonical bag-of-words
+    form; robust to whitespace/ordering noise, the cheap cousin of
+    simhash for exact-content clustering)."""
+    toks = _token_col(text_col)
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.select(F.col(id_col), h60(canon).alias("fp"))

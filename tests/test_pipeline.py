@@ -1,0 +1,202 @@
+"""Training-data pipeline ops: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gunrock_spark.pipeline import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    decode_features,
+    exact_duplicates,
+    fingerprint,
+    frame_sample,
+    ivf_index,
+    ivf_search,
+    language_id,
+    near_duplicates,
+    quality_score,
+    shingles,
+    simhash,
+    simhash_near_duplicates,
+    synthesize_media,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the little river bank", "en"),  # near dup
+        (3, "completely different text about spark partitions and shuffle behavior", "en"),
+        (4, "der hund und die katze sind nicht auf der couch mit dem ball", "de"),
+        (5, "le chat et le chien sont dans la maison pour la nuit", "fr"),
+        (6, "", "en"),
+    ]
+    return spark.createDataFrame(base, schema="doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    # planted near-duplicate of vector 0
+    v0 = np.array(rows[0][1])
+    rows.append((40, [float(x) for x in (v0 + 1e-4)]))
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert sum(out.values()) == 7
+
+
+def test_minhash_near_duplicates(spark, docs):
+    nd = near_duplicates(docs, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in nd.collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup -> jaccard 1
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found via LSH
+    assert all(j >= 0.5 for j in pairs.values())
+    assert (3, 4) not in pairs
+
+
+def test_jaccard_matches_python(spark, docs):
+    sh = shingles(docs, n=3)
+    got = {
+        r["id"]: set()
+        for r in sh.select("id").distinct().collect()
+    }
+    for r in sh.collect():
+        got[r["id"]].add(r["shingle"])
+
+    def py_shingles(text, n=3):
+        import re
+
+        toks = re.findall(r"[A-Za-z0-9]+", text.lower())
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    for row in docs.collect():
+        assert got[row["doc_id"]] == py_shingles(row["text"])
+
+
+def test_simhash_near_dup(spark, docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    # exact duplicates share the simhash
+    assert sh[0] == sh[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha alpha")],
+        schema="doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[0] == "en" and out[4] == "de" and out[5] == "fr"
+    assert out[6] == "und"  # empty doc
+
+
+def test_quality_and_token_stats(spark, docs):
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[6]["quality"] == 0.0
+    assert 0.0 < q[0]["quality"] <= 1.0
+    t = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert t[0]["n_tokens"] == 13
+    assert t[6]["n_tokens"] == 0
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(vectors, queries, k=5)
+    res = {}
+    for r in got.collect():
+        res.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in vectors.collect()}
+    for qid in range(3):
+        qv = mat[qid]
+        sims = sorted(
+            (
+                (-np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)), cid)
+                for cid, v in mat.items()
+                if cid != qid
+            ),
+        )[:5]
+        want = [(i + 1, cid, round(-s, 6)) for i, (s, cid) in enumerate(sims)]
+        got_q = sorted(res[qid])
+        assert [w[1] for w in want] == [g[1] for g in got_q]
+        for w, g in zip(want, got_q):
+            assert g[2] == pytest.approx(w[2], abs=1e-5)
+
+
+def test_ivf_recall_and_nearest_dup(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(vectors, queries, k=3)
+    centroids, assignments = ivf_index(vectors, n_lists=8)
+    approx = ivf_search(vectors, centroids, assignments, queries, k=3, nprobe=4)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5  # probing half the lists
+    # planted near-dup 40 ~ 0 must be query 0's top hit in both
+    top_b = {r["query_id"]: r["vec_id"] for r in brute.collect() if r["rank"] == 1}
+    assert top_b[0] == 40
+
+
+def test_cosine_near_dup_pairs(spark, vectors):
+    brute = cosine_near_dup_pairs(vectors, threshold=0.999, brute_force=True)
+    got = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert (0, 40) in got
+    lsh = cosine_near_dup_pairs(vectors, threshold=0.999, n_planes=6)
+    got_lsh = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert (0, 40) in got_lsh  # near-identical vectors share all sign bits
+    assert got_lsh <= got  # LSH path never invents pairs
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = synthesize_media(spark, n=12)
+    feats = decode_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert r["decode_ok"] and len(r["feature"]) == 16
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # deterministic across runs
+    feats2 = {r["media_id"]: r["feature"] for r in decode_features(media).collect()}
+    for r in feats:
+        assert feats2[r["media_id"]] == r["feature"]
+    with pytest.raises(NotImplementedError):
+        decode_features(media, decoder="real")
+
+
+def test_frame_sample(spark):
+    media = synthesize_media(spark, n=9)
+    frames = frame_sample(media, every_ms=500).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["ts_ms"])
+    metas = {r["media_id"]: r["meta"] for r in media.collect()}
+    for mid, ts in by_media.items():
+        dur = metas[mid]["duration_ms"]
+        assert ts == [i * 500 for i in range(dur // 500 + 1)]
+    # images (no duration) produce no frames
+    assert all(metas[m]["duration_ms"] is not None for m in by_media)
