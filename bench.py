@@ -44,7 +44,12 @@ def main() -> None:
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
-    spark = build_session("gunrock-spark-bench", master=f"local[{args.cpus}]")
+    # adaptive=False: AQE's per-stage re-planning costs ~20% wall-clock
+    # on these many-small-stage iterative loops (see session.py note);
+    # a production cluster run of a single huge job would keep it on.
+    spark = build_session(
+        "gunrock-spark-bench", master=f"local[{args.cpus}]", adaptive=False
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     graph = derived_edge_table(spark, args.sf_dir, source=args.source)

@@ -18,6 +18,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    adaptive: bool | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession with engine defaults.
 
@@ -25,7 +26,20 @@ def build_session(
     ``shuffle_partitions`` should be ~2-3x total executor cores; in
     the sandbox we default to local[*] with one shuffle partition per
     core.
+
+    ``adaptive``: AQE toggle. AQE's per-query-stage materialization +
+    re-planning adds a fixed latency per stage; iterative graph loops
+    run hundreds of SMALL stages, so benchmarks of the convergence
+    loops disable it (measured ~20% wall-clock at sf0.1 local[32]),
+    while one-shot huge-shuffle jobs keep it for skew-join splitting
+    and runtime coalescing. Default: env SPARK_GRAFT_AQE or on.
     """
+    if adaptive is None:
+        adaptive = os.environ.get("SPARK_GRAFT_AQE", "true").lower() not in (
+            "0",
+            "false",
+            "off",
+        )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
         master = f"local[{cpus}]"
@@ -39,9 +53,9 @@ def build_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(adaptive).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled", str(adaptive).lower())
+        .config("spark.sql.adaptive.skewJoin.enabled", str(adaptive).lower())
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Iterative algorithms re-broadcast small state every iteration;

@@ -1,0 +1,138 @@
+"""Two-cluster-size scaling study (north rule: >=0.8 throughput
+scaling efficiency from N to 4N executors).
+
+No real cluster exists in the sandbox, so per the evidence rule the
+SAME job runs at two parallelism levels — local[N] and local[4N]
+(cores-as-executors proxy) — on the SAME input, and we report TEPS at
+both plus efficiency = (TEPS_4N / TEPS_N) / 4.
+
+The input is a seeded R-MAT graph (reference generator defaults
+a=.55 b=.2 c=.2 d=.05, gunrock/graphio/rmat.cuh:180-184) big enough
+that shuffle/compute dominates fixed per-job scheduling overhead —
+the regime a 1000-executor cluster actually runs in. Each measurement
+is a fresh spark-submit-style subprocess (fresh JVM) so the two runs
+share nothing.
+
+Usage: python scripts/scaling.py [--scale 20] [--n 8] [--iters 5]
+Writes BENCH.md-ready JSON to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from gunrock_spark.session import build_session
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.algorithms.pagerank import pagerank
+
+cpus = int(sys.argv[1]); path = sys.argv[2]; iters = int(sys.argv[3])
+os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+# the cluster-scale plan: shuffle joins co-partitioned on the key (a
+# 10^12-vertex state table cannot be broadcast), shuffle partitions =
+# cores, AQE off (per-stage re-planning latency dominates these small
+# iterative stages — session.py note)
+spark = build_session(
+    "scaling",
+    master=f"local[{{cpus}}]",
+    shuffle_partitions=cpus,
+    adaptive=False,
+    extra_conf={{"spark.sql.autoBroadcastJoinThreshold": "-1"}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+edges = spark.read.parquet(path)
+g = EdgeTable.from_df(edges, num_partitions=cpus)
+m = g.num_edges(); g.degrees.count()   # warm cache outside the timer
+pagerank(g, threshold=0.0, max_iter=1)  # JIT/codegen warmup, untimed
+best = None
+for _ in range(2):                      # best-of-2: squeeze out GC noise
+    t0 = time.monotonic()
+    res = pagerank(g, threshold=0.0, max_iter=iters)
+    res.state.select("v").limit(1).collect()
+    dt = time.monotonic() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"cpus": cpus, "edges": m, "iters": iters,
+                   "sec": round(best, 3),
+                   "teps": round(m * iters / best)}}))
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=23)
+    ap.add_argument("--edge-factor", type=int, default=16)
+    ap.add_argument("--n", type=int, default=4, help="small size N (big = 4N)")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--input", default=None, help="reuse an existing edges.parquet")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    tmp = tempfile.mkdtemp(prefix="scaling_rmat_")
+
+    if args.input:
+        path = args.input
+    else:
+        # generate the shared input once (deterministic, seeded)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gunrock_spark.graph.generators import rmat_edges
+
+        arr = rmat_edges(args.scale, args.edge_factor, seed=42)
+        path = os.path.join(tmp, "edges.parquet")
+        pq.write_table(
+            pa.table({"src": arr[:, 0], "dst": arr[:, 1]}), path, row_group_size=1 << 20
+        )
+        print(
+            f"# R-MAT scale={args.scale} ef={args.edge_factor}: {len(arr):,} raw edges -> {path}",
+            file=sys.stderr,
+        )
+
+    runner = RUNNER.format(repo=repo)
+    script = os.path.join(tmp, "runner.py")
+    with open(script, "w") as f:
+        f.write(runner)
+
+    results = {}
+    for cpus in (args.n, 4 * args.n):
+        out = subprocess.run(
+            [sys.executable, script, str(cpus), path, str(args.iters)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"# local[{cpus}]: {line}", file=sys.stderr)
+
+    small, big = results[args.n], results[4 * args.n]
+    eff = (big["teps"] / small["teps"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_N_to_4N",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "n_cpus": args.n,
+                "teps_n": small["teps"],
+                "teps_4n": big["teps"],
+                "sec_n": small["sec"],
+                "sec_4n": big["sec"],
+                "edges": small["edges"],
+                "iterations": args.iters,
+                "rmat_scale": args.scale,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
