@@ -802,6 +802,20 @@ def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window rollup of the events stream table —
+    the batch shape of the streaming windowed aggregation
+    (gunrock_spark/streaming handles the incremental variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -842,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_top5": _q_ann_topk,
         "embedding_near_dups": _q_embed_near_dup,
+        "events_hourly": _q_events_hourly,
     }
 
 
@@ -876,4 +891,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "ann_cosine_top5": _ann_topk_sql(),
         "embedding_near_dups": _embed_near_dup_sql(),
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
     }

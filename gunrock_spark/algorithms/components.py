@@ -50,7 +50,7 @@ def connected_components(
     start_iter, prior_metrics = 0, None
     if checkpoint_dir is not None:
         checkpointer = CheckpointManager(
-            checkpoint_dir, config={"algorithm": "connected_components", "max_iter": max_iter}
+            checkpoint_dir, config={"algorithm": "connected_components"}
         )
         if resume:
             loaded = checkpointer.load_latest(spark)

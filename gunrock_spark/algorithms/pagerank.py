@@ -96,11 +96,13 @@ def pagerank(
     if checkpoint_dir is not None:
         checkpointer = CheckpointManager(
             checkpoint_dir,
+            # max_iter deliberately EXCLUDED: it's an operational
+            # limit, not semantics — resuming a killed run with a
+            # higher budget must be allowed (kill/extend workflow).
             config={
                 "algorithm": "pagerank",
                 "delta": delta,
                 "threshold": threshold,
-                "max_iter": max_iter,
                 "normalized": normalized,
                 "compensate": compensate,
                 "src": src,

@@ -85,6 +85,7 @@ def iterate(
             state=state, iterations=i, converged=True, metrics=metrics_log, elapsed_sec=0.0
         )
     prev_state: DataFrame | None = None
+    last_saved: int | None = None
     while i < max_iter:
         it_t0 = time.monotonic()
         new_state, metrics = step(state, i)
@@ -103,6 +104,7 @@ def iterate(
         i += 1
         if checkpointer is not None and (i % checkpoint_interval == 0):
             new_state = checkpointer.save(new_state, i, metrics_log)
+            last_saved = i
         if prev_state is not None:
             try:
                 prev_state.unpersist()
@@ -112,7 +114,9 @@ def iterate(
         if stop(metrics):
             converged = True
             break
-    if checkpointer is not None and not (i % checkpoint_interval == 0 and converged):
+    # tail save — but never re-save an iteration already on disk
+    # (self-overwrite while reading from the same snapshot corrupts it)
+    if checkpointer is not None and last_saved != i:
         state = checkpointer.save(state, i, metrics_log)
     return IterationResult(
         state=state,

@@ -1,0 +1,88 @@
+"""Skew hardening — explicit salting + degree-aware repartitioning.
+
+The reference treats power-law degree skew as a first-class design
+concern (TWC degree-tiered kernels, oprtr/edge_map_forward/cta.cuh:
+383,499,602; LB merge-path, edge_map_partitioned/kernel.cuh; the
+degree histogram diagnostic, csr.cuh:707-751). Spark's map-side
+partial aggregation already absorbs most aggregation skew, but two
+explicit tools remain necessary at 100 TB (north rule: "explicit
+salting and degree-aware repartitioning"):
+
+- ``salted_sum``: two-phase aggregation — partial sums keyed on
+  (key, salt), final sum on key. Use when a single reducer key (a
+  mega-popular url) would otherwise receive a partition-sized bucket
+  in the FINAL aggregation (map-side combine can't help when one
+  key's partials alone exceed a reducer).
+- ``hot_keys``: pick the salting candidates from the degree table —
+  the engine's version of reading the reference's degree histogram.
+- ``repartition_by_degree``: split edges so hot-dst edge blocks
+  spread over ``salt_factor`` partitions instead of hashing to one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_factor: int = 16,
+    salt_on: Column | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Two-phase sum of ``value`` by ``key``: partial by (key, salt),
+    final by key. Semantically identical to
+    ``df.groupBy(key).agg(sum(value))``; physically, the hot key's
+    rows fan out over ``salt_factor`` reducers in phase 1 and only
+    ``salt_factor`` partial rows meet in phase 2.
+
+    ``salt_on``: expression the salt is derived from (default: a
+    stable hash of the whole row's value column position via
+    spark_partition_id — cheap, uniform within partitions).
+    """
+    out = out or f"sum_{value}"
+    salt = (
+        F.pmod(salt_on, F.lit(salt_factor))
+        if salt_on is not None
+        else F.pmod(F.spark_partition_id(), F.lit(salt_factor))
+    )
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+
+
+def hot_keys(degrees: DataFrame, degree_col: str = "in_degree", threshold: int | None = None) -> DataFrame:
+    """DataFrame[v] of vertices whose degree exceeds ``threshold``
+    (default: 16x the mean — the knee the reference's log-scale
+    histogram makes visible)."""
+    if threshold is None:
+        mean = degrees.agg(F.avg(degree_col)).collect()[0][0] or 0.0
+        threshold = int(16 * mean) + 1
+    return degrees.where(F.col(degree_col) >= threshold).select("v")
+
+
+def repartition_by_degree(
+    edges: DataFrame,
+    degrees: DataFrame,
+    num_partitions: int,
+    salt_factor: int = 16,
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """Repartition edges by (dst, salt-for-hot-dsts): edges into a
+    hot dst spread over ``salt_factor`` partitions; everything else
+    hashes normally — the brp 'biased random' partitioner analog
+    (app/brp/brp_partitioner.cuh:12)."""
+    hot = hot_keys(degrees, "in_degree", hot_threshold).withColumn("_hot", F.lit(True))
+    e = edges.join(hot.withColumnRenamed("v", "dst"), "dst", "left")
+    salted = e.withColumn(
+        "_shard",
+        F.when(
+            F.col("_hot").isNotNull(), F.pmod(F.hash("src"), F.lit(salt_factor))
+        ).otherwise(F.lit(0)),
+    )
+    return salted.repartition(num_partitions, "dst", "_shard").drop("_hot", "_shard")
