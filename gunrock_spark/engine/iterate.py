@@ -43,11 +43,23 @@ class IterationResult:
 
     def manifest(self, **extra) -> dict:
         """Per-run JSON record (reference: info.cuh elapsed/m_teps/
-        search_depth contract, SURVEY.md §3.4)."""
+        search_depth contract, SURVEY.md §3.4). ``m_teps`` = total
+        edges queued across iterations / elapsed / 1e6 (the
+        reference's MTEPS, util/info.cuh:1297-1425), computed when
+        steps reported ``edges_traversed``."""
+        edges_queued = sum(
+            it.get("edges_traversed", 0) for it in self.metrics
+        )
         m = {
             "elapsed_sec": self.elapsed_sec,
             "search_depth": self.iterations,
             "converged": self.converged,
+            "edges_queued": edges_queued,
+            "m_teps": (
+                round(edges_queued / self.elapsed_sec / 1e6, 4)
+                if self.elapsed_sec > 0 and edges_queued
+                else None
+            ),
             "per_iteration": self.metrics,
         }
         m.update(extra)

@@ -1,3 +1,15 @@
 from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.io import (
+    load_edge_table,
+    read_mtx,
+    save_edge_table,
+    write_mtx,
+)
 
-__all__ = ["EdgeTable"]
+__all__ = [
+    "EdgeTable",
+    "read_mtx",
+    "write_mtx",
+    "save_edge_table",
+    "load_edge_table",
+]

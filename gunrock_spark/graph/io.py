@@ -1,0 +1,144 @@
+"""Graph I/O — Matrix Market ingest/export + EdgeTable snapshots.
+
+Mirrors the reference's graphio surface (SURVEY.md §1.6):
+
+- ``read_mtx`` ⇔ ``ReadMarketStream`` (gunrock/graphio/market.cuh:
+  192-461): 1-based COO text; ``%%MatrixMarket ... symmetric``
+  emits both directions (market.cuh:241-242,413-421); ``skew``
+  negates the reverse value (market.cuh:206,243,421); missing edge
+  values on a weighted read are filled deterministically with
+  ``h60(src:dst) % 64`` — the reproducible analog of the reference's
+  seeded ``rand() % 64`` (market.cuh:363).
+- ``write_mtx`` ⇔ ``Csr::WriteToMtxFile`` (gunrock/csr.cuh:365-401).
+- ``save_edge_table``/``load_edge_table`` ⇔ the binary CSR snapshot
+  cache (write gunrock/csr.cuh:244-266, read :412-451): parse/clean
+  once, reload partitioned+sorted without re-cleaning.
+
+The .mtx text parse runs through Spark's distributed text reader —
+comment/header lines are filtered per-partition, so a 100 GB .mtx
+parses in parallel (the reference streams it single-threaded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gunrock_spark.functions.hashing import h60
+from gunrock_spark.graph.edge_table import EdgeTable
+
+
+def read_mtx(
+    spark: SparkSession,
+    path: str,
+    weighted: bool | None = None,
+    num_partitions: int | None = None,
+) -> EdgeTable:
+    """Parse a Matrix Market coordinate file into a cleaned EdgeTable.
+
+    ``weighted=None`` auto-detects from the header (``pattern`` ⇒
+    unweighted). Vertex ids are converted to 0-based longs."""
+    header = spark.read.text(path).limit(1).collect()[0][0].lower()
+    has_banner = header.startswith("%%matrixmarket")
+    # headerless files (the reference's dataset/small/test_*.mtx ship
+    # without a banner) are general; weight auto-detect from the body
+    symmetric = has_banner and ("symmetric" in header or "skew" in header)
+    skew = has_banner and "skew" in header
+
+    lines = spark.read.text(path).where(
+        ~F.col("value").startswith("%") & (F.trim("value") != "")
+    )
+    if weighted is None:
+        if has_banner:
+            weighted = "pattern" not in header
+        else:
+            sample = lines.limit(2).collect()
+            weighted = len(sample) > 1 and len(sample[1][0].split()) >= 3
+    # first non-comment line is the dims line "rows cols nnz" — drop
+    # it by excluding the unique line with 3 fields equal to the dims.
+    # Robust approach: zipWithIndex on the filtered lines.
+    indexed = lines.rdd.zipWithIndex().toDF(["row", "idx"])
+    body = indexed.where(F.col("idx") > 0).select(F.col("row.value").alias("value"))
+    parts = F.split(F.trim(F.regexp_replace("value", r"\s+", " ")), " ")
+    parsed = body.select(
+        (parts.getItem(0).cast("long") - 1).alias("src"),
+        (parts.getItem(1).cast("long") - 1).alias("dst"),
+        F.get(parts, 2).cast("double").alias("weight"),  # NULL when absent
+    )
+    if weighted:
+        # fill missing values deterministically (reference: rand()%64
+        # under a fixed seed, market.cuh:363)
+        fill = (
+            h60(F.concat_ws(":", F.col("src"), F.col("dst"))) % 64
+        ).cast("double")
+        parsed = parsed.withColumn("weight", F.coalesce("weight", fill))
+        e = parsed.select("src", "dst", "weight")
+        if symmetric:
+            rev_w = F.when(F.lit(skew), -F.col("weight")).otherwise(F.col("weight"))
+            e = e.unionByName(
+                parsed.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    rev_w.alias("weight"),
+                )
+            )
+        return EdgeTable.from_df(e, weight="weight", num_partitions=num_partitions)
+    e = parsed.select("src", "dst")
+    if symmetric:
+        e = e.unionByName(parsed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return EdgeTable.from_df(e, num_partitions=num_partitions)
+
+
+def write_mtx(graph: EdgeTable, path: str) -> None:
+    """Export as 1-based Matrix Market coordinate text (general
+    symmetry — the cleaned table is directional), single file."""
+    n = graph.num_vertices()
+    m = graph.num_edges()
+    max_id = graph.vertices.agg(F.max("v")).collect()[0][0] or 0
+    dims = max_id + 1  # ids are dense-or-sparse longs; matrix dim = max+1
+    cols = [
+        (F.col("src") + 1).cast("string"),
+        (F.col("dst") + 1).cast("string"),
+    ]
+    if graph.weighted:
+        cols.append(F.col("weight").cast("string"))
+    body = graph.edges.select(F.concat_ws(" ", *cols).alias("line")).collect()
+    kind = "real" if graph.weighted else "pattern"
+    with open(path, "w") as f:
+        f.write(f"%%MatrixMarket matrix coordinate {kind} general\n")
+        f.write(f"{dims} {dims} {m}\n")
+        for r in body:
+            f.write(r["line"] + "\n")
+
+
+def save_edge_table(graph: EdgeTable, path: str) -> None:
+    """Snapshot the CLEANED edge table + metadata (the binary CSR
+    cache analog): reload skips the clean/dedup pass."""
+    graph.edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    graph.degrees.write.mode("overwrite").parquet(os.path.join(path, "degrees"))
+    meta = {
+        "weighted": graph.weighted,
+        "num_edges": graph.num_edges(),
+        "num_vertices": graph.num_vertices(),
+        "format_version": 1,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_edge_table(
+    spark: SparkSession, path: str, num_partitions: int | None = None
+) -> EdgeTable:
+    """Reload a snapshot written by :func:`save_edge_table` — already
+    clean, so no re-cleaning (csr.cuh:412-451 fast path)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    e = spark.read.parquet(os.path.join(path, "edges"))
+    if num_partitions:
+        e = e.repartition(num_partitions, "src").sortWithinPartitions("src")
+    g = EdgeTable(e.persist(), weighted=meta["weighted"])
+    g._num_edges = meta["num_edges"]
+    g._num_vertices = meta["num_vertices"]
+    g._degrees = spark.read.parquet(os.path.join(path, "degrees")).persist()
+    return g
