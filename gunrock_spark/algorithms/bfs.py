@@ -36,12 +36,23 @@ def bfs(
     source: int,
     max_depth: int = 10_000,
     mark_predecessors: bool = False,
+    broadcast_threshold: int = 1_000_000,
 ) -> IterationResult:
     """BFS from ``source``. Result state: (v long, depth long
     [, pred long]) — reached vertices only; source has depth 0 and
-    pred NULL."""
+    pred NULL.
+
+    Direction-optimization analog (reference: predicted-visits
+    push/pull switch, bfs_enactor.cuh:852-933): the driver KNOWS the
+    frontier size from the previous iteration's metrics, so while it
+    is under ``broadcast_threshold`` rows the frontier side is
+    broadcast (edges never shuffle — the push regime); past it the
+    join falls back to the shuffle plan (the pull/huge-frontier
+    regime, where scanning all edges is the right cost model).
+    """
     spark = graph.edges.sparkSession
     edges = graph.edges
+    frontier_size = {"rows": 1}
 
     state = spark.createDataFrame(
         [(int(source), 0, None)], schema="v long, depth long, pred long"
@@ -52,6 +63,8 @@ def bfs(
 
     def step(cur: DataFrame, i: int):
         frontier = cur.where(F.col("depth") == i).select("v")
+        if frontier_size["rows"] <= broadcast_threshold:
+            frontier = F.broadcast(frontier)
         cand = (
             frontier.join(edges, frontier["v"] == edges["src"])
             .groupBy(edges["dst"].alias("nv"))
@@ -70,8 +83,9 @@ def bfs(
         out = cur.unionByName(new)
 
         def metrics(materialized: DataFrame) -> dict:
-            frontier_size = materialized.where(F.col("depth") == i + 1).count()
-            return {"frontier": frontier_size, "edges_traversed": frontier_size}
+            n = materialized.where(F.col("depth") == i + 1).count()
+            frontier_size["rows"] = n  # feeds the next push/pull choice
+            return {"frontier": n, "edges_traversed": n}
 
         return out, metrics
 

@@ -209,3 +209,76 @@ def pages_table(
         rows, schema="url string, warc_ts timestamp, html binary, text string, lang string"
     )
     return df, true_edges
+
+
+# ---------------------------------------------------------------------------
+# Random geometric graph (reference: gunrock/graphio/rgg.cuh — default
+# threshold 0.55*sqrt(log n / n), rgg.cuh:123-126) and Watts-Strogatz
+# small world (gunrock/graphio/small_world.cuh:28-46, boost generator
+# with ring degree k and rewire probability p). Seeded numpy versions.
+# ---------------------------------------------------------------------------
+
+
+def rgg_edges(
+    n: int, threshold: float | None = None, seed: int = 42
+) -> np.ndarray:
+    """Random geometric graph on the unit square: an (undirected →
+    both directions) edge for every point pair within ``threshold``.
+    O(n) expected work via the reference's grid-bucket trick
+    (rgg.cuh:126,175-176), vectorized per bucket-pair."""
+    if threshold is None:
+        threshold = 0.55 * np.sqrt(np.log(n) / n)
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 2))
+    cell = np.floor(pts / threshold).astype(np.int64)
+    ncells = int(1.0 / threshold) + 2
+    cell_id = cell[:, 0] * ncells + cell[:, 1]
+    order = np.argsort(cell_id, kind="stable")
+    edges: list[tuple[int, int]] = []
+    # bucket index: vertex lists per cell
+    from collections import defaultdict
+
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for idx in order:
+        buckets[int(cell_id[idx])].append(int(idx))
+    thr2 = threshold * threshold
+    for cid, members in buckets.items():
+        cx, cy = divmod(cid, ncells)
+        cand: list[int] = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(buckets.get((cx + dx) * ncells + (cy + dy), ()))
+        if not cand:
+            continue
+        cand_arr = np.array(cand)
+        for u in members:
+            d = pts[cand_arr] - pts[u]
+            close = cand_arr[(d * d).sum(axis=1) <= thr2]
+            for v in close:
+                if v > u:
+                    edges.append((u, int(v)))
+                    edges.append((int(v), u))
+    return np.array(sorted(set(edges)), dtype=np.int64).reshape(-1, 2)
+
+
+def small_world_edges(
+    n: int, k: int = 4, p: float = 0.05, seed: int = 42
+) -> np.ndarray:
+    """Watts-Strogatz: ring lattice (each vertex → k nearest on each
+    side / 2 per the boost convention: k total neighbors clockwise),
+    each edge rewired to a random target with probability ``p``.
+    Undirected (both directions emitted)."""
+    rng = np.random.default_rng(seed)
+    edges = set()
+    half = max(k // 2, 1)
+    for u in range(n):
+        for j in range(1, half + 1):
+            v = (u + j) % n
+            if rng.random() < p:
+                v = int(rng.integers(0, n))
+                while v == u:
+                    v = int(rng.integers(0, n))
+            if u != v:
+                edges.add((u, v))
+                edges.add((v, u))
+    return np.array(sorted(edges), dtype=np.int64).reshape(-1, 2)

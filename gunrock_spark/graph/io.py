@@ -142,3 +142,28 @@ def load_edge_table(
     g._num_vertices = meta["num_vertices"]
     g._degrees = spark.read.parquet(os.path.join(path, "degrees")).persist()
     return g
+
+
+def write_ligra_adj(graph: EdgeTable, path: str) -> None:
+    """Export as a Ligra AdjacencyGraph text file (the reference's
+    Csr::WriteToLigraFile, gunrock/csr.cuh:333-363): header, n, m,
+    n row-offsets, m column indices. Collects to the driver — an
+    export utility for graphs that fit there (the reference's writer
+    is likewise single-stream)."""
+    rows = graph.edges.select("src", "dst").orderBy("src", "dst").collect()
+    n = (graph.vertices.agg(F.max("v")).collect()[0][0] or 0) + 1
+    m = len(rows)
+    offsets = [0] * (n + 1)
+    cols = []
+    for r in rows:
+        offsets[r["src"] + 1] += 1
+        cols.append(r["dst"])
+    for i in range(1, n + 1):
+        offsets[i] += offsets[i - 1]
+    with open(path, "w") as f:
+        f.write("AdjacencyGraph\n")
+        f.write(f"{n}\n{m}\n")
+        for i in range(n):
+            f.write(f"{offsets[i]}\n")
+        for c in cols:
+            f.write(f"{c}\n")

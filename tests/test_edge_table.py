@@ -41,3 +41,31 @@ def test_degree_histogram(spark):
     hist = {r["log2_degree"]: r["n_vertices"] for r in g.degree_histogram().collect()}
     # out-degrees: 2,1,3,2 -> log2 floor: 1,0,1,1
     assert hist == {0: 1, 1: 3}
+
+
+def test_rgg_and_small_world_generators(spark):
+    """Seeded RGG + Watts-Strogatz (reference graphio parity,
+    rgg.cuh:123-126 / small_world.cuh:28-46): deterministic,
+    symmetric, self-loop-free; CC over RGG is mostly-connected at the
+    default threshold."""
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import (
+        edges_df,
+        rgg_edges,
+        small_world_edges,
+    )
+
+    r = rgg_edges(300, seed=3)
+    assert (r == rgg_edges(300, seed=3)).all()
+    assert all(s != d for s, d in r)
+    pairs = {(int(s), int(d)) for s, d in r}
+    assert all((d, s) in pairs for s, d in pairs)  # symmetric
+
+    sw = small_world_edges(100, k=4, p=0.1, seed=3)
+    swp = {(int(s), int(d)) for s, d in sw}
+    assert all((d, s) in swp for s, d in swp)
+    g = EdgeTable.from_df(edges_df(spark, sorted(swp)))
+    res = connected_components(g)
+    n_comp = res.state.select("label").distinct().count()
+    assert n_comp == 1  # ring lattice stays connected under rewiring

@@ -87,3 +87,26 @@ def test_snapshot_save_load(spark, tmp_path):
     da = {r["v"]: (r["out_degree"], r["in_degree"]) for r in g.degrees.collect()}
     db = {r["v"]: (r["out_degree"], r["in_degree"]) for r in g2.degrees.collect()}
     assert da == db
+
+
+def test_write_ligra_adj(spark, tmp_path):
+    from gunrock_spark.graph.io import write_ligra_adj
+
+    g = EdgeTable.from_df(edges_df(spark, G_PR4))
+    p = tmp_path / "g.adj"
+    write_ligra_adj(g, str(p))
+    lines = p.read_text().splitlines()
+    assert lines[0] == "AdjacencyGraph"
+    n, m = int(lines[1]), int(lines[2])
+    assert n == 4 and m == 8
+    offsets = [int(x) for x in lines[3 : 3 + n]]
+    cols = [int(x) for x in lines[3 + n :]]
+    assert len(cols) == m and offsets[0] == 0
+    # reconstruct edge set from CSR text
+    offsets.append(m)
+    got = {
+        (v, cols[e])
+        for v in range(n)
+        for e in range(offsets[v], offsets[v + 1])
+    }
+    assert got == set(G_PR4)
