@@ -24,7 +24,9 @@ from gunrock_spark.algorithms.bfs import bfs
 from gunrock_spark.algorithms.components import component_sizes, connected_components
 from gunrock_spark.algorithms.hits import hits
 from gunrock_spark.algorithms.label_propagation import label_propagation
+from gunrock_spark.algorithms.modularity import modularity
 from gunrock_spark.algorithms.pagerank import pagerank, ranked
+from gunrock_spark.algorithms.subgraph_match import subgraph_match
 from gunrock_spark.algorithms.salsa import salsa
 from gunrock_spark.algorithms.sssp import sssp
 from gunrock_spark.algorithms.triangles import (
@@ -273,6 +275,124 @@ p AS (
 )
 SELECT d.v, d.depth, CASE WHEN d.depth = 0 THEN NULL ELSE p.pred END AS pred
 FROM d LEFT JOIN p ON p.v = d.v"""
+    )
+
+
+def _bc_sql(k: int = BFS_DEPTH_CAP) -> str:
+    """Exact Brandes single-source BC: recursive-CTE BFS depths, then
+    fixed-k unrolled recurrences for sigma (path counts, converge
+    top-down after max_depth rounds) and delta (dependencies, converge
+    bottom-up) — k = BFS_DEPTH_CAP bounds the depth, so both fixpoints
+    are reached. Mirrors the engine's forward/backward level passes
+    (gunrock_spark/algorithms/bc.py; bc_functor.cuh:37-96,168-239)."""
+    body = [
+        "d AS MATERIALIZED (SELECT v, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY v)",
+        "s0 AS (SELECT v, depth, CASE WHEN depth = 0 THEN 1.0 ELSE 0.0 END AS sigma FROM d)",
+    ]
+    for i in range(1, k + 1):
+        body.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT c.v, c.depth,
+         CASE WHEN c.depth = 0 THEN 1.0 ELSE COALESCE(m.s, 0.0) END AS sigma
+  FROM s{i - 1} c LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.sigma) AS s
+    FROM edges e
+    JOIN s{i - 1} p ON p.v = e.src
+    JOIN s{i - 1} q ON q.v = e.dst AND q.depth = p.depth + 1
+    GROUP BY e.dst
+  ) m ON m.v = c.v
+)"""
+        )
+    body.append(
+        f"t0 AS (SELECT v, depth, sigma, 0.0 AS delta FROM s{k})"
+    )
+    for i in range(1, k + 1):
+        body.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT c.v, c.depth, c.sigma, c.sigma * COALESCE(m.r, 0.0) AS delta
+  FROM t{i - 1} c LEFT JOIN (
+    SELECT e.src AS v, SUM((1.0 + ch.delta) / ch.sigma) AS r
+    FROM edges e
+    JOIN t{i - 1} ch ON ch.v = e.dst
+    JOIN t{i - 1} par ON par.v = e.src AND par.depth = ch.depth - 1
+    GROUP BY e.src
+  ) m ON m.v = c.v
+)"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + f""",
+srcv AS (SELECT MIN(v) AS s FROM verts),
+walk(v, depth) AS (
+  SELECT s, 0 FROM srcv
+  UNION
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.depth < {k}
+),
+"""
+        + ",\n".join(body)
+        + f"""
+SELECT uverts.v, ROUND(COALESCE(t.delta, 0.0), 6) AS bc
+FROM (SELECT DISTINCT v FROM verts) uverts LEFT JOIN (
+  SELECT v, delta FROM t{k} WHERE v <> (SELECT s FROM srcv)
+) t ON t.v = uverts.v"""
+    )
+
+
+def _modularity_sql(k: int = LP_MODE_ITERS) -> str:
+    """Modularity of the k-round mode-LP community assignment —
+    Q = sum over same-community edges (2m - k_src*k_dst) / (4 m^2),
+    the reference's documented equation (modularity.cuh:50-55) with
+    k_i = out-degree (modularity.cuh:54)."""
+    lp_body = _lp_mode_sql(k)
+    # reuse the LP CTE chain, swap the final SELECT for the Q formula
+    prefix = lp_body.rsplit("\nSELECT", 1)[0]
+    return (
+        prefix
+        + f""",
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM edges),
+outd AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS k FROM edges GROUP BY src),
+same AS (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN l{k} cs ON cs.v = e.src
+  JOIN l{k} cd ON cd.v = e.dst
+  WHERE cs.label = cd.label
+),
+q AS (
+  SELECT COALESCE(SUM(2.0 * (SELECT m FROM m) - ks.k * kd.k), 0.0) AS s
+  FROM same
+  JOIN outd ks ON ks.v = same.src
+  JOIN outd kd ON kd.v = same.dst
+)
+SELECT ROUND(q.s / (4.0 * m.m * m.m), 6) AS modularity FROM q, m"""
+    )
+
+
+# directed "diamond" pattern: u0->u1, u0->u2, u1->u3, u2->u3
+SM_PATTERN = [(0, 1), (0, 2), (1, 3), (2, 3)]
+
+
+def _sm_diamond_sql() -> str:
+    """Vertex-injective embeddings of the diamond pattern, grouped by
+    the apex u0 — the join-chain semantics of util/join.cuh (shared
+    query vertices equal, all matched vertices pairwise distinct)."""
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+emb AS (
+  SELECT e0.src AS u0, e0.dst AS u1, e1.dst AS u2, e3.dst AS u3
+  FROM edges e0
+  JOIN edges e1 ON e1.src = e0.src
+  JOIN edges e2 ON e2.src = e0.dst
+  JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  WHERE e0.src <> e0.dst AND e0.src <> e1.dst AND e0.src <> e2.dst
+    AND e0.dst <> e1.dst AND e0.dst <> e2.dst
+    AND e1.dst <> e2.dst
+)
+SELECT u0, CAST(COUNT(*) AS BIGINT) AS n_matches FROM emb GROUP BY u0"""
     )
 
 
@@ -745,7 +865,22 @@ def _q_wtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
-    return bc_single_source(g, source=_min_vertex(g))
+    res = bc_single_source(g, source=_min_vertex(g))
+    return res.select("v", F.round("bc", 6).alias("bc"))
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    comm = label_propagation(g, mode="mode", max_iter=LP_MODE_ITERS).state
+    return modularity(g, comm.select("v", "label")).select(
+        F.round("modularity", 6).alias("modularity")
+    )
+
+
+def _q_sm_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    emb = subgraph_match(g, SM_PATTERN)
+    return emb.groupBy("u0").agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_k4": _q_salsa,
         "wtf_refscores": _q_wtf,
         "bc_single_source": _q_bc,
+        "modularity_lp3": _q_modularity,
+        "sm_diamond": _q_sm_diamond,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -878,9 +1015,12 @@ def oracle_sql() -> dict[str, str]:
         "sssp_dist": _sssp_sql(),
         "hits_k5": _hits_sql(),
         "salsa_k4": _salsa_sql(),
-        # wtf_refscores / bc_single_source: multi-phase, data-dependent
-        # level structure — not SQL-expressible; rows-only here, exact
-        # numpy-oracle parity in tests/test_linkrank.py & test_traversal.py.
+        # wtf_refscores: multi-phase (PPR -> CoT -> SALSA) with
+        # data-dependent convergence — rows-only here, exact numpy
+        # parity in tests/test_linkrank.py.
+        "bc_single_source": _bc_sql(),
+        "modularity_lp3": _modularity_sql(),
+        "sm_diamond": _sm_diamond_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "token_stats": _token_stats_sql(),
         "quality_score": _quality_sql(),

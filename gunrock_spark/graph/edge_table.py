@@ -35,6 +35,7 @@ class EdgeTable:
         self._vertices: DataFrame | None = None
         self._num_edges: int | None = None
         self._num_vertices: int | None = None
+        self._symmetrized: "EdgeTable | None" = None
 
     # ------------------------------------------------------------------
     # construction
@@ -105,14 +106,29 @@ class EdgeTable:
         return EdgeTable(self.edges.select(*cols), weighted=self.weighted)
 
     def symmetrized(self) -> "EdgeTable":
-        """Union of both directions, deduped (undirected view)."""
+        """Union of both directions, deduped (undirected view).
+
+        Gets the same CSR-analog layout as ``from_df`` — hash-partition
+        by src + sort within partitions — so the per-iteration
+        state ⋈ edges sort-merge join in CC/LP reuses the cached
+        ordering instead of re-shuffling 2|E| rows every iteration.
+        Cached on the instance: CC and LP over the same graph share one
+        materialization (the reference likewise builds the undirected
+        view once, market.cuh:413-421)."""
+        if self._symmetrized is not None:
+            return self._symmetrized
         rev = self.reversed().edges
         e = self.edges.unionByName(rev)
         if self.weighted:
             e = e.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
         else:
             e = e.dropDuplicates(["src", "dst"])
-        return EdgeTable(e.persist(StorageLevel.MEMORY_AND_DISK), weighted=self.weighted)
+        n = self.edges.rdd.getNumPartitions()
+        e = e.repartition(n, "src").sortWithinPartitions("src")
+        self._symmetrized = EdgeTable(
+            e.persist(StorageLevel.MEMORY_AND_DISK), weighted=self.weighted
+        )
+        return self._symmetrized
 
     # ------------------------------------------------------------------
     # metadata (cached)
@@ -196,4 +212,7 @@ class EdgeTable:
         for df in (self._degrees, self._vertices):
             if df is not None:
                 df.unpersist()
+        if self._symmetrized is not None:
+            self._symmetrized.unpersist()
+            self._symmetrized = None
         self.edges.unpersist()
