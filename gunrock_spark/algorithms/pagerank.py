@@ -53,6 +53,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    impl: str = "join",
 ) -> IterationResult:
     """Run PageRank to convergence. Result state schema:
     (v long, out_degree long, rank double, prev double); final ranked
@@ -63,6 +64,16 @@ def pagerank(
     row when ``compensate`` is set (matching the reference, which
     reports n+1 nodes; we report the original vertices — callers
     wanting the sink use the raw loop).
+
+    ``impl`` selects the physical strategy for the advance+reduce:
+      - "join" (default): state ⋈ edges sort-merge/broadcast join +
+        JVM hash aggregate (whole-stage codegen end to end).
+      - "blocks": per-partition CSR-block gather-scatter via Arrow
+        ``applyInPandas`` (engine/csr_blocks.py) — the north-star's
+        pandas-UDF sparse gather-scatter path. CSR slices are written
+        to a block store once and cached inside the Python workers;
+        only the |V|-row state crosses Arrow per iteration. Same
+        math, same results (float64, ULP-order noise only).
     """
     spark = graph.edges.sparkSession
     edges = graph.edges
@@ -114,41 +125,87 @@ def pagerank(
             if loaded is not None:
                 state, start_iter, prior_metrics = loaded
 
+    block_store = None
+    block_store_tmp = None
+    if impl == "blocks":
+        import tempfile
+
+        from gunrock_spark.engine.csr_blocks import (
+            build_block_store,
+            gather_scatter_sums,
+        )
+
+        num_blocks = spark.sparkContext.defaultParallelism
+        # local mode: a tmp dir; on a cluster pass a shared path via
+        # SPARK_GRAFT_BLOCK_STORE (all executors must see it)
+        import os as _os
+
+        base = _os.environ.get("SPARK_GRAFT_BLOCK_STORE")
+        if base is None:
+            block_store_tmp = tempfile.mkdtemp(prefix="csr_blocks_")
+            base = block_store_tmp
+        block_store = build_block_store(edges, num_blocks, base)
+    elif impl != "join":
+        raise ValueError(f"unknown impl {impl!r} (expected 'join' or 'blocks')")
+
     def step(cur: DataFrame, i: int):
         # Contributions along real edges: rank/out_degree pushed to dst.
         pushers = cur.where((F.col("out_degree") > 0) & (F.col("v") != SINK))
-        contribs = (
-            pushers.join(edges, pushers["v"] == edges["src"])
-            .select(
-                edges["dst"].alias("dst"),
-                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+        if block_store is not None:
+            contrib_state = pushers.select(
+                "v", (F.col("rank") / F.col("out_degree")).alias("contrib")
             )
-        )
+            sums = gather_scatter_sums(block_store, contrib_state, "contrib", num_blocks)
+        else:
+            contribs = (
+                pushers.join(edges, pushers["v"] == edges["src"])
+                .select(
+                    edges["dst"].alias("dst"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+            )
+        sink_uniform = 0.0
         if has_dangling:
             # danglers' single edge -> sink: whole rank to SINK
             dangle = cur.where((F.col("out_degree") == 0) & (F.col("v") != SINK)).select(
                 F.lit(SINK).cast("long").alias("dst"), F.col("rank").alias("contrib")
             )
-            # sink -> every original vertex: uniform rank/n_real, added
-            # as a scalar column below (never materialized as edges)
-            sink_contrib = cur.where(F.col("v") == SINK).select(
-                (F.col("rank") / F.col("out_degree")).alias("sc")
-            )
-            contribs = contribs.unionByName(dangle)
-        sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("msg"))
+            # sink -> every original vertex: uniform rank/n_real. The
+            # sink row lives in the MATERIALIZED current state (the
+            # loop localCheckpoints every iteration), so read the one
+            # scalar driver-side and embed it as a literal — a
+            # crossJoin(broadcast(...)) here looks cheaper but its
+            # cardinality estimate compounds through the checkpointed
+            # plan every iteration until Catalyst's BigInteger size
+            # arithmetic overflows (~iteration 25).
+            sink_row = cur.where(F.col("v") == SINK).select("rank", "out_degree").collect()
+            if sink_row:
+                sink_uniform = sink_row[0]["rank"] / sink_row[0]["out_degree"]
+            if block_store is not None:
+                sums = (
+                    sums.unionByName(
+                        dangle.withColumnRenamed("contrib", "msg")
+                    )
+                    .groupBy("dst")
+                    .agg(F.sum("msg").alias("msg"))
+                )
+            else:
+                contribs = contribs.unionByName(dangle)
+        if block_store is None:
+            sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("msg"))
         new = (
             cur.select("v", "out_degree", F.col("rank").alias("prev"))
             .join(sums, F.col("v") == F.col("dst"), "left")
             .drop("dst")
         )
         if has_dangling:
-            # broadcast the single sink row; sink itself receives no
-            # uniform share (reference sink has no self-edge)
-            new = new.crossJoin(F.broadcast(sink_contrib)).withColumn(
+            # sink itself receives no uniform share (reference sink
+            # has no self-edge)
+            new = new.withColumn(
                 "msg",
                 F.coalesce("msg", F.lit(0.0))
-                + F.when(F.col("v") != SINK, F.col("sc")).otherwise(F.lit(0.0)),
-            ).drop("sc")
+                + F.when(F.col("v") != SINK, F.lit(sink_uniform)).otherwise(F.lit(0.0)),
+            )
         # personalized mode (src set): the whole (1-delta) reset mass
         # lands on src — wtf_functor.cuh:119's
         # (1-delta) * [src_node == node || src_node == -1] term.
@@ -182,6 +239,10 @@ def pagerank(
         start_iteration=start_iter,
         prior_metrics=prior_metrics,
     )
+    if block_store_tmp is not None:
+        import shutil
+
+        shutil.rmtree(block_store_tmp, ignore_errors=True)
     if has_dangling:
         result.state = result.state.where(F.col("v") != SINK)
     return result

@@ -1,0 +1,124 @@
+"""Per-partition CSR-block gather-scatter — the Arrow/pandas physical
+strategy for the advance+reduce pattern.
+
+The reference's advance kernels gather per-src state and scatter
+per-dst partial sums inside one GPU block over a CSR slice
+(gunrock/oprtr/edge_map_partitioned/kernel.cuh:514; fused reduce
+oprtr/advance/kernel_policy.cuh:81-98). The Spark analog:
+
+  1. BUILD (once per graph): assign every edge to a block
+     ``pmod(hash(src), P)``, write one Parquet file per block
+     (``partitionBy("block")``), sorted by src — the CSR slices.
+  2. PER ITERATION: group the |V|-row state by the same block hash
+     and ``applyInPandas``. Each call reads its CSR slice from the
+     block store — once: a worker-local cache keyed (path, block)
+     keeps the decoded numpy arrays across iterations (Spark reuses
+     Python workers by default), so after iteration 1 only the state
+     rows cross the Arrow boundary. This is the part a naive
+     cogroup(edges, state) design gets wrong: it re-transfers all
+     |E| edges JVM→Python every iteration (measured 3x slower than
+     the JVM join at 33M edges).
+  3. Inside a block: vectorized gather (C-speed hash merge of state
+     onto edge srcs) + scatter (per-dst partial sum) — no per-row
+     Python. The per-block partials (bounded by distinct dsts per
+     block) shuffle once for the final ``groupBy(dst).sum`` — the
+     map-side combine of the join strategy, made explicit.
+
+On a real cluster the block store must live on storage all executors
+see (HDFS/S3/alluxio — the same place the edge table already lives);
+in local mode any tmp dir works. ``pagerank(..., impl="blocks")``
+selects this path; results are identical to the join implementation
+up to float64 summation-order ULP noise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+# worker-local CSR-slice cache: (store_path, block) -> pandas DataFrame
+# [src, dst]. Lives for the life of the Python worker process; one
+# graph's block store is immutable once written (build-once contract),
+# so no invalidation is needed — a new build writes a new path.
+_BLOCK_CACHE: dict = {}
+
+
+def build_block_store(edges: DataFrame, num_blocks: int, path: str) -> str:
+    """Write the CSR-slice block store: one Parquet directory per
+    ``block = pmod(hash(src), num_blocks)``, each sorted by src.
+    Returns ``path``. Build once per graph (the COO→CSR analog,
+    gunrock/csr.cuh:534-697)."""
+    (
+        edges.select(
+            "src", "dst", F.pmod(F.hash("src"), F.lit(num_blocks)).alias("block")
+        )
+        .repartition(num_blocks, "block")
+        .sortWithinPartitions("src")
+        .write.mode("overwrite")
+        .partitionBy("block")
+        .parquet(path)
+    )
+    return path
+
+
+def _load_block(store_path: str, block: int) -> pd.DataFrame:
+    key = (store_path, block)
+    cached = _BLOCK_CACHE.get(key)
+    if cached is None:
+        import pyarrow.parquet as pq
+
+        block_dir = os.path.join(store_path, f"block={block}")
+        if os.path.isdir(block_dir):
+            cached = pq.read_table(block_dir, columns=["src", "dst"]).to_pandas()
+        else:
+            cached = pd.DataFrame(
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+            )
+        _BLOCK_CACHE[key] = cached
+    return cached
+
+
+def gather_scatter_sums(
+    store_path: str,
+    state: DataFrame,
+    value_col: str,
+    num_blocks: int,
+) -> DataFrame:
+    """One advance+partial-reduce over the CSR block store: for each
+    edge (src, dst) gather ``state[value_col]`` at src, partially sum
+    per (block, dst), then globally sum per dst.
+    ``state`` needs columns (v, ``value_col``). Returns
+    DataFrame[dst, msg]."""
+
+    def block_fn(key: tuple, sdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")}
+        )
+        if len(sdf) == 0:
+            return empty
+        edf = _load_block(store_path, int(key[0]))
+        if len(edf) == 0:
+            return empty
+        joined = edf.merge(
+            sdf.rename(columns={"v": "src"})[["src", value_col]],
+            on="src",
+            how="inner",
+        )
+        if len(joined) == 0:
+            return empty
+        partial = joined.groupby("dst", sort=False)[value_col].sum().reset_index()
+        partial.columns = ["dst", "msg"]
+        return partial
+
+    sb = state.select(
+        "v",
+        F.col(value_col).alias(value_col),
+        F.pmod(F.hash("v"), F.lit(num_blocks)).alias("block"),
+    )
+    partials = sb.groupby("block").applyInPandas(
+        block_fn, schema="dst long, msg double"
+    )
+    return partials.groupBy("dst").agg(F.sum("msg").alias("msg"))

@@ -80,3 +80,34 @@ def test_ranked_output_stable_order(spark):
     m = res.manifest(algorithm="pagerank")
     assert m["search_depth"] == res.iterations
     assert len(m["per_iteration"]) == res.iterations
+
+
+def test_pagerank_blocks_impl_matches_join_impl(spark):
+    """The CSR-block gather-scatter path (engine/csr_blocks.py) is an
+    alternative physical plan for the same logical advance — results
+    must match the join path to summation-order ULP noise."""
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(8, 8, seed=9)])
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    join_res = pagerank(g, threshold=0.0, max_iter=8, impl="join")
+    blocks_res = pagerank(g, threshold=0.0, max_iter=8, impl="blocks")
+    a = {r["v"]: r["rank"] for r in join_res.state.collect()}
+    b = {r["v"]: r["rank"] for r in blocks_res.state.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+
+def test_pagerank_blocks_impl_dangling_compensate(spark):
+    edge_list = [(0, 1), (1, 2), (2, 0), (0, 3), (2, 3)]  # 3 is dangling
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    join_res = pagerank(g, compensate=True, threshold=1e-9, max_iter=100, impl="join")
+    blocks_res = pagerank(g, compensate=True, threshold=1e-9, max_iter=100, impl="blocks")
+    a = {r["v"]: r["rank"] for r in join_res.state.collect()}
+    b = {r["v"]: r["rank"] for r in blocks_res.state.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+
+def test_pagerank_blocks_impl_unknown_rejected(spark):
+    g = EdgeTable.from_df(edges_df(spark, G_PR4))
+    with pytest.raises(ValueError):
+        pagerank(g, impl="nope")

@@ -94,3 +94,51 @@ def test_pagerank_iteration_single_shuffle_agg(spark):
     plan = _plan(sums)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "BatchEvalPython" not in plan
+
+
+def test_cc_iteration_reuses_symmetrized_layout(spark):
+    """The CC hash-min join must NOT re-shuffle or re-sort the cached
+    symmetrized edge table: its CSR-analog layout (hash by src + sort
+    within partitions) satisfies the SortMergeJoin's requirement, so
+    the edge side reads straight from InMemoryTableScan. Only the
+    |V|-row state side pays an exchange per iteration."""
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import edges_df, rmat_edges
+
+    g = EdgeTable.from_df(
+        edges_df(spark, [(int(s), int(d)) for s, d in rmat_edges(9, 8, seed=2)]),
+        num_partitions=8,
+    )
+    sym = g.symmetrized().edges
+    sym.count()  # materialize the cache, as the real loop does
+    state = (
+        g.vertices.select("v", F.col("v").alias("label"))
+        .repartition(8, "v")
+        .localCheckpoint(eager=True)
+    )
+    with_smj = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for k, v in with_smj.items():
+            spark.conf.set(k, v)
+        cand = (
+            state.join(sym, state["v"] == sym["src"])
+            .select(sym["dst"].alias("v"), F.col("label"))
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # operator tree above the cached relation: cut at InMemoryRelation
+    # (the cache-build subtree legitimately contains its own exchanges)
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    lines = above_cache.splitlines()
+    join_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    edge_side = "\n".join(lines[join_at:])
+    # edge side (after the join node, state side is the first child
+    # which carries its own Exchange+Sort): exactly one Exchange and
+    # one Sort total above the cache — both belong to the state side
+    assert edge_side.count("Exchange") == 1, plan
+    assert edge_side.count("Sort ") == 1, plan
+    assert "InMemoryTableScan" in edge_side, plan
