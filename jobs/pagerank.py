@@ -1,0 +1,150 @@
+"""spark-submit job driver — the engine's cluster entry point.
+
+The analog of the reference's CLI test binaries (tests/pr/test_pr.cu
+lifecycle, SURVEY.md §3.1): parse config, load/derive the edge table,
+run the primitive's convergence loop with checkpoint+metrics, write
+results + a run-manifest JSON (the reference's Info contract,
+util/info.cuh:594-615).
+
+Usage (cluster):
+  python scripts/make_pyfiles.py                 # -> dist/gunrock_spark.zip
+  spark-submit --py-files dist/gunrock_spark.zip \
+      jobs/pagerank.py --edges s3://bucket/edges.parquet \
+      --algorithm pagerank --checkpoint-dir s3://bucket/ckpt/run1 \
+      --resume --out s3://bucket/out/ranks
+
+Usage (local smoke):
+  spark-submit --master 'local[8]' --py-files dist/gunrock_spark.zip \
+      jobs/pagerank.py --pages-generate 256 --algorithm pagerank --out /tmp/pr
+
+Input modes (exactly one):
+  --edges PATH            parquet with (src long, dst long)
+  --pages PATH            parquet pages table (url, warc_ts, html,
+                          text, lang) -> link extraction -> edges
+  --pages-generate N      deterministic seeded pages table (testing)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--edges", help="parquet edge table (src long, dst long)")
+    src.add_argument("--pages", help="parquet pages table -> link extraction")
+    src.add_argument("--pages-generate", type=int, metavar="N",
+                     help="generate a deterministic N-page table (power of two)")
+    ap.add_argument("--algorithm", default="pagerank",
+                    choices=["pagerank", "cc", "lp", "tc"])
+    ap.add_argument("--delta", type=float, default=0.85)
+    ap.add_argument("--threshold", type=float, default=0.01)
+    ap.add_argument("--max-iter", type=int, default=50)
+    ap.add_argument("--compensate", action="store_true",
+                    help="dangling-vertex virtual sink (reference --compensate)")
+    ap.add_argument("--impl", default="join", choices=["join", "blocks"])
+    ap.add_argument("--num-partitions", type=int, default=None,
+                    help="edge-table partitions (default: defaultParallelism)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-interval", type=int, default=5)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--out", required=True, help="output parquet path")
+    ap.add_argument("--manifest", default=None,
+                    help="run-manifest JSON path (default: stdout)")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    # spark-submit provides master/conf; fall back to engine defaults
+    # (local[cpus]) when run as a bare python script.
+    from gunrock_spark.session import build_session
+
+    spark = SparkSession.getActiveSession() or build_session("gunrock-spark-job")
+
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    t_load = time.monotonic()
+    if args.edges:
+        edges_df = spark.read.parquet(args.edges)
+    elif args.pages or args.pages_generate:
+        from gunrock_spark.ingest.links import pages_to_edges, verify_extraction
+
+        if args.pages:
+            pages = spark.read.parquet(args.pages)
+        else:
+            from gunrock_spark.graph.generators import pages_table
+
+            pages, _ = pages_table(spark, n_pages=args.pages_generate, seed=args.seed)
+        bad = verify_extraction(pages)
+        if bad:
+            print(f"FATAL: {bad} pages fail byte-identical text extraction", file=sys.stderr)
+            return 2
+        edges_df, _ = pages_to_edges(pages)
+    n_parts = args.num_partitions or spark.sparkContext.defaultParallelism
+    graph = EdgeTable.from_df(edges_df, num_partitions=n_parts)
+    load_sec = time.monotonic() - t_load
+
+    if args.algorithm == "pagerank":
+        from gunrock_spark.algorithms.pagerank import pagerank, ranked
+
+        res = pagerank(
+            graph,
+            delta=args.delta,
+            threshold=args.threshold,
+            max_iter=args.max_iter,
+            compensate=args.compensate,
+            impl=args.impl,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_interval=args.checkpoint_interval,
+            resume=args.resume,
+        )
+        out_df = ranked(res.state)
+    elif args.algorithm == "cc":
+        from gunrock_spark.algorithms.components import connected_components
+
+        res = connected_components(
+            graph,
+            max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_interval=args.checkpoint_interval,
+            resume=args.resume,
+        )
+        out_df = res.state.select("v", "label")
+    elif args.algorithm == "lp":
+        from gunrock_spark.algorithms.label_propagation import label_propagation
+
+        res = label_propagation(graph, mode="mode", max_iter=args.max_iter)
+        out_df = res.state.select("v", "label")
+    else:  # tc
+        from gunrock_spark.algorithms.triangles import triangle_count_per_vertex
+
+        res = None
+        out_df = triangle_count_per_vertex(graph)
+
+    out_df.write.mode("overwrite").parquet(args.out)
+
+    manifest = {
+        "algorithm": args.algorithm,
+        "edges": graph.num_edges(),
+        "vertices": graph.num_vertices(),
+        "load_sec": round(load_sec, 3),
+        "impl": args.impl,
+        "out": args.out,
+    }
+    if res is not None:
+        manifest.update(res.manifest())
+    line = json.dumps(manifest)
+    if args.manifest:
+        with open(args.manifest, "w") as f:
+            f.write(line + "\n")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
