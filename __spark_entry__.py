@@ -116,6 +116,188 @@ def _pagerank_fixed_sql(k: int = PR_FIXED_ITERS, delta: float = 0.85) -> str:
     )
 
 
+PR_CONV_THRESHOLD = 0.001
+PR_CONV_MAX_ITER = 100
+
+
+def _pagerank_converged_sql(
+    k: int = PR_CONV_MAX_ITER,
+    delta: float = 0.85,
+    thr: float = PR_CONV_THRESHOLD,
+) -> str:
+    """Converged PR with the reference's per-vertex relative-change
+    stop (pr_functor.cuh:225, Stop_Condition pr_enactor.cuh:846-876):
+    unroll k rounds, track per-round active counts
+    (|new - prev| > thr * prev), and emit the FIRST round where no
+    vertex is active (or round k if never). Exactly the engine's
+    iterate() loop, re-stated as SQL."""
+    body = [
+        "r0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts)",
+        f"""r1 AS MATERIALIZED (
+  SELECT r.v,
+         (1.0 - {delta}) / (SELECT COUNT(*) FROM verts)
+           + {delta} * COALESCE(m.s, 0.0) AS rank,
+         r.rank AS prev
+  FROM r0 r LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.rank / d.outd) AS s
+    FROM edges e JOIN r0 p ON p.v = e.src JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = r.v
+)""",
+    ]
+    for i in range(2, k + 1):
+        body.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT r.v,
+         (1.0 - {delta}) / (SELECT COUNT(*) FROM verts)
+           + {delta} * COALESCE(m.s, 0.0) AS rank,
+         r.rank AS prev
+  FROM r{i - 1} r LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.rank / d.outd) AS s
+    FROM edges e JOIN r{i - 1} p ON p.v = e.src JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = r.v
+)"""
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, (SELECT COUNT(*) FROM r{i} WHERE ABS(rank - prev) > {thr} * prev) AS n"
+        for i in range(1, k + 1)
+    )
+    all_r = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, v, rank FROM r{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f""",
+rounds AS MATERIALIZED (
+{rounds}
+),
+stop AS (SELECT COALESCE(MIN(i), {k}) AS s FROM rounds WHERE n = 0),
+all_r AS (
+{all_r}
+)
+SELECT v, ROUND(rank, 6) AS rank FROM all_r WHERE i = (SELECT s FROM stop)"""
+    )
+
+
+WTF_ALPHA = 0.2
+
+
+def _wtf_sql(
+    alpha: float = WTF_ALPHA,
+    delta: float = 0.85,
+    thr: float = 0.01,
+    ppr_k: int = 50,
+    cot_size: int = 1000,
+) -> str:
+    """WTF (who-to-follow): personalized-PR unroll with per-vertex
+    stop, circle-of-trust top-k, then 1/alpha + 1 unrolled SALSA
+    relevance rounds with the reference's quirks (CoT refscores
+    re-zeroed between rounds; full out-degree in the scatter) —
+    mirroring algorithms/wtf.py / tests/wtf/test_wtf.cu:178-316."""
+    salsa_iter = int(1.0 / alpha) + 1
+    body = [
+        "srcv2 AS (SELECT MIN(v) AS s FROM verts)",
+        "p0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts)",
+    ]
+    for i in range(1, ppr_k + 1):
+        body.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT r.v,
+         CASE WHEN r.v = (SELECT s FROM srcv2) THEN {1.0 - delta} ELSE 0.0 END
+           + {delta} * COALESCE(m.s, 0.0) AS rank,
+         r.rank AS prev
+  FROM p{i - 1} r LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.rank / d.outd) AS s
+    FROM edges e JOIN p{i - 1} p ON p.v = e.src JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = r.v
+)"""
+        )
+    prounds = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, (SELECT COUNT(*) FROM p{i} WHERE ABS(rank - prev) > {thr} * prev) AS n"
+        for i in range(1, ppr_k + 1)
+    )
+    pall = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, v, rank FROM p{i}" for i in range(1, ppr_k + 1)
+    )
+    body.append(f"prounds AS MATERIALIZED (\n{prounds}\n)")
+    body.append(
+        f"pstop AS (SELECT COALESCE(MIN(i), {ppr_k}) AS s FROM prounds WHERE n = 0)"
+    )
+    body.append(f"pall AS (\n{pall}\n)")
+    body.append(
+        "ppr AS MATERIALIZED (SELECT v, rank FROM pall WHERE i = (SELECT s FROM pstop))"
+    )
+    body.append(
+        f"""cot AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY rank DESC, v ASC) AS rn FROM ppr
+  ) t WHERE rn <= {cot_size}
+)"""
+    )
+    body.append(
+        "ce AS MATERIALIZED (SELECT e.src AS u, e.dst AS x FROM edges e JOIN cot ON cot.v = e.src)"
+    )
+    body.append(
+        "ci AS MATERIALIZED (SELECT x, CAST(COUNT(*) AS DOUBLE) AS cot_indeg FROM ce GROUP BY x)"
+    )
+    body.append(
+        """k0 AS (
+  SELECT v, CASE WHEN v = (SELECT s FROM srcv2) THEN 1.0 ELSE 0.0 END AS rank
+  FROM cot
+)"""
+    )
+    body.append(
+        "f0 AS (SELECT CAST(NULL AS BIGINT) AS x, CAST(NULL AS DOUBLE) AS refscore WHERE FALSE)"
+    )
+    for t in range(1, salsa_iter + 1):
+        body.append(
+            f"""add{t} AS MATERIALIZED (
+  SELECT ce.x, SUM(k.rank / d.outd) AS a
+  FROM ce JOIN k{t - 1} k ON k.v = ce.u JOIN deg d ON d.v = ce.u
+  GROUP BY ce.x
+)"""
+        )
+        body.append(
+            f"""fr{t} AS MATERIALIZED (
+  SELECT COALESCE(f.x, a.x) AS x,
+         COALESCE(f.refscore, 0.0) + COALESCE(a.a, 0.0) AS refscore
+  FROM f{t - 1} f FULL OUTER JOIN add{t} a ON a.x = f.x
+)"""
+        )
+        body.append(
+            f"""k{t} AS MATERIALIZED (
+  SELECT c.v,
+         CASE WHEN c.v = (SELECT s FROM srcv2) THEN {alpha} ELSE 0.0 END
+           + COALESCE(g.g, 0.0) AS rank
+  FROM cot c LEFT JOIN (
+    SELECT ce.u AS v, SUM({1.0 - alpha} * f.refscore / ci.cot_indeg) AS g
+    FROM ce JOIN fr{t} f ON f.x = ce.x JOIN ci ON ci.x = ce.x
+    GROUP BY ce.u
+  ) g ON g.v = c.v
+)"""
+        )
+        if t < salsa_iter:
+            body.append(
+                f"f{t} AS MATERIALIZED (SELECT x, refscore FROM fr{t} WHERE x NOT IN (SELECT v FROM cot))"
+            )
+        else:
+            body.append(f"f{t} AS (SELECT x, refscore FROM fr{t})")
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"""
+SELECT verts.v, ROUND(COALESCE(f.refscore, 0.0), 6) AS refscore
+FROM verts LEFT JOIN f{salsa_iter} f ON f.x = verts.v"""
+    )
+
+
 def _cc_sql() -> str:
     """Converged CC labels: min vertex id reachable in the undirected
     graph — the fixpoint of the engine's hash-min loop."""
@@ -775,10 +957,12 @@ def _q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-vertex-threshold convergence (reference stop rule) — fixpoint
-    # iteration count is data-dependent, so this entry is rows-only.
-    res = pagerank(_graph(spark, sf_dir), threshold=0.001, max_iter=100)
-    return ranked(res.state)
+    # per-vertex-threshold convergence (reference stop rule); the
+    # oracle unrolls the same loop with in-SQL stop detection.
+    res = pagerank(
+        _graph(spark, sf_dir), threshold=PR_CONV_THRESHOLD, max_iter=PR_CONV_MAX_ITER
+    )
+    return ranked(res.state).select("v", F.round("rank", 6).alias("rank"))
 
 
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,7 +1044,8 @@ def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_wtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
-    return who_to_follow(g, src=_min_vertex(g), alpha=0.2)
+    out = who_to_follow(g, src=_min_vertex(g), alpha=WTF_ALPHA)
+    return out.select("v", F.round("refscore", 6).alias("refscore"))
 
 
 def _q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,9 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_fixed10": _pagerank_fixed_sql(),
-        # pagerank_converged: per-vertex-threshold stop is not
-        # SQL-expressible without data-dependent iteration count →
-        # rows-only check (documented in SURVEY.md §5).
+        "pagerank_converged": _pagerank_converged_sql(),
         "cc_labels": _cc_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_mode3": _lp_mode_sql(),
@@ -1015,9 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_dist": _sssp_sql(),
         "hits_k5": _hits_sql(),
         "salsa_k4": _salsa_sql(),
-        # wtf_refscores: multi-phase (PPR -> CoT -> SALSA) with
-        # data-dependent convergence — rows-only here, exact numpy
-        # parity in tests/test_linkrank.py.
+        "wtf_refscores": _wtf_sql(),
         "bc_single_source": _bc_sql(),
         "modularity_lp3": _modularity_sql(),
         "sm_diamond": _sm_diamond_sql(),

@@ -1,0 +1,75 @@
+"""The spark-submit job driver (jobs/pagerank.py) — the engine's CLI
+lifecycle (SURVEY.md §3.1 analog) driven in-process."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.generators import G_TOY7, edges_df
+
+
+@pytest.fixture()
+def edges_parquet(spark, tmp_path):
+    path = str(tmp_path / "edges.parquet")
+    edges_df(spark, G_TOY7).write.parquet(path)
+    return path
+
+
+def _run_job(args):
+    import importlib
+
+    mod = importlib.import_module("pagerank")
+    # jobs module resolves the active test session via getActiveSession
+    return mod.main(args)
+
+
+def test_job_pagerank_writes_ranked_output_and_manifest(spark, edges_parquet, tmp_path, capsys):
+    out = str(tmp_path / "pr_out")
+    manifest_path = str(tmp_path / "manifest.json")
+    rc = _run_job(
+        [
+            "--edges", edges_parquet,
+            "--algorithm", "pagerank",
+            "--threshold", "0.001",
+            "--max-iter", "50",
+            "--out", out,
+            "--manifest", manifest_path,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.columns == ["v", "rank"]
+    assert got.count() == 7
+    manifest = json.loads(open(manifest_path).read())
+    assert manifest["converged"] is True
+    assert manifest["algorithm"] == "pagerank"
+    assert manifest["edges"] > 0 and manifest["search_depth"] > 0
+    # manifest JSON is also printed as one line (driver contract)
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert line and json.loads(line[-1])["converged"] is True
+
+
+def test_job_cc_matches_library(spark, edges_parquet, tmp_path):
+    from gunrock_spark.algorithms.components import connected_components
+
+    out = str(tmp_path / "cc_out")
+    rc = _run_job(["--edges", edges_parquet, "--algorithm", "cc", "--out", out])
+    assert rc == 0
+    got = {r["v"]: r["label"] for r in spark.read.parquet(out).collect()}
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    want = {r["v"]: r["label"] for r in connected_components(g).state.collect()}
+    assert got == want
+
+
+def test_job_pages_generate_round_trips(spark, tmp_path):
+    out = str(tmp_path / "pr_pages")
+    rc = _run_job(
+        ["--pages-generate", "64", "--algorithm", "pagerank", "--out", out]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0
