@@ -82,3 +82,64 @@ def test_incremental_ingestion_two_batches(spark, tmp_path):
     # to EdgeTable — normalize both
     want_urls = {(a, b) for a, b in want_urls if a != b}
     assert got_urls == want_urls
+
+
+def test_windowed_rollup_watermark_semantics(spark, tmp_path):
+    """Closed windows emit once with final counts; events later than
+    the watermark are dropped (not double-counted) across restarts."""
+    import datetime as dt
+
+    from gunrock_spark.streaming.windows import run_rollup_stream, windowed_rollup
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(events_dir)
+
+    def ev(i, hour, minute, typ, val):
+        return (i, dt.datetime(2026, 1, 1, hour, minute), typ, float(val))
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    # batch 1: hours 0 and 1
+    b1 = [ev(1, 0, 10, "a", 1.0), ev(2, 0, 40, "a", 2.0), ev(3, 1, 5, "b", 3.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(events_dir)
+    run_rollup_stream(spark, events_dir, out_dir, ckpt, "1 hour", "2 hours")
+
+    # batch 2: hour 6 — after this batch the watermark is 04:01
+    # (watermarks advance at batch END; the next batch sees it)
+    b2 = [ev(4, 6, 1, "a", 10.0)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(events_dir)
+    run_rollup_stream(spark, events_dir, out_dir, ckpt, "1 hour", "2 hours")
+
+    # batch 3 runs under watermark 04:01: the hour-0 event is older
+    # than the watermark (must drop); the hour-5 event is within it
+    # (accepted); hours 0/1 close and emit their FINAL counts now
+    b3 = [
+        ev(5, 0, 50, "a", 100.0),  # too late — dropped
+        ev(6, 5, 59, "b", 20.0),   # late but within watermark
+        ev(7, 12, 0, "c", 0.5),    # advances watermark to 10:00
+    ]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(events_dir)
+    run_rollup_stream(spark, events_dir, out_dir, ckpt, "1 hour", "2 hours")
+
+    # batch 4 under watermark 10:00: hours 5 and 6 close and emit
+    b4 = [ev(8, 13, 0, "c", 0.5)]
+    spark.createDataFrame(b4, schema).coalesce(1).write.mode("append").parquet(events_dir)
+    run_rollup_stream(spark, events_dir, out_dir, ckpt, "1 hour", "2 hours")
+
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # hour 0 "a": the too-late event 6 is NOT counted
+    assert got[(0, "a")] == (2, 3.0)
+    assert got[(1, "b")] == (1, 3.0)
+    assert got[(5, "b")] == (1, 20.0)
+    assert got[(6, "a")] == (1, 10.0)
+    # hour 12 not closed yet (watermark hasn't passed its end) — absent
+    assert (12, "c") not in got
+
+    # batch equivalence of the rollup shape (static input, same fn)
+    static = windowed_rollup(spark.createDataFrame(b1, schema))
+    rows = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in static.collect()}
+    assert rows == {(0, "a"): 2, (1, "b"): 1}
