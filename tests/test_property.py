@@ -1,0 +1,77 @@
+"""Property-based coverage (hypothesis) — the randomized-input net the
+reference gets from seeded R-MAT sweeps (SURVEY.md §5.6), applied to
+the invariants that must hold for EVERY edge list, not just fixtures.
+
+Spark jobs per example are expensive, so examples are few and small;
+the per-fixture and seeded-R-MAT tests carry the volume."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from gunrock_spark.algorithms.components import connected_components
+from gunrock_spark.algorithms.pagerank import pagerank
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.generators import edges_df
+from tests.oracles import clean_edges, connected_components_ref, pagerank_ref
+
+# small random directed multigraphs WITH self-loops and duplicates —
+# the cleaning contract's whole input domain
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(raw=edge_lists)
+@SLOW
+def test_cleaning_contract_matches_set_semantics(spark, raw):
+    """from_df == the reference's COO->CSR pass (csr.cuh:588): drop
+    self-loops, drop exact duplicates, keep everything else."""
+    g = EdgeTable.from_df(edges_df(spark, raw))
+    got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    want = {(s, d) for s, d in raw if s != d}
+    assert got == want
+
+
+@given(raw=edge_lists)
+@SLOW
+def test_cc_labels_match_union_find_oracle(spark, raw):
+    cleaned = clean_edges(raw)
+    if not cleaned:
+        return
+    g = EdgeTable.from_df(edges_df(spark, cleaned))
+    res = connected_components(g)
+    got = {r["v"]: r["label"] for r in res.state.collect()}
+    n = max(max(e) for e in cleaned) + 1
+    ref = connected_components_ref(cleaned, n=n)
+    # ref is indexed over 0..n-1; restrict to vertices present in the graph
+    assert got == {v: int(ref[v]) for v in got}
+
+
+@given(raw=edge_lists, iters=st.integers(1, 4))
+@SLOW
+def test_pagerank_fixed_iters_match_numpy(spark, raw, iters):
+    cleaned = clean_edges(raw)
+    if not cleaned:
+        return
+    g = EdgeTable.from_df(edges_df(spark, cleaned))
+    res = pagerank(g, threshold=0.0, max_iter=iters)
+    got = {r["v"]: r["rank"] for r in res.state.collect()}
+    # the engine's vertex universe is edge ENDPOINTS (n = |endpoints|);
+    # remap to a dense 0..n-1 space so the numpy ref sees the same n
+    vs = sorted({v for e in cleaned for v in e})
+    idx = {v: i for i, v in enumerate(vs)}
+    dense = [(idx[s], idx[d]) for s, d in cleaned]
+    # the CPU-reference port loops `while iteration <= max_iteration`
+    # (test_pr.cu), i.e. runs max_iteration+1 passes — align counts
+    ref = pagerank_ref(dense, n=len(vs), error=0.0, max_iteration=iters - 1)
+    assert set(got) == set(vs)
+    for v, rank in got.items():
+        assert rank == pytest.approx(float(ref[idx[v]]), abs=1e-9)
