@@ -31,10 +31,13 @@ from gunrock_spark.algorithms import (
     distances,
     hits,
     label_propagation,
+    modularity,
     pagerank,
     ranked,
     salsa,
     sssp,
+    subgraph_match,
+    subgraph_match_count,
     triangle_count,
     triangle_count_df,
     triangle_count_per_vertex,
@@ -65,4 +68,7 @@ __all__ = [
     "salsa",
     "who_to_follow",
     "degree_topk",
+    "modularity",
+    "subgraph_match",
+    "subgraph_match_count",
 ]

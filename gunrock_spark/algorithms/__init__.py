@@ -13,6 +13,11 @@ from gunrock_spark.algorithms.hits import hits
 from gunrock_spark.algorithms.salsa import salsa
 from gunrock_spark.algorithms.wtf import who_to_follow
 from gunrock_spark.algorithms.topk import degree_topk
+from gunrock_spark.algorithms.modularity import modularity
+from gunrock_spark.algorithms.subgraph_match import (
+    subgraph_match,
+    subgraph_match_count,
+)
 
 __all__ = [
     "pagerank",
@@ -32,4 +37,7 @@ __all__ = [
     "salsa",
     "who_to_follow",
     "degree_topk",
+    "modularity",
+    "subgraph_match",
+    "subgraph_match_count",
 ]
