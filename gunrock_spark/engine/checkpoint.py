@@ -7,6 +7,15 @@ JSON manifest (iteration number, config hash, per-iteration metrics
 lineage). A ``_LATEST`` pointer file is written atomically (tmp +
 rename) so a killed job resumes from the last complete snapshot.
 
+The checkpoint root may be any Hadoop-filesystem URI (hdfs://,
+s3a://, file:// or a bare local path): the state parquet always goes
+through Spark's Hadoop FS, and the manifest/pointer files use the
+same FileSystem API when the root carries a scheme (plain ``open``
+for bare local paths). Pointer-flip atomicity holds on POSIX and
+HDFS renames; on S3 the rename is copy+delete — still safe here
+because the pointer is written AFTER its manifest+state are complete,
+so the worst case is resuming from the previous snapshot.
+
 At 100 TB scale the state table is |V|-sized (orders of magnitude
 smaller than the edge table), so a per-iteration Parquet write is cheap
 relative to the per-iteration shuffle — and it doubles as the lineage
@@ -23,6 +32,51 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _is_remote(path: str) -> bool:
+    return "://" in path and not path.startswith("file://")
+
+
+class _HadoopFS:
+    """Thin py4j wrapper over org.apache.hadoop.fs.FileSystem for the
+    manifest/pointer small-file I/O (state parquet uses Spark's own
+    writers)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark._jvm
+        jpath = self._jvm.org.apache.hadoop.fs.Path(root)
+        self._fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str | None:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return None
+        stream = self._fs.open(p)
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return bytes(data).decode("utf-8")
+
+    def rename(self, src: str, dst: str) -> None:
+        dstp = self._p(dst)
+        if self._fs.exists(dstp):
+            self._fs.delete(dstp, False)
+        self._fs.rename(self._p(src), dstp)
+
+
 class CheckpointManager:
     def __init__(self, root: str, config: dict | None = None):
         self.root = root
@@ -30,23 +84,67 @@ class CheckpointManager:
         self.config_hash = hashlib.sha256(
             json.dumps(self.config, sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
-        os.makedirs(root, exist_ok=True)
+        self._remote = _is_remote(root)
+        if not self._remote:
+            os.makedirs(self._local(root), exist_ok=True)
+
+    @staticmethod
+    def _local(path: str) -> str:
+        return path[len("file://"):] if path.startswith("file://") else path
+
+    def _join(self, name: str) -> str:
+        return self.root.rstrip("/") + "/" + name
 
     # -- paths ---------------------------------------------------------
     def _state_path(self, iteration: int) -> str:
-        return os.path.join(self.root, f"state_iter_{iteration:06d}")
+        return self._join(f"state_iter_{iteration:06d}")
 
     def _manifest_path(self, iteration: int) -> str:
-        return os.path.join(self.root, f"manifest_iter_{iteration:06d}.json")
+        return self._join(f"manifest_iter_{iteration:06d}.json")
 
     @property
     def _latest_path(self) -> str:
-        return os.path.join(self.root, "_LATEST")
+        return self._join("_LATEST")
+
+    # -- small-file I/O (scheme-aware) ----------------------------------
+    def _write_text(self, spark: SparkSession, path: str, text: str) -> None:
+        if self._remote:
+            _HadoopFS(spark, self.root).write_text(path, text)
+        else:
+            with open(self._local(path), "w") as f:
+                f.write(text)
+
+    def _read_text(self, spark: SparkSession | None, path: str) -> str | None:
+        if self._remote:
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "reading a remote checkpoint manifest needs an active SparkSession"
+                )
+            return _HadoopFS(spark, self.root).read_text(path)
+        try:
+            with open(self._local(path)) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def _flip_pointer(self, spark: SparkSession, iteration: int) -> None:
+        tmp = self._latest_path + ".tmp"
+        if self._remote:
+            fs = _HadoopFS(spark, self.root)
+            fs.write_text(tmp, str(iteration))
+            fs.rename(tmp, self._latest_path)
+        else:
+            with open(self._local(tmp), "w") as f:
+                f.write(str(iteration))
+            os.replace(self._local(tmp), self._local(self._latest_path))
 
     # -- save / load ---------------------------------------------------
     def save(self, state: DataFrame, iteration: int, metrics: list[dict]) -> DataFrame:
         """Write state + manifest; returns the re-read (lineage-free)
         DataFrame so callers continue from the snapshot, not the plan."""
+        spark = state.sparkSession
         path = self._state_path(iteration)
         state.write.mode("overwrite").parquet(path)
         manifest = {
@@ -56,29 +154,23 @@ class CheckpointManager:
             "state_path": path,
             "metrics": metrics,
         }
-        with open(self._manifest_path(iteration), "w") as f:
-            json.dump(manifest, f, default=str)
-        tmp = self._latest_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(iteration))
-        os.replace(tmp, self._latest_path)  # atomic pointer flip
-        return state.sparkSession.read.parquet(path)
+        self._write_text(
+            spark, self._manifest_path(iteration), json.dumps(manifest, default=str)
+        )
+        self._flip_pointer(spark, iteration)
+        return spark.read.parquet(path)
 
-    def latest_iteration(self) -> int | None:
-        try:
-            with open(self._latest_path) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return None
+    def latest_iteration(self, spark: SparkSession | None = None) -> int | None:
+        text = self._read_text(spark, self._latest_path)
+        return int(text.strip()) if text is not None else None
 
     def load_latest(self, spark: SparkSession) -> tuple[DataFrame, int, list[dict]] | None:
         """Resume point: (state_df, iteration, metrics-so-far) or None.
         Refuses a snapshot written under a different config hash."""
-        it = self.latest_iteration()
+        it = self.latest_iteration(spark)
         if it is None:
             return None
-        with open(self._manifest_path(it)) as f:
-            manifest = json.load(f)
+        manifest = json.loads(self._read_text(spark, self._manifest_path(it)))
         if manifest["config_hash"] != self.config_hash:
             raise ValueError(
                 "checkpoint config mismatch: snapshot %s vs current %s"

@@ -19,8 +19,10 @@ Usage (local smoke):
 
 Input modes (exactly one):
   --edges PATH            parquet with (src long, dst long)
-  --pages PATH            parquet pages table (url, warc_ts, html,
-                          text, lang) -> link extraction -> edges
+  --pages SRC             pages table (url, warc_ts, html, text,
+                          lang) -> link extraction -> edges; SRC is a
+                          parquet path or an Iceberg/catalog table
+                          identifier (schema-validated either way)
   --pages-generate N      deterministic seeded pages table (testing)
 """
 
@@ -75,7 +77,11 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.ingest.links import pages_to_edges, verify_extraction
 
         if args.pages:
-            pages = spark.read.parquet(args.pages)
+            # Path -> parquet; bare identifier -> catalog table (the
+            # Iceberg route once spark.sql.catalog.* is configured).
+            from gunrock_spark.sources.pages import read_pages
+
+            pages = read_pages(spark, args.pages)
         else:
             from gunrock_spark.graph.generators import pages_table
 

@@ -32,8 +32,10 @@ sys.path.insert(0, {repo!r})
 from gunrock_spark.session import build_session
 from gunrock_spark.graph.edge_table import EdgeTable
 from gunrock_spark.algorithms.pagerank import pagerank
+from gunrock_spark.algorithms.components import connected_components
 
 cpus = int(sys.argv[1]); path = sys.argv[2]; iters = int(sys.argv[3])
+algo = sys.argv[4] if len(sys.argv) > 4 else "pagerank"
 os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
 os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
 # the cluster-scale plan: shuffle joins co-partitioned on the key (a
@@ -51,17 +53,24 @@ spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet(path)
 g = EdgeTable.from_df(edges, num_partitions=cpus)
 m = g.num_edges(); g.degrees.count()   # warm cache outside the timer
-pagerank(g, threshold=0.0, max_iter=1)  # JIT/codegen warmup, untimed
+def run(k):
+    if algo == "cc":
+        # CC touches 2|E| symmetrized edges per iteration
+        return connected_components(g, max_iter=k)
+    return pagerank(g, threshold=0.0, max_iter=k)
+
+edge_mult = 2 if algo == "cc" else 1
+run(1)                                  # JIT/codegen warmup, untimed
 best = None
 for _ in range(2):                      # best-of-2: squeeze out GC noise
     t0 = time.monotonic()
-    res = pagerank(g, threshold=0.0, max_iter=iters)
+    res = run(iters)
     res.state.select("v").limit(1).collect()
     dt = time.monotonic() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({{"cpus": cpus, "edges": m, "iters": iters,
                    "sec": round(best, 3),
-                   "teps": round(m * iters / best)}}))
+                   "teps": round(edge_mult * m * iters / best)}}))
 """
 
 
@@ -72,6 +81,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=4, help="small size N (big = 4N)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--input", default=None, help="reuse an existing edges.parquet")
+    ap.add_argument("--algorithm", default="pagerank", choices=["pagerank", "cc"])
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -104,7 +114,7 @@ def main() -> None:
     results = {}
     for cpus in (args.n, 4 * args.n):
         out = subprocess.run(
-            [sys.executable, script, str(cpus), path, str(args.iters)],
+            [sys.executable, script, str(cpus), path, str(args.iters), args.algorithm],
             capture_output=True,
             text=True,
             timeout=1800,
@@ -129,6 +139,7 @@ def main() -> None:
                 "edges": small["edges"],
                 "iterations": args.iters,
                 "rmat_scale": args.scale,
+                "algorithm": args.algorithm,
             }
         )
     )

@@ -25,3 +25,36 @@ def test_pages_to_edge_table_pipeline(spark):
     g = EdgeTable.from_df(edges)
     # generator already drops self-loops and dedups per page
     assert g.num_edges() == len(set(true_edges))
+
+
+def test_read_write_pages_roundtrip_and_validation(spark, tmp_path):
+    from gunrock_spark.sources.pages import read_pages, write_pages
+
+    pages, _ = pages_table(spark, n_pages=32, edge_factor=4, seed=7)
+    path = str(tmp_path / "pages.parquet")
+    write_pages(pages, path)
+    back = read_pages(spark, path)
+    assert back.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert back.count() == 32
+    assert verify_extraction(back) == 0  # byte-identical through the roundtrip
+
+    # catalog-table route (the Iceberg path once a catalog is conf'd):
+    # a temp view stands in for the catalog entry — same spark.table call.
+    pages.createOrReplaceTempView("pages_view")
+    via_table = read_pages(spark, "pages_view")
+    assert via_table.count() == 32
+
+    # extra columns are pruned to the contract shape
+    import pyspark.sql.functions as F
+
+    wide = pages.withColumn("crawl_id", F.lit(3))
+    wide.createOrReplaceTempView("pages_wide")
+    assert read_pages(spark, "pages_wide").columns == list(back.columns)
+
+    # wrong schema fails fast with a clear message
+    import pytest as _pytest
+
+    bad = pages.drop("html")
+    bad.createOrReplaceTempView("pages_bad")
+    with _pytest.raises(ValueError, match="html"):
+        read_pages(spark, "pages_bad")
