@@ -54,6 +54,7 @@ def pagerank(
     checkpoint_interval: int = 5,
     resume: bool = False,
     impl: str = "join",
+    init_ranks: DataFrame | None = None,
 ) -> IterationResult:
     """Run PageRank to convergence. Result state schema:
     (v long, out_degree long, rank double, prev double); final ranked
@@ -74,6 +75,15 @@ def pagerank(
         to a block store once and cached inside the Python workers;
         only the |V|-row state crosses Arrow per iteration. Same
         math, same results (float64, ULP-order noise only).
+
+    ``init_ranks`` warm-starts the power iteration from a previous
+    run's ``(v, rank)`` table — the continuous-crawl workflow: after
+    an incremental ingest updates the edge table, restart from
+    yesterday's converged ranks and converge in a handful of
+    iterations instead of tens. For ``delta < 1`` the fixed point is
+    unique, so the warm start changes ONLY the iteration count, never
+    the converged values; vertices absent from ``init_ranks`` (newly
+    crawled pages) start at the cold-start init value.
     """
     spark = graph.edges.sparkSession
     edges = graph.edges
@@ -95,6 +105,18 @@ def pagerank(
     state = graph.degrees.select(
         "v", "out_degree", F.lit(float(init)).alias("rank")
     )
+    if init_ranks is not None:
+        warm = init_ranks.select(
+            F.col("v").alias("wv"), F.col("rank").alias("warm_rank")
+        )
+        state = (
+            state.join(warm, state["v"] == warm["wv"], "left")
+            .select(
+                "v",
+                "out_degree",
+                F.coalesce("warm_rank", F.lit(float(init))).alias("rank"),
+            )
+        )
     if has_dangling:
         sink = spark.createDataFrame(
             [(SINK, n_real, float(init))], schema="v long, out_degree long, rank double"

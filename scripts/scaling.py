@@ -37,7 +37,11 @@ from gunrock_spark.algorithms.components import connected_components
 cpus = int(sys.argv[1]); path = sys.argv[2]; iters = int(sys.argv[3])
 algo = sys.argv[4] if len(sys.argv) > 4 else "pagerank"
 os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
-os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+# Heap sized like a real cluster: each executor brings its own memory,
+# so total memory scales with core count (4 GiB/core, floor 32g —
+# conservative for the efficiency ratio: the N side gets MORE memory
+# per core than the 4N side). Override via SPARK_DRIVER_MEM.
+os.environ.setdefault("SPARK_DRIVER_MEM", f"{{max(32, 4 * cpus)}}g")
 # the cluster-scale plan: shuffle joins co-partitioned on the key (a
 # 10^12-vertex state table cannot be broadcast), shuffle partitions =
 # cores, AQE off (per-stage re-planning latency dominates these small
@@ -82,6 +86,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--input", default=None, help="reuse an existing edges.parquet")
     ap.add_argument("--algorithm", default="pagerank", choices=["pagerank", "cc"])
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-runner wall-clock cap, seconds")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -117,9 +123,18 @@ def main() -> None:
             [sys.executable, script, str(cpus), path, str(args.iters), args.algorithm],
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=args.timeout,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not json_lines:
+            print(
+                f"# runner local[{cpus}] failed (rc={out.returncode}); last stderr:",
+                file=sys.stderr,
+            )
+            for l in out.stderr.splitlines()[-30:]:
+                print(f"#   {l}", file=sys.stderr)
+            sys.exit(1)
+        line = json_lines[-1]
         results[cpus] = json.loads(line)
         print(f"# local[{cpus}]: {line}", file=sys.stderr)
 

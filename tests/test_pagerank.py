@@ -111,3 +111,32 @@ def test_pagerank_blocks_impl_unknown_rejected(spark):
     g = EdgeTable.from_df(edges_df(spark, G_PR4))
     with pytest.raises(ValueError):
         pagerank(g, impl="nope")
+
+
+def test_warm_start_same_fixed_point_fewer_iterations(spark):
+    """init_ranks warm start: unique fixed point => same converged
+    values; on an unchanged graph a warm start from converged ranks
+    stops immediately, and after an incremental edge update it
+    re-converges faster than cold."""
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    cold = pagerank(g, threshold=1e-7, max_iter=200)
+
+    # unchanged graph: already at the fixed point -> 1 iteration
+    rewarm = pagerank(
+        g, threshold=1e-7, max_iter=200, init_ranks=cold.state.select("v", "rank")
+    )
+    assert rewarm.iterations <= 2
+    got_cold = {r["v"]: r["rank"] for r in cold.state.collect()}
+    got_warm = {r["v"]: r["rank"] for r in rewarm.state.collect()}
+    assert all(abs(got_warm[v] - got_cold[v]) < 1e-6 for v in got_cold)
+
+    # incremental update: add edges, warm-start from the stale ranks
+    g2 = EdgeTable.from_df(edges_df(spark, G_TOY7 + [(0, 6), (6, 0)]))
+    cold2 = pagerank(g2, threshold=1e-9, max_iter=200)
+    warm2 = pagerank(
+        g2, threshold=1e-9, max_iter=200, init_ranks=cold.state.select("v", "rank")
+    )
+    c2 = {r["v"]: r["rank"] for r in cold2.state.collect()}
+    w2 = {r["v"]: r["rank"] for r in warm2.state.collect()}
+    assert all(abs(w2[v] - c2[v]) < 1e-6 for v in c2)
+    assert warm2.iterations <= cold2.iterations
