@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-interval", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init-ranks", default=None, metavar="PATH",
+                    help="warm-start pagerank from a previous run's "
+                         "(v, rank) parquet (e.g. the last crawl's --out)")
     ap.add_argument("--out", required=True, help="output parquet path")
     ap.add_argument("--manifest", default=None,
                     help="run-manifest JSON path (default: stdout)")
@@ -108,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_interval=args.checkpoint_interval,
             resume=args.resume,
+            init_ranks=(
+                spark.read.parquet(args.init_ranks).select("v", "rank")
+                if args.init_ranks
+                else None
+            ),
         )
         out_df = ranked(res.state)
     elif args.algorithm == "cc":

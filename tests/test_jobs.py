@@ -73,3 +73,24 @@ def test_job_pages_generate_round_trips(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(out).count() > 0
+
+
+def test_job_pagerank_warm_start_from_previous_out(spark, edges_parquet, tmp_path):
+    out1 = str(tmp_path / "pr_run1")
+    rc = _run_job(["--edges", edges_parquet, "--threshold", "1e-7",
+                   "--max-iter", "200", "--out", out1])
+    assert rc == 0
+    # second crawl warm-starts from the first run's ranked output
+    out2 = str(tmp_path / "pr_run2")
+    manifest_path = str(tmp_path / "m2.json")
+    rc = _run_job(["--edges", edges_parquet, "--threshold", "1e-7",
+                   "--max-iter", "200", "--init-ranks", out1,
+                   "--out", out2, "--manifest", manifest_path])
+    assert rc == 0
+    import json as _json
+
+    manifest = _json.loads(open(manifest_path).read())
+    assert manifest["search_depth"] <= 2  # already at the fixed point
+    r1 = {r["v"]: r["rank"] for r in spark.read.parquet(out1).collect()}
+    r2 = {r["v"]: r["rank"] for r in spark.read.parquet(out2).collect()}
+    assert all(abs(r1[v] - r2[v]) < 1e-6 for v in r1)
