@@ -36,15 +36,34 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    init_labels: DataFrame | None = None,
 ) -> IterationResult:
     """Weakly connected components. State: (v long, label long, prev long);
-    converged label = min vertex id in the component."""
+    converged label = min vertex id in the component.
+
+    ``init_labels`` warm-starts from a previous run's ``(v, label)``
+    table after an ADDITIVE graph update (new vertices/edges from an
+    incremental ingest): hash-min converges from any labeling that is
+    a per-vertex upper bound on the true component minimum, and old
+    labels stay upper bounds when edges are only added (merges can
+    only lower the minimum). Vertices absent from ``init_labels``
+    start at their own id. NOT valid after edge deletions — splits
+    would need labels to GROW, which hash-min cannot do; re-run cold.
+    """
     spark = graph.edges.sparkSession
     edges = graph.symmetrized().edges  # undirected view, both directions
 
-    state = graph.vertices.select(
-        "v", F.col("v").alias("label")
-    ).repartition(spark.sparkContext.defaultParallelism, "v").localCheckpoint(eager=True)
+    state = graph.vertices.select("v", F.col("v").alias("label"))
+    if init_labels is not None:
+        warm = init_labels.select(
+            F.col("v").alias("wv"), F.col("label").alias("warm_label")
+        )
+        state = state.join(warm, state["v"] == warm["wv"], "left").select(
+            "v", F.coalesce("warm_label", F.col("label")).alias("label")
+        )
+    state = state.repartition(
+        spark.sparkContext.defaultParallelism, "v"
+    ).localCheckpoint(eager=True)
 
     checkpointer = None
     start_iter, prior_metrics = 0, None

@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--init-ranks", default=None, metavar="PATH",
                     help="warm-start pagerank from a previous run's "
                          "(v, rank) parquet (e.g. the last crawl's --out)")
+    ap.add_argument("--init-labels", default=None, metavar="PATH",
+                    help="warm-start cc from a previous run's (v, label) "
+                         "parquet — valid after ADDITIVE updates only")
     ap.add_argument("--out", required=True, help="output parquet path")
     ap.add_argument("--manifest", default=None,
                     help="run-manifest JSON path (default: stdout)")
@@ -127,6 +130,11 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_interval=args.checkpoint_interval,
             resume=args.resume,
+            init_labels=(
+                spark.read.parquet(args.init_labels).select("v", "label")
+                if args.init_labels
+                else None
+            ),
         )
         out_df = res.state.select("v", "label")
     elif args.algorithm == "lp":

@@ -79,3 +79,32 @@ def test_label_propagation_mode_matches_oracle(spark):
     labels = {r["v"]: r["label"] for r in res.state.collect()}
     ref = label_propagation_mode_ref(G_TOY7, n=7, max_iter=4)
     assert labels == {v: int(ref[v]) for v in range(7)}
+
+
+def test_cc_warm_start_after_additive_update(spark):
+    """init_labels warm start after adding edges: same labels as a
+    cold run (upper-bound labeling converges to the same minimum),
+    converges at least as fast, and a no-op update stops in 1 round."""
+    g1 = EdgeTable.from_df(edges_df(spark, G_CC11))
+    run1 = connected_components(g1)
+
+    # unchanged graph -> already converged, one confirming round
+    again = connected_components(
+        g1, init_labels=run1.state.select("v", "label")
+    )
+    assert again.iterations == 1
+    assert {(r["v"], r["label"]) for r in again.state.select("v", "label").collect()} == {
+        (r["v"], r["label"]) for r in run1.state.select("v", "label").collect()
+    }
+
+    # additive update: bridge two components + a brand-new vertex
+    bridged = G_CC11 + [(0, 7), (20, 0)]
+    g2 = EdgeTable.from_df(edges_df(spark, bridged))
+    cold = connected_components(g2)
+    warm = connected_components(
+        g2, init_labels=run1.state.select("v", "label")
+    )
+    want = {(r["v"], r["label"]) for r in cold.state.select("v", "label").collect()}
+    got = {(r["v"], r["label"]) for r in warm.state.select("v", "label").collect()}
+    assert got == want
+    assert warm.iterations <= cold.iterations

@@ -94,3 +94,21 @@ def test_job_pagerank_warm_start_from_previous_out(spark, edges_parquet, tmp_pat
     r1 = {r["v"]: r["rank"] for r in spark.read.parquet(out1).collect()}
     r2 = {r["v"]: r["rank"] for r in spark.read.parquet(out2).collect()}
     assert all(abs(r1[v] - r2[v]) < 1e-6 for v in r1)
+
+
+def test_job_cc_warm_start_from_previous_labels(spark, edges_parquet, tmp_path):
+    out1 = str(tmp_path / "cc_run1")
+    rc = _run_job(["--edges", edges_parquet, "--algorithm", "cc", "--out", out1])
+    assert rc == 0
+    out2 = str(tmp_path / "cc_run2")
+    manifest_path = str(tmp_path / "mcc.json")
+    rc = _run_job(["--edges", edges_parquet, "--algorithm", "cc",
+                   "--init-labels", out1, "--out", out2,
+                   "--manifest", manifest_path])
+    assert rc == 0
+    import json as _json
+
+    assert _json.loads(open(manifest_path).read())["search_depth"] == 1
+    l1 = {(r["v"], r["label"]) for r in spark.read.parquet(out1).collect()}
+    l2 = {(r["v"], r["label"]) for r in spark.read.parquet(out2).collect()}
+    assert l1 == l2
