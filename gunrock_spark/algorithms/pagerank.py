@@ -79,11 +79,14 @@ def pagerank(
     ``init_ranks`` warm-starts the power iteration from a previous
     run's ``(v, rank)`` table — the continuous-crawl workflow: after
     an incremental ingest updates the edge table, restart from
-    yesterday's converged ranks and converge in a handful of
-    iterations instead of tens. For ``delta < 1`` the fixed point is
+    yesterday's converged ranks. For ``delta < 1`` the fixed point is
     unique, so the warm start changes ONLY the iteration count, never
     the converged values; vertices absent from ``init_ranks`` (newly
-    crawled pages) start at the cold-start init value.
+    crawled pages) start at the cold-start init value. The iteration
+    savings are large for small perturbations (unchanged graph: 1
+    round; few edges changed: a handful) and shrink as the update
+    grows — doubling the corpus moves the fixed point enough that the
+    stale vector is no better than uniform init.
     """
     spark = graph.edges.sparkSession
     edges = graph.edges

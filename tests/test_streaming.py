@@ -143,3 +143,53 @@ def test_windowed_rollup_watermark_semantics(spark, tmp_path):
     static = windowed_rollup(spark.createDataFrame(b1, schema))
     rows = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in static.collect()}
     assert rows == {(0, "a"): 2, (1, "b"): 1}
+
+
+def test_continuous_crawl_ingest_then_warm_start_rerank(spark, tmp_path):
+    """The full continuous-crawl loop: incremental ingest batch 1 →
+    PR + CC; batch 2 arrives (additive update) → warm-started PR/CC
+    on the grown graph match cold runs, in no more iterations."""
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.algorithms.pagerank import pagerank
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(pages_dir)
+    pages, _ = pages_table(spark, n_pages=64, seed=5)
+    split = "https://site00000.example/page/000032"
+
+    pages.where(f"url < '{split}'").coalesce(1).write.mode("append").parquet(pages_dir)
+    incremental_link_ingestion(spark, pages_dir, out_dir)
+    g1 = EdgeTable.from_df(current_edges(spark, out_dir))
+    pr1 = pagerank(g1, threshold=1e-7, max_iter=200)
+    cc1 = connected_components(g1)
+
+    pages.where(f"url >= '{split}'").coalesce(1).write.mode("append").parquet(pages_dir)
+    incremental_link_ingestion(spark, pages_dir, out_dir)
+    g2 = EdgeTable.from_df(current_edges(spark, out_dir))
+    assert g2.num_edges() > g1.num_edges()  # additive growth
+
+    cold_pr = pagerank(g2, threshold=1e-7, max_iter=200)
+    warm_pr = pagerank(
+        g2, threshold=1e-7, max_iter=200,
+        init_ranks=pr1.state.select("v", "rank"),
+    )
+    c = {r["v"]: r["rank"] for r in cold_pr.state.collect()}
+    w = {r["v"]: r["rank"] for r in warm_pr.state.collect()}
+    assert all(abs(w[v] - c[v]) < 1e-6 for v in c)
+    # No iteration-count claim here: doubling the corpus moves the
+    # fixed point far enough that the stale vector is no better than
+    # uniform (measured 71 vs 67). The warm-start win is for small
+    # perturbations (see test_warm_start_same_fixed_point_fewer_
+    # iterations); the invariant that ALWAYS holds is same values.
+    assert warm_pr.converged
+
+    cold_cc = connected_components(g2)
+    warm_cc = connected_components(
+        g2, init_labels=cc1.state.select("v", "label")
+    )
+    cl = {(r["v"], r["label"]) for r in cold_cc.state.select("v", "label").collect()}
+    wl = {(r["v"], r["label"]) for r in warm_cc.state.select("v", "label").collect()}
+    assert wl == cl
+    assert warm_cc.iterations <= cold_cc.iterations
