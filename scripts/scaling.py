@@ -95,6 +95,24 @@ def main() -> None:
 
     if args.input:
         path = args.input
+    elif args.scale >= 24:
+        # Big inputs: generate distributed (32-way mapInPandas) — the
+        # driver-side numpy path is single-threaded and this sandbox's
+        # rng throughput makes scale>=24 take hours there. Deterministic
+        # given (seed, partition count).
+        path = os.path.join(tmp, "edges.parquet")
+        from gunrock_spark.graph.generators import rmat_edges_df_distributed
+        from gunrock_spark.session import build_session
+
+        spark = build_session(
+            "rmat-gen", master="local[32]", shuffle_partitions=32
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        rmat_edges_df_distributed(
+            spark, args.scale, args.edge_factor, seed=42, num_partitions=32
+        ).write.parquet(path)
+        spark.stop()
+        print(f"# distributed R-MAT scale={args.scale} -> {path}", file=sys.stderr)
     else:
         # generate the shared input once (deterministic, seeded)
         import pyarrow as pa
