@@ -55,8 +55,11 @@ def connected_components(
 
     state = graph.vertices.select("v", F.col("v").alias("label"))
     if init_labels is not None:
-        warm = init_labels.select(
-            F.col("v").alias("wv"), F.col("label").alias("warm_label")
+        # Dedup on v (duplicate rows would fan out the join into
+        # duplicate state rows); min() of candidate labels stays a
+        # valid upper bound.
+        warm = init_labels.groupBy(F.col("v").alias("wv")).agg(
+            F.min("label").alias("warm_label")
         )
         state = state.join(warm, state["v"] == warm["wv"], "left").select(
             "v", F.coalesce("warm_label", F.col("label")).alias("label")
@@ -69,7 +72,16 @@ def connected_components(
     start_iter, prior_metrics = 0, None
     if checkpoint_dir is not None:
         checkpointer = CheckpointManager(
-            checkpoint_dir, config={"algorithm": "connected_components"}
+            checkpoint_dir,
+            # Graph identity in the hash: resuming a snapshot from a
+            # DIFFERENT graph (e.g. after an incremental ingest grew
+            # the edge table) must be refused, not silently returned
+            # as already-converged.
+            config={
+                "algorithm": "connected_components",
+                "n_vertices": graph.num_vertices(),
+                "n_edges": graph.num_edges(),
+            },
         )
         if resume:
             loaded = checkpointer.load_latest(spark)

@@ -109,8 +109,12 @@ def pagerank(
         "v", "out_degree", F.lit(float(init)).alias("rank")
     )
     if init_ranks is not None:
-        warm = init_ranks.select(
-            F.col("v").alias("wv"), F.col("rank").alias("warm_rank")
+        # Dedup defensively: a duplicate v in init_ranks would fan out
+        # the left join into duplicate state rows, and the loop would
+        # converge to the wrong fixed point with no error. min() keeps
+        # the guard deterministic.
+        warm = init_ranks.groupBy(F.col("v").alias("wv")).agg(
+            F.min("rank").alias("warm_rank")
         )
         state = (
             state.join(warm, state["v"] == warm["wv"], "left")
@@ -143,6 +147,9 @@ def pagerank(
                 "compensate": compensate,
                 "src": src,
                 "n": n,
+                # graph identity: |V| alone can collide across
+                # different edge tables (see components.py note)
+                "m": graph.num_edges(),
             },
         )
         if resume:

@@ -4,17 +4,26 @@ The Spark analog of the reference's binary CSR snapshot cache
 (gunrock/csr.cuh:244-266,412-451) applied to *iteration state*: each
 checkpoint is a Parquet snapshot of the vertex-state DataFrame plus a
 JSON manifest (iteration number, config hash, per-iteration metrics
-lineage). A ``_LATEST`` pointer file is written atomically (tmp +
-rename) so a killed job resumes from the last complete snapshot.
+lineage). A ``_LATEST`` pointer file names the newest complete
+snapshot; a killed job resumes from it.
 
 The checkpoint root may be any Hadoop-filesystem URI (hdfs://,
 s3a://, file:// or a bare local path): the state parquet always goes
 through Spark's Hadoop FS, and the manifest/pointer files use the
 same FileSystem API when the root carries a scheme (plain ``open``
-for bare local paths). Pointer-flip atomicity holds on POSIX and
-HDFS renames; on S3 the rename is copy+delete — still safe here
-because the pointer is written AFTER its manifest+state are complete,
-so the worst case is resuming from the previous snapshot.
+for bare local paths).
+
+Crash-safety contract (ordering, not filesystem atomicity): state
+parquet is written first, then its manifest, then the pointer — so
+ANY manifest on disk references a complete snapshot. Local roots flip
+the pointer with tmp + ``os.replace`` (atomic on POSIX); remote roots
+overwrite-create it in one call (no delete-then-rename window — a
+FileSystem.rename returning false would otherwise silently lose the
+pointer). If the pointer is missing or torn anyway (e.g. a crash
+mid-create on an object store), ``latest_iteration`` falls back to
+scanning ``manifest_iter_*.json`` and resumes from the newest one —
+the worst case is resuming from the previous snapshot, never a
+corrupt one.
 
 At 100 TB scale the state table is |V|-sized (orders of magnitude
 smaller than the edge table), so a per-iteration Parquet write is cheap
@@ -49,9 +58,6 @@ class _HadoopFS:
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
 
-    def mkdirs(self, path: str) -> None:
-        self._fs.mkdirs(self._p(path))
-
     def write_text(self, path: str, text: str) -> None:
         out = self._fs.create(self._p(path), True)
         try:
@@ -70,11 +76,11 @@ class _HadoopFS:
             stream.close()
         return bytes(data).decode("utf-8")
 
-    def rename(self, src: str, dst: str) -> None:
-        dstp = self._p(dst)
-        if self._fs.exists(dstp):
-            self._fs.delete(dstp, False)
-        self._fs.rename(self._p(src), dstp)
+    def glob_paths(self, pattern: str) -> list[str]:
+        statuses = self._fs.globStatus(self._p(pattern))
+        if statuses is None:
+            return []
+        return [s.getPath().toString() for s in statuses]
 
 
 class CheckpointManager:
@@ -130,15 +136,42 @@ class CheckpointManager:
             return None
 
     def _flip_pointer(self, spark: SparkSession, iteration: int) -> None:
-        tmp = self._latest_path + ".tmp"
         if self._remote:
-            fs = _HadoopFS(spark, self.root)
-            fs.write_text(tmp, str(iteration))
-            fs.rename(tmp, self._latest_path)
+            # Single overwrite-create: never a window with no pointer.
+            # A torn write is healed by the manifest-scan fallback.
+            _HadoopFS(spark, self.root).write_text(
+                self._latest_path, str(iteration)
+            )
         else:
+            tmp = self._latest_path + ".tmp"
             with open(self._local(tmp), "w") as f:
                 f.write(str(iteration))
             os.replace(self._local(tmp), self._local(self._latest_path))
+
+    def _manifest_iterations(self, spark: SparkSession | None) -> list[int]:
+        """Iterations with a manifest on disk (every manifest references
+        a complete snapshot, by write ordering). Sorted ascending."""
+        import re
+
+        pattern = self._join("manifest_iter_*.json")
+        if self._remote:
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "scanning a remote checkpoint root needs an active SparkSession"
+                )
+            names = _HadoopFS(spark, self.root).glob_paths(pattern)
+        else:
+            import glob
+
+            names = glob.glob(self._local(pattern))
+        its = []
+        for n in names:
+            m = re.search(r"manifest_iter_(\d{6})\.json$", n)
+            if m:
+                its.append(int(m.group(1)))
+        return sorted(its)
 
     # -- save / load ---------------------------------------------------
     def save(self, state: DataFrame, iteration: int, metrics: list[dict]) -> DataFrame:
@@ -162,7 +195,13 @@ class CheckpointManager:
 
     def latest_iteration(self, spark: SparkSession | None = None) -> int | None:
         text = self._read_text(spark, self._latest_path)
-        return int(text.strip()) if text is not None else None
+        if text is not None:
+            try:
+                return int(text.strip())
+            except ValueError:
+                pass  # torn pointer write — heal via manifest scan
+        its = self._manifest_iterations(spark)
+        return its[-1] if its else None
 
     def load_latest(self, spark: SparkSession) -> tuple[DataFrame, int, list[dict]] | None:
         """Resume point: (state_df, iteration, metrics-so-far) or None.
@@ -170,7 +209,24 @@ class CheckpointManager:
         it = self.latest_iteration(spark)
         if it is None:
             return None
-        manifest = json.loads(self._read_text(spark, self._manifest_path(it)))
+        text = self._read_text(spark, self._manifest_path(it))
+        if text is None:
+            # pointer names an iteration whose manifest is gone
+            # (retention cleanup / partial copy): fall back to the
+            # newest manifest actually present.
+            its = [
+                i for i in self._manifest_iterations(spark) if i != it
+            ]
+            if not its:
+                return None
+            it = its[-1]
+            text = self._read_text(spark, self._manifest_path(it))
+            if text is None:
+                raise FileNotFoundError(
+                    f"checkpoint manifest vanished during resume scan: "
+                    f"{self._manifest_path(it)}"
+                )
+        manifest = json.loads(text)
         if manifest["config_hash"] != self.config_hash:
             raise ValueError(
                 "checkpoint config mismatch: snapshot %s vs current %s"

@@ -60,6 +60,12 @@ def _validate_pages_schema(df: DataFrame, source: str) -> DataFrame:
     return df.select(*PAGES_SCHEMA)
 
 
+def _infer_fmt(source: str) -> str:
+    """Path-looking sources (contain ``/`` or end in ``.parquet``) are
+    parquet; bare identifiers are catalog tables."""
+    return "parquet" if ("/" in source or source.endswith(".parquet")) else "table"
+
+
 def read_pages(
     spark: SparkSession,
     source: str,
@@ -76,7 +82,7 @@ def read_pages(
     ``fmt="parquet"`` / ``fmt="table"`` to force.
     """
     if fmt is None:
-        fmt = "parquet" if ("/" in source or source.endswith(".parquet")) else "table"
+        fmt = _infer_fmt(source)
     if fmt == "parquet":
         df = spark.read.parquet(source)
     elif fmt == "table":
@@ -94,19 +100,18 @@ def write_pages(
 ) -> None:
     """Write a pages table to a catalog table (Iceberg when the
     catalog is an Iceberg catalog) or a Parquet path. Table writes go
-    through ``writeTo`` (DSv2, the Iceberg-native route — atomic
-    commit, no _SUCCESS-file semantics); path writes are plain
-    Parquet."""
+    through ``saveAsTable``, which resolves against the target's
+    catalog — on an Iceberg catalog that is an atomic metadata commit
+    (create/append/replace), on the built-in session catalog a plain
+    managed table; ``mode`` keeps its DataFrameWriter semantics
+    (``append`` is the daily incremental-crawl write). Path writes
+    are plain Parquet."""
     pages = _validate_pages_schema(pages, target)
     if fmt is None:
-        fmt = "parquet" if ("/" in target or target.endswith(".parquet")) else "table"
+        fmt = _infer_fmt(target)
     if fmt == "parquet":
         pages.write.mode(mode).parquet(target)
     elif fmt == "table":
-        writer = pages.writeTo(target)
-        if mode == "overwrite":
-            writer.createOrReplace()
-        else:
-            writer.create()
+        pages.write.mode(mode).saveAsTable(target)
     else:
         raise ValueError(f"unknown pages target format {fmt!r}")

@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="run-manifest JSON path (default: stdout)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
+    # fail fast on flag/algorithm mismatches (a silently-ignored warm
+    # start looks identical to a successful one from the outside)
+    if args.init_ranks and args.algorithm != "pagerank":
+        ap.error("--init-ranks only applies to --algorithm pagerank")
+    if args.init_labels and args.algorithm != "cc":
+        ap.error("--init-labels only applies to --algorithm cc")
 
     # spark-submit provides master/conf; fall back to engine defaults
     # (local[cpus]) when run as a bare python script.

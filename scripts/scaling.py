@@ -66,15 +66,20 @@ def run(k):
 edge_mult = 2 if algo == "cc" else 1
 run(1)                                  # JIT/codegen warmup, untimed
 best = None
+iters_done = iters
 for _ in range(2):                      # best-of-2: squeeze out GC noise
     t0 = time.monotonic()
     res = run(iters)
     res.state.select("v").limit(1).collect()
     dt = time.monotonic() - t0
-    best = dt if best is None or dt < best else best
-print(json.dumps({{"cpus": cpus, "edges": m, "iters": iters,
+    if best is None or dt < best:
+        best = dt
+        # CC can converge before max_iter on small-diameter graphs;
+        # TEPS must count iterations that actually ran
+        iters_done = res.iterations
+print(json.dumps({{"cpus": cpus, "edges": m, "iters": iters_done,
                    "sec": round(best, 3),
-                   "teps": round(edge_mult * m * iters / best)}}))
+                   "teps": round(edge_mult * m * iters_done / best)}}))
 """
 
 

@@ -138,3 +138,52 @@ def test_checkpoint_manager_hadoop_fs_path(spark, tmp_path):
     wrong._remote = True
     with _pytest.raises(ValueError):
         wrong.load_latest(spark)
+
+
+def test_checkpoint_pointer_loss_heals_via_manifest_scan(spark, tmp_path):
+    """The crash-safety contract: any manifest references a complete
+    snapshot, so a missing or torn _LATEST pointer falls back to the
+    newest manifest instead of silently restarting from iteration 0."""
+    root = str(tmp_path / "ck_heal")
+    mgr = CheckpointManager(root, config={"algorithm": "t"})
+    state = spark.createDataFrame([(1, 0.5)], "v long, rank double")
+    mgr.save(state, 2, [{"iteration": 2}])
+    mgr.save(state, 4, [{"iteration": 2}, {"iteration": 4}])
+
+    import os as _os
+
+    # pointer deleted (retention cleanup / partial copy)
+    _os.remove(_os.path.join(root, "_LATEST"))
+    assert mgr.latest_iteration() == 4
+    _, it, metrics = mgr.load_latest(spark)
+    assert it == 4 and len(metrics) == 2
+
+    # torn pointer write (garbage content)
+    with open(_os.path.join(root, "_LATEST"), "w") as f:
+        f.write("garb")
+    assert mgr.latest_iteration() == 4
+
+    # pointer names an iteration whose manifest is gone -> newest real one
+    with open(_os.path.join(root, "_LATEST"), "w") as f:
+        f.write("9")
+    _, it, _ = mgr.load_latest(spark)
+    assert it == 4
+
+
+def test_cc_resume_refuses_changed_graph(spark, tmp_path):
+    """Continuous-crawl trap: --resume with a checkpoint written for a
+    DIFFERENT (smaller) graph must be refused via the config hash, not
+    silently returned as converged."""
+    import pytest as _pytest
+
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_CC11, edges_df
+
+    ck = str(tmp_path / "cc_ck")
+    g1 = EdgeTable.from_df(edges_df(spark, G_CC11))
+    connected_components(g1, checkpoint_dir=ck, checkpoint_interval=1)
+
+    g2 = EdgeTable.from_df(edges_df(spark, G_CC11 + [(0, 7)]))
+    with _pytest.raises(ValueError, match="config mismatch"):
+        connected_components(g2, checkpoint_dir=ck, resume=True)

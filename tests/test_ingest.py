@@ -58,3 +58,46 @@ def test_read_write_pages_roundtrip_and_validation(spark, tmp_path):
     bad.createOrReplaceTempView("pages_bad")
     with _pytest.raises(ValueError, match="html"):
         read_pages(spark, "pages_bad")
+
+
+def test_write_pages_table_route_create_append_overwrite(spark):
+    """The catalog-table write path (Iceberg route on a real catalog;
+    the session catalog here): create, daily append, overwrite."""
+    from gunrock_spark.sources.pages import read_pages, write_pages
+
+    pages, _ = pages_table(spark, n_pages=32, edge_factor=4, seed=7)
+    spark.sql("DROP TABLE IF EXISTS pages_rt")
+    write_pages(pages, "pages_rt")                      # create
+    assert read_pages(spark, "pages_rt").count() == 32
+    write_pages(pages, "pages_rt", mode="append")       # incremental crawl
+    assert read_pages(spark, "pages_rt").count() == 64
+    write_pages(pages, "pages_rt", mode="overwrite")    # full refresh
+    assert read_pages(spark, "pages_rt").count() == 32
+    spark.sql("DROP TABLE pages_rt")
+
+
+def test_warm_start_duplicate_init_rows_are_deduped(spark):
+    """Duplicate v rows in init_ranks/init_labels must not fan out the
+    state join (which would converge to wrong values silently)."""
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.algorithms.pagerank import pagerank
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_TOY7, edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    cold = pagerank(g, threshold=1e-7, max_iter=200)
+    dup_ranks = cold.state.select("v", "rank").unionByName(
+        cold.state.select("v", "rank")
+    )
+    warm = pagerank(g, threshold=1e-7, max_iter=200, init_ranks=dup_ranks)
+    assert warm.state.count() == cold.state.count()
+    c = {r["v"]: r["rank"] for r in cold.state.collect()}
+    w = {r["v"]: r["rank"] for r in warm.state.collect()}
+    assert all(abs(w[v] - c[v]) < 1e-6 for v in c)
+
+    cc = connected_components(g)
+    dup_labels = cc.state.select("v", "label").unionByName(
+        cc.state.select("v", "label")
+    )
+    warm_cc = connected_components(g, init_labels=dup_labels)
+    assert warm_cc.state.count() == cc.state.count()

@@ -112,3 +112,14 @@ def test_job_cc_warm_start_from_previous_labels(spark, edges_parquet, tmp_path):
     l1 = {(r["v"], r["label"]) for r in spark.read.parquet(out1).collect()}
     l2 = {(r["v"], r["label"]) for r in spark.read.parquet(out2).collect()}
     assert l1 == l2
+
+
+def test_job_rejects_mismatched_warm_start_flags(spark, edges_parquet, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _run_job(["--edges", edges_parquet, "--algorithm", "cc",
+                  "--init-ranks", "whatever", "--out", str(tmp_path / "x")])
+    with _pytest.raises(SystemExit):
+        _run_job(["--edges", edges_parquet, "--algorithm", "pagerank",
+                  "--init-labels", "whatever", "--out", str(tmp_path / "y")])
