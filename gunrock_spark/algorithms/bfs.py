@@ -1,4 +1,5 @@
-"""BFS — frontier-based breadth-first search.
+"""BFS — frontier-based breadth-first search with direction
+optimization (push/pull).
 
 Re-creates the reference's BFS semantics (gunrock/app/bfs/):
 per-iteration frontier advance setting ``labels[dst] = label`` on
@@ -8,24 +9,49 @@ reference's predecessor is whichever thread wins the atomic; ours is
 the MINIMUM parent id among the discovering frontier — deterministic,
 still a valid BFS tree (documented deviation, pinned by oracles).
 
+Direction optimization re-creates the reference's predicted-visits
+push/pull switch (bfs_enactor.cuh:852-933; pull advance :1014+): on a
+web graph, 2–3 middle BFS levels hold most of |V|, and scanning the
+huge frontier's out-edges (push) costs far more than scanning the
+small unvisited set's in-edges (pull). The driver knows the frontier
+and visited sizes from the previous iteration's metrics, so the
+regime choice is free.
+
 Spark plan per iteration (SURVEY.md §2.2 BFS row):
+
+push (frontier small relative to unvisited):
     frontier = state where depth == i          (|frontier| rows)
-    cand     = frontier ⋈ edges on v = src     (broadcast when small —
-               AQE picks it; the direction-optimization analog)
+    cand     = frontier ⋈ edges on v = src     (broadcast when small)
     grouped  = cand.groupBy(dst).agg(min(src)) (dedup + det. pred)
     new      = grouped anti-join state         (unvisited only)
-    state    = state ∪ new(depth = i+1)
-Stop when the new frontier is empty (the reference's zero
-queue_length stop).
+Shuffle volume ~ out-edges of the frontier.
 
-The visited set IS the state DataFrame — the analog of the
-reference's visited bitmask (problem_base.cuh:413); the anti-join is
-the cull filter.
+pull (frontier has most of |V|):
+    unvisited = vertices anti-join state       (small at mid levels)
+    cand      = unvisited ⋈ reverse-edges      (in-neighbors;
+                broadcast unvisited when small — edges never move)
+    new       = cand ⋈ frontier membership → groupBy(v).min(nbr)
+Shuffle volume ~ in-edges of the unvisited set. Any visited
+in-neighbor of a vertex unvisited at level i must sit at depth
+exactly i (else the vertex would already be visited), so joining
+against the depth-i frontier finds precisely the BFS parents and
+min(nbr) matches the push regime's min(src) predecessor.
+
+The reverse-edge table (the CSC mirror the reference keeps for its
+backward advance, csr.cuh:127-154) is built lazily on first pull use,
+hash-partitioned + sorted by its src so every subsequent pull join
+reuses the cached layout.
+
+Stop when the new frontier is empty (the reference's zero
+queue_length stop). The visited set IS the state DataFrame — the
+analog of the reference's visited bitmask (problem_base.cuh:413); the
+anti-join is the cull filter.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from gunrock_spark.engine.iterate import IterationResult, iterate
 from gunrock_spark.graph.edge_table import EdgeTable
@@ -37,22 +63,41 @@ def bfs(
     max_depth: int = 10_000,
     mark_predecessors: bool = False,
     broadcast_threshold: int = 1_000_000,
+    direction_optimized: bool = True,
+    pull_alpha: float = 1.0,
 ) -> IterationResult:
     """BFS from ``source``. Result state: (v long, depth long
     [, pred long]) — reached vertices only; source has depth 0 and
     pred NULL.
 
-    Direction-optimization analog (reference: predicted-visits
-    push/pull switch, bfs_enactor.cuh:852-933): the driver KNOWS the
-    frontier size from the previous iteration's metrics, so while it
-    is under ``broadcast_threshold`` rows the frontier side is
-    broadcast (edges never shuffle — the push regime); past it the
-    join falls back to the shuffle plan (the pull/huge-frontier
-    regime, where scanning all edges is the right cost model).
+    Regime choice per iteration (the reference's do_a/do_b heuristic,
+    bfs_enactor.cuh:852-933, driven here by driver-side metrics): pull
+    when ``frontier > pull_alpha * unvisited`` — i.e. when scanning
+    the unvisited set's in-edges beats scanning the frontier's
+    out-edges. ``direction_optimized=False`` forces pure push. Within
+    the push regime, a frontier under ``broadcast_threshold`` rows is
+    broadcast (edges never shuffle); within pull, the unvisited side
+    is broadcast under the same threshold. Each iteration's metrics
+    record the regime used (``regime: push|pull``).
     """
     spark = graph.edges.sparkSession
     edges = graph.edges
-    frontier_size = {"rows": 1}
+    n_vertices = graph.num_vertices() if direction_optimized else None
+    sizes = {"frontier": 1, "visited": 1}
+    rev_holder: dict = {"edges": None}
+
+    def _rev_edges() -> DataFrame:
+        # CSC mirror, built once on first pull use: partitioned+sorted
+        # by its src (= original dst) so pull joins reuse the layout
+        if rev_holder["edges"] is None:
+            n_parts = edges.rdd.getNumPartitions()
+            rev_holder["edges"] = (
+                graph.reversed()
+                .edges.repartition(n_parts, "src")
+                .sortWithinPartitions("src")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return rev_holder["edges"]
 
     state = spark.createDataFrame(
         [(int(source), 0, None)], schema="v long, depth long, pred long"
@@ -62,33 +107,63 @@ def bfs(
     state = state.localCheckpoint(eager=True)
 
     def step(cur: DataFrame, i: int):
-        frontier = cur.where(F.col("depth") == i).select("v")
-        if frontier_size["rows"] <= broadcast_threshold:
-            frontier = F.broadcast(frontier)
-        cand = (
-            frontier.join(edges, frontier["v"] == edges["src"])
-            .groupBy(edges["dst"].alias("nv"))
-            .agg(F.min(edges["src"]).alias("npred"))
+        unvisited_est = (n_vertices - sizes["visited"]) if direction_optimized else 0
+        use_pull = (
+            direction_optimized
+            and sizes["frontier"] > pull_alpha * unvisited_est
         )
-        new = (
-            cand.join(cur, cand["nv"] == cur["v"], "left_anti")
-            .select(
+        if use_pull:
+            unvisited = graph.vertices.join(cur, "v", "left_anti")
+            if unvisited_est <= broadcast_threshold:
+                unvisited = F.broadcast(unvisited)
+            rev = _rev_edges()
+            cand = unvisited.join(rev, unvisited["v"] == rev["src"]).select(
+                unvisited["v"].alias("nv"), rev["dst"].alias("nbr")
+            )
+            frontier = cur.where(F.col("depth") == i).select(F.col("v").alias("fv"))
+            new = (
+                cand.join(frontier, cand["nbr"] == frontier["fv"])
+                .groupBy("nv")
+                .agg(F.min("nbr").alias("npred"))
+                .select(
+                    F.col("nv").alias("v"),
+                    F.lit(i + 1).cast("long").alias("depth"),
+                    F.col("npred").alias("pred"),
+                )
+            )
+        else:
+            frontier = cur.where(F.col("depth") == i).select("v")
+            if sizes["frontier"] <= broadcast_threshold:
+                frontier = F.broadcast(frontier)
+            cand = (
+                frontier.join(edges, frontier["v"] == edges["src"])
+                .groupBy(edges["dst"].alias("nv"))
+                .agg(F.min(edges["src"]).alias("npred"))
+            )
+            new = cand.join(cur, cand["nv"] == cur["v"], "left_anti").select(
                 F.col("nv").alias("v"),
                 F.lit(i + 1).cast("long").alias("depth"),
                 F.col("npred").alias("pred"),
             )
-        )
         if not mark_predecessors:
             new = new.select("v", "depth")
         out = cur.unionByName(new)
 
         def metrics(materialized: DataFrame) -> dict:
             n = materialized.where(F.col("depth") == i + 1).count()
-            frontier_size["rows"] = n  # feeds the next push/pull choice
-            return {"frontier": n, "edges_traversed": n}
+            sizes["frontier"] = n  # feeds the next push/pull choice
+            sizes["visited"] += n
+            return {
+                "frontier": n,
+                "edges_traversed": n,
+                "regime": "pull" if use_pull else "push",
+            }
 
         return out, metrics
 
-    return iterate(
+    result = iterate(
         state, step, stop=lambda m: m["frontier"] == 0, max_iter=max_depth
     )
+    if rev_holder["edges"] is not None:
+        rev_holder["edges"].unpersist()
+    return result

@@ -158,25 +158,34 @@ def pagerank(
                 state, start_iter, prior_metrics = loaded
 
     block_store = None
-    block_store_tmp = None
+    block_store_cleanup = None
     if impl == "blocks":
         import tempfile
+        import uuid
 
         from gunrock_spark.engine.csr_blocks import (
             build_block_store,
             gather_scatter_sums,
+            remove_block_store,
         )
 
         num_blocks = spark.sparkContext.defaultParallelism
         # local mode: a tmp dir; on a cluster pass a shared path via
-        # SPARK_GRAFT_BLOCK_STORE (all executors must see it)
+        # SPARK_GRAFT_BLOCK_STORE (all executors must see it). Either
+        # way the store lives in a UNIQUE per-build subdirectory: the
+        # worker-local _BLOCK_CACHE is keyed by path and never
+        # invalidated (immutable-store contract), so re-running
+        # pagerank on an UPDATED graph in the same application (the
+        # incremental-ingest warm-start workflow) must never reuse a
+        # path — a fixed path would serve stale CSR slices from
+        # long-lived Python workers and silently produce wrong ranks.
         import os as _os
 
         base = _os.environ.get("SPARK_GRAFT_BLOCK_STORE")
-        if base is None:
-            block_store_tmp = tempfile.mkdtemp(prefix="csr_blocks_")
-            base = block_store_tmp
-        block_store = build_block_store(edges, num_blocks, base)
+        tmp_base = tempfile.mkdtemp(prefix="csr_blocks_") if base is None else None
+        store_path = (base or tmp_base).rstrip("/") + "/" + uuid.uuid4().hex
+        block_store_cleanup = tmp_base or store_path
+        block_store = build_block_store(edges, num_blocks, store_path)
     elif impl != "join":
         raise ValueError(f"unknown impl {impl!r} (expected 'join' or 'blocks')")
 
@@ -271,10 +280,10 @@ def pagerank(
         start_iteration=start_iter,
         prior_metrics=prior_metrics,
     )
-    if block_store_tmp is not None:
-        import shutil
+    if block_store_cleanup is not None:
+        from gunrock_spark.engine.csr_blocks import remove_block_store
 
-        shutil.rmtree(block_store_tmp, ignore_errors=True)
+        remove_block_store(block_store_cleanup)
     if has_dangling:
         result.state = result.state.where(F.col("v") != SINK)
     return result

@@ -168,7 +168,10 @@ class CheckpointManager:
             names = glob.glob(self._local(pattern))
         its = []
         for n in names:
-            m = re.search(r"manifest_iter_(\d{6})\.json$", n)
+            # \d+ (not \d{6}): the :06d zero-padding grows past six
+            # digits at iteration >= 1,000,000; such manifests must
+            # stay visible to the pointer-loss healing scan.
+            m = re.search(r"manifest_iter_(\d+)\.json$", n)
             if m:
                 its.append(int(m.group(1)))
         return sorted(its)

@@ -33,8 +33,6 @@ up to float64 summation-order ULP noise.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -42,15 +40,47 @@ from pyspark.sql import DataFrame, functions as F
 # worker-local CSR-slice cache: (store_path, block) -> pandas DataFrame
 # [src, dst]. Lives for the life of the Python worker process; one
 # graph's block store is immutable once written (build-once contract),
-# so no invalidation is needed — a new build writes a new path.
+# so no invalidation is needed — a new build writes a NEW path (unique
+# per build even under SPARK_GRAFT_BLOCK_STORE, see
+# pagerank.py's uuid subdirectory). On a cache miss for a new store
+# path, entries from other stores are evicted — Spark reuses Python
+# workers across jobs, and without eviction the cache would grow
+# unboundedly across successive builds in one application.
 _BLOCK_CACHE: dict = {}
+
+
+def _resolve_fs(store_path: str):
+    """(pyarrow FileSystem, fs-local path) for a block-store root.
+
+    Plain local paths use LocalFileSystem; scheme'd URIs (hdfs://,
+    s3://, file://, ...) resolve through pyarrow.fs.FileSystem.from_uri
+    so the CLUSTER deployment documented in the module docstring
+    (shared HDFS/S3 store via SPARK_GRAFT_BLOCK_STORE) actually reads
+    its blocks instead of falling into a missing-local-dir branch and
+    silently returning empty frames. Unsupported schemes FAIL here —
+    loudly — rather than producing all-zero gather results."""
+    from pyarrow import fs as pafs
+
+    if "://" in store_path:
+        try:
+            return pafs.FileSystem.from_uri(store_path)
+        except Exception as exc:
+            raise RuntimeError(
+                f"block store root {store_path!r} carries a URI scheme that "
+                f"pyarrow.fs cannot open ({exc}); use a local path or an "
+                f"hdfs://-/s3://-style URI pyarrow supports"
+            ) from exc
+    return pafs.LocalFileSystem(), store_path
 
 
 def build_block_store(edges: DataFrame, num_blocks: int, path: str) -> str:
     """Write the CSR-slice block store: one Parquet directory per
     ``block = pmod(hash(src), num_blocks)``, each sorted by src.
     Returns ``path``. Build once per graph (the COO→CSR analog,
-    gunrock/csr.cuh:534-697)."""
+    gunrock/csr.cuh:534-697). ``path`` must be readable by
+    :func:`_resolve_fs` on every executor — validated up front so a
+    bad scheme fails at build time, not as silent empty reads."""
+    _resolve_fs(path)  # fail fast on unreadable schemes
     (
         edges.select(
             "src", "dst", F.pmod(F.hash("src"), F.lit(num_blocks)).alias("block")
@@ -64,16 +94,36 @@ def build_block_store(edges: DataFrame, num_blocks: int, path: str) -> str:
     return path
 
 
+def remove_block_store(path: str) -> None:
+    """Best-effort recursive delete of a block store (driver-side
+    cleanup of the per-run uuid subdirectory)."""
+    try:
+        filesystem, root = _resolve_fs(path)
+        filesystem.delete_dir(root)
+    except Exception:
+        pass
+
+
 def _load_block(store_path: str, block: int) -> pd.DataFrame:
     key = (store_path, block)
     cached = _BLOCK_CACHE.get(key)
     if cached is None:
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
-        block_dir = os.path.join(store_path, f"block={block}")
-        if os.path.isdir(block_dir):
-            cached = pq.read_table(block_dir, columns=["src", "dst"]).to_pandas()
+        # evict slices from other (older) stores: new build = new path
+        for k in [k for k in _BLOCK_CACHE if k[0] != store_path]:
+            del _BLOCK_CACHE[k]
+        filesystem, root = _resolve_fs(store_path)
+        block_dir = root.rstrip("/") + f"/block={block}"
+        info = filesystem.get_file_info(block_dir)
+        if info.type == pafs.FileType.Directory:
+            cached = pq.read_table(
+                block_dir, columns=["src", "dst"], filesystem=filesystem
+            ).to_pandas()
         else:
+            # a block with no edges legitimately has no directory
+            # (partitionBy writes only non-empty partitions)
             cached = pd.DataFrame(
                 {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
             )

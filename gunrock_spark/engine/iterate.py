@@ -127,8 +127,12 @@ def iterate(
             converged = True
             break
     # tail save — but never re-save an iteration already on disk
-    # (self-overwrite while reading from the same snapshot corrupts it)
-    if checkpointer is not None and last_saved != i:
+    # (self-overwrite while reading from the same snapshot corrupts it).
+    # A resumed run that stepped ZERO times (start_iteration already at
+    # max_iter) is exactly that hazard: its state IS the loaded
+    # snapshot, and prior_metrics witnesses the load.
+    resumed_without_step = i == start_iteration and bool(prior_metrics)
+    if checkpointer is not None and last_saved != i and not resumed_without_step:
         state = checkpointer.save(state, i, metrics_log)
     return IterationResult(
         state=state,

@@ -17,8 +17,10 @@ from gunrock_spark.pipeline.multimodal import (
 from gunrock_spark.pipeline.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
+    default_n_lists,
     ivf_index,
     ivf_search,
+    select_centroids,
     signbit_buckets,
 )
 from gunrock_spark.pipeline.text import (
@@ -41,6 +43,8 @@ __all__ = [
     "cosine_topk",
     "ivf_index",
     "ivf_search",
+    "select_centroids",
+    "default_n_lists",
     "signbit_buckets",
     "cosine_near_dup_pairs",
     "token_stats",

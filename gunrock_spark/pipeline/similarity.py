@@ -95,9 +95,94 @@ def cosine_topk(
 # ---------------------------------------------------------------------------
 
 
+def _id_hash(corpus_id: str) -> Column:
+    """The deterministic centroid-selection key: h60 of the stringified
+    vector id (same formula as functions.hashing.h60)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(corpus_id).cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
+def select_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 8,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """DataFrame[list_id int, centroid array<double>] — the ``n_lists``
+    corpus vectors with smallest h60(id), i.e. a deterministic uniform
+    sample.
+
+    Scale design: the naive formulation (``row_number`` over a global
+    no-partition Window) funnels the ENTIRE corpus through one task.
+    Instead: (1) a hash-threshold pre-filter keeps only rows with
+    ``h60(id) < cutoff`` where the cutoff is sized for ~oversample ×
+    n_lists expected survivors — a fully parallel scan; (2) an
+    ``orderBy(hv).limit(n_lists)`` on the tiny survivor set compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge — no
+    global sort, no single-partition exchange); (3) list_ids are
+    assigned driver-side on the collected survivors. The collect is
+    bounded by the centroid table itself, which downstream
+    ``broadcast()`` already requires to fit in memory. Under-sampling
+    (survivors < n_lists, probability ~e^-oversample·…) falls back to
+    the unfiltered TakeOrdered — still no global sort."""
+    spark = corpus.sparkSession
+    if n_rows is None:
+        n_rows = corpus.count()
+    filtered = _centroid_candidates(
+        corpus, n_lists, corpus_id, vec_col, oversample, n_rows
+    )
+    rows = filtered.collect()
+    if len(rows) < n_lists and oversample * n_lists < n_rows:
+        # under-sampled (tiny corpora / unlucky hash): unfiltered
+        # TakeOrdered — still per-partition top-k, never a global sort
+        rows = _centroid_candidates(
+            corpus, n_lists, corpus_id, vec_col, oversample=None, n_rows=n_rows
+        ).collect()
+    return spark.createDataFrame(
+        [(i, list(r["cv"])) for i, r in enumerate(rows)],
+        schema="list_id int, centroid array<double>",
+    )
+
+
+def _centroid_candidates(
+    corpus: DataFrame,
+    n_lists: int,
+    corpus_id: str,
+    vec_col: str,
+    oversample: int | None,
+    n_rows: int,
+) -> DataFrame:
+    """The centroid-selection query (pre-collect), exposed so plan
+    tests can pin its physical shape: hash-threshold filter +
+    TakeOrderedAndProject, no global sort / single-partition exchange.
+    ``oversample=None`` skips the pre-filter (fallback path)."""
+    c = corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
+    cand = c.withColumn("hv", _id_hash(corpus_id))
+    if oversample is not None:
+        frac = min(1.0, oversample * n_lists / max(n_rows, 1))
+        if frac < 1.0:
+            cand = cand.where(F.col("hv") < int(frac * (1 << 60)))
+    return cand.orderBy("hv", corpus_id).limit(n_lists).select("hv", "cv")
+
+
+def default_n_lists(n_rows: int) -> int:
+    """~sqrt(n) inverted lists (at least 16): keeps both the per-list
+    candidate count and the centroid table at ~sqrt(n), the standard
+    IVF balance point."""
+    return max(16, int(round(n_rows ** 0.5)))
+
+
 def ivf_index(
     corpus: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
@@ -105,19 +190,17 @@ def ivf_index(
 
     Centroids = the n_lists corpus vectors with smallest h60(id) — a
     deterministic uniform sample (k-means would converge better; the
-    index structure and probe path are identical)."""
+    index structure and probe path are identical). ``n_lists=None``
+    scales with the corpus: ~sqrt(n) (see :func:`default_n_lists`) —
+    a fixed small default would make within-list searches quadratic
+    once the corpus outgrows it."""
     c = corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
-    w = Window.orderBy(
-        F.conv(F.substring(F.md5(F.col(corpus_id).cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long"),
-        F.col(corpus_id),
-    )
-    centroids = (
-        c.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_lists)
-        .select((F.col("rn") - 1).alias("list_id"), F.col("cv").alias("centroid"))
-        .localCheckpoint(eager=True)
-    )
+    n_rows = corpus.count()
+    if n_lists is None:
+        n_lists = default_n_lists(n_rows)
+    centroids = select_centroids(
+        corpus, n_lists, corpus_id, vec_col, n_rows=n_rows
+    ).localCheckpoint(eager=True)
     scored = (
         c.crossJoin(F.broadcast(centroids))
         .select(

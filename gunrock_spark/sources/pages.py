@@ -28,6 +28,8 @@ mid-job AnalysisException three joins deep.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 # The north-rule pages schema (name -> Spark simpleString type).
@@ -61,9 +63,14 @@ def _validate_pages_schema(df: DataFrame, source: str) -> DataFrame:
 
 
 def _infer_fmt(source: str) -> str:
-    """Path-looking sources (contain ``/`` or end in ``.parquet``) are
-    parquet; bare identifiers are catalog tables."""
-    return "parquet" if ("/" in source or source.endswith(".parquet")) else "table"
+    """Path-looking sources (contain ``/``, end in ``.parquet``, or
+    exist on the local filesystem — e.g. a bare relative directory
+    name) are parquet; other bare identifiers are catalog tables."""
+    if "/" in source or source.endswith(".parquet"):
+        return "parquet"
+    if os.path.exists(source):
+        return "parquet"
+    return "table"
 
 
 def read_pages(
@@ -84,9 +91,20 @@ def read_pages(
     if fmt is None:
         fmt = _infer_fmt(source)
     if fmt == "parquet":
+        # absolutize scheme-less local paths: the JVM resolves relative
+        # paths against ITS cwd, which need not match Python's
+        if "://" not in source and os.path.exists(source):
+            source = os.path.abspath(source)
         df = spark.read.parquet(source)
     elif fmt == "table":
-        df = spark.table(source)
+        try:
+            df = spark.table(source)
+        except Exception as exc:  # AnalysisException: table not found
+            raise ValueError(
+                f"pages source {source!r} resolved as a catalog table "
+                f"identifier but could not be read ({exc}); if it is a "
+                f"filesystem path, pass fmt='parquet'"
+            ) from exc
     else:
         raise ValueError(f"unknown pages source format {fmt!r}")
     return _validate_pages_schema(df, source)

@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--init-ranks only applies to --algorithm pagerank")
     if args.init_labels and args.algorithm != "cc":
         ap.error("--init-labels only applies to --algorithm cc")
+    # dispatch below tests `is not None`, not truthiness: `--pages-generate 0`
+    # must be a clear argparse error, not a later NameError on edges_df
+    if args.pages_generate is not None and args.pages_generate <= 0:
+        ap.error("--pages-generate N must be positive")
 
     # spark-submit provides master/conf; fall back to engine defaults
     # (local[cpus]) when run as a bare python script.
@@ -85,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     t_load = time.monotonic()
     if args.edges:
         edges_df = spark.read.parquet(args.edges)
-    elif args.pages or args.pages_generate:
+    elif args.pages or args.pages_generate is not None:
         from gunrock_spark.ingest.links import pages_to_edges, verify_extraction
 
         if args.pages:

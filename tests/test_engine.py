@@ -187,3 +187,31 @@ def test_cc_resume_refuses_changed_graph(spark, tmp_path):
     g2 = EdgeTable.from_df(edges_df(spark, G_CC11 + [(0, 7)]))
     with _pytest.raises(ValueError, match="config mismatch"):
         connected_components(g2, checkpoint_dir=ck, resume=True)
+
+
+def test_manifest_scan_sees_seven_digit_iterations(spark, tmp_path):
+    """The healing scan's regex must match manifests past iteration
+    999,999 — the :06d zero-padding is unbounded."""
+    root = str(tmp_path / "ckpt7")
+    cm = CheckpointManager(root, config={"a": 1})
+    import json as _json
+    import os as _os
+
+    for it in (5, 1_000_000):
+        with open(_os.path.join(root, f"manifest_iter_{it:06d}.json"), "w") as f:
+            f.write(_json.dumps({"iteration": it}))
+    assert cm._manifest_iterations(spark) == [5, 1_000_000]
+
+
+def test_resume_with_zero_steps_does_not_overwrite_snapshot(spark, tmp_path):
+    """Resuming when the loaded iteration already equals max_iter runs
+    ZERO steps; the tail save must be skipped — state IS the loaded
+    snapshot, and overwriting that parquet while reading from it
+    corrupts the read (found by the verify flow)."""
+    g = _graph(spark, G_TOY7)
+    ck = str(tmp_path / "ck_zero")
+    r1 = pagerank(g, threshold=0.0, max_iter=5, checkpoint_dir=ck, checkpoint_interval=2)
+    r2 = pagerank(
+        g, threshold=0.0, max_iter=5, checkpoint_dir=ck, checkpoint_interval=2, resume=True
+    )
+    assert _ranks(r2.state) == _ranks(r1.state)

@@ -101,3 +101,22 @@ def test_warm_start_duplicate_init_rows_are_deduped(spark):
     )
     warm_cc = connected_components(g, init_labels=dup_labels)
     assert warm_cc.state.count() == cc.state.count()
+
+
+def test_read_pages_bare_relative_dir_is_parquet(spark, tmp_path, monkeypatch):
+    """A bare relative directory name that exists on the filesystem is
+    a parquet path, not a catalog identifier (ADVICE regression)."""
+    from gunrock_spark.graph.generators import pages_table
+    from gunrock_spark.sources.pages import _infer_fmt, read_pages
+
+    pages, _ = pages_table(spark, n_pages=8, seed=3)
+    target = tmp_path / "bare_pages_dir"
+    pages.write.parquet(str(target))
+    monkeypatch.chdir(tmp_path)
+    assert _infer_fmt("bare_pages_dir") == "parquet"
+    assert read_pages(spark, "bare_pages_dir").count() == 8
+    # unresolvable bare identifier: error mentions the fmt escape hatch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fmt='parquet'"):
+        read_pages(spark, "no_such_table_anywhere")

@@ -123,3 +123,13 @@ def test_job_rejects_mismatched_warm_start_flags(spark, edges_parquet, tmp_path)
     with _pytest.raises(SystemExit):
         _run_job(["--edges", edges_parquet, "--algorithm", "pagerank",
                   "--init-labels", "whatever", "--out", str(tmp_path / "y")])
+
+
+def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys):
+    """'--pages-generate 0' used to pass the mutually-exclusive group,
+    fail both truthiness dispatch branches, and crash with NameError;
+    it must be a clean argparse error."""
+    with pytest.raises(SystemExit) as exc:
+        _run_job(["--pages-generate", "0", "--out", str(tmp_path / "o")])
+    assert exc.value.code == 2
+    assert "must be positive" in capsys.readouterr().err

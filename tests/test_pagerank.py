@@ -140,3 +140,37 @@ def test_warm_start_same_fixed_point_fewer_iterations(spark):
     w2 = {r["v"]: r["rank"] for r in warm2.state.collect()}
     assert all(abs(w2[v] - c2[v]) < 1e-6 for v in c2)
     assert warm2.iterations <= cold2.iterations
+
+
+def test_pagerank_blocks_env_store_uri_and_fresh_graph(spark, tmp_path, monkeypatch):
+    """Two ADVICE regressions on the block-store path:
+    (a) a scheme'd SPARK_GRAFT_BLOCK_STORE (file:// URI) must be READ
+        by the workers through pyarrow.fs — previously every block hit
+        the missing-local-dir branch and PR silently converged to the
+        reset vector;
+    (b) a second pagerank(impl='blocks') run on a DIFFERENT graph in
+        the same application must not serve stale worker-cached CSR
+        slices (per-build uuid subdirectory)."""
+    monkeypatch.setenv(
+        "SPARK_GRAFT_BLOCK_STORE", "file://" + str(tmp_path / "shared_store")
+    )
+    g1 = EdgeTable.from_df(edges_df(spark, G_PR4))
+    a = {r["v"]: r["rank"] for r in pagerank(g1, threshold=0.0, max_iter=6, impl="blocks").state.collect()}
+    ref = {r["v"]: r["rank"] for r in pagerank(g1, threshold=0.0, max_iter=6, impl="join").state.collect()}
+    assert a.keys() == ref.keys()
+    assert all(abs(a[v] - ref[v]) < 1e-12 for v in a)
+    # same application, updated graph — the stale-cache hazard
+    g2 = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2), (2, 0), (3, 0), (0, 3)]))
+    b = {r["v"]: r["rank"] for r in pagerank(g2, threshold=0.0, max_iter=6, impl="blocks").state.collect()}
+    ref2 = {r["v"]: r["rank"] for r in pagerank(g2, threshold=0.0, max_iter=6, impl="join").state.collect()}
+    assert b.keys() == ref2.keys()
+    assert all(abs(b[v] - ref2[v]) < 1e-12 for v in b)
+
+
+def test_block_store_unsupported_scheme_fails_fast():
+    """An unreadable store URI must raise at build time, never return
+    empty frames (silent-wrong-results hazard)."""
+    from gunrock_spark.engine.csr_blocks import _resolve_fs
+
+    with pytest.raises(RuntimeError, match="URI scheme"):
+        _resolve_fs("alluxio://nope/store")

