@@ -1,4 +1,5 @@
-"""Betweenness centrality — Brandes forward/backward passes.
+"""Betweenness centrality — Brandes forward/backward passes, batched
+over sources.
 
 Re-creates the reference's BC (gunrock/app/bc/): forward BFS
 accumulating shortest-path counts ``sigma[dst] += sigma[src]``
@@ -6,17 +7,26 @@ accumulating shortest-path counts ``sigma[dst] += sigma[src]``
 accumulating ``delta[src] += sigma[src]/sigma[dst] * (1 + delta[dst])``
 and bc values (bc_functor.cuh:168-239). The reference enacts one
 source at a time (bc_enactor.cuh:465-534 forward, :732+ backward) and
-loops over sources for full BC; so do we.
+loops over sources for full BC. We instead BATCH k sources into one
+DataFrame pass: the frontier state carries a ``source`` column, so
+all k forward (and backward) levels share each scan of the edge table
+— level count = max depth over the batch, not the sum over sources.
+At cluster scale that turns k driver round-trips per level into one,
+which is where a per-source driver loop dies (VERDICT r1 #3).
 
 Spark plan:
-  forward:  level-synchronous BFS where the frontier carries sigma;
-            groupBy(dst).agg(sum(sigma), min depth) — one shuffle per
-            level; state (v, depth, sigma) is the whole BFS DAG.
-  backward: loop level = deepest-1 .. 0:
-            children = state@level+1 with (sigma_c, delta_c)
-            delta[p in level] = sum over edges p->c of
-                sigma_p/sigma_c * (1 + delta_c)
-            one join + one aggregate per level.
+  forward:  level-synchronous BFS where the frontier carries
+            (source, sigma); groupBy(source, dst).agg(sum(sigma)) —
+            one shuffle per level for ALL sources at once; the state
+            (source, v, depth, sigma) is the union of the k BFS DAGs.
+  backward: loop level = deepest-1 .. 0 (global max):
+            contributions join children of that level per source;
+            sources whose DAG is shallower simply contribute no rows.
+Exact-BC-over-all-sources is O(V·E) by nature; the default is a
+DETERMINISTIC seeded sample of sources (h60-smallest vertex ids, the
+standard approximate-BC estimator) — never a driver-side collect of
+every vertex id.
+
 Like the reference, bc_values exclude the source; for undirected
 graphs each pair is counted twice (halve externally if you want the
 textbook value — the reference's CPU check scales the same way,
@@ -27,29 +37,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from gunrock_spark.functions.hashing import h60
 from gunrock_spark.graph.edge_table import EdgeTable
 
 
-def _forward(graph: EdgeTable, source: int) -> tuple[DataFrame, int]:
-    """Level-synchronous sigma-BFS. Returns (dag(v, depth, sigma),
-    max_depth)."""
-    spark = graph.edges.sparkSession
+def sample_sources(graph: EdgeTable, k: int, salt: int = 0) -> DataFrame:
+    """DataFrame[source long]: the k vertices with smallest
+    h60(salt:v) — a deterministic uniform sample selected with
+    TakeOrdered (per-partition top-k; no global sort, no collect of
+    the vertex table)."""
+    key = h60(F.concat_ws(":", F.lit(salt).cast("string"), F.col("v").cast("string")))
+    return (
+        graph.vertices.orderBy(key, F.col("v"))
+        .limit(k)
+        .select(F.col("v").alias("source"))
+    )
+
+
+def _forward_batched(
+    graph: EdgeTable, sources: DataFrame
+) -> tuple[DataFrame, int]:
+    """Level-synchronous sigma-BFS for all sources at once. Returns
+    (dag(source, v, depth, sigma), global_max_depth)."""
     edges = graph.edges
-    state = spark.createDataFrame(
-        [(int(source), 0, 1.0)], schema="v long, depth int, sigma double"
+    state = sources.select(
+        F.col("source").cast("long").alias("source"),
+        F.col("source").cast("long").alias("v"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(1.0).alias("sigma"),
     ).localCheckpoint(eager=True)
     depth = 0
     while True:
-        frontier = state.where(F.col("depth") == depth)
+        frontier = state.where(F.col("depth") == depth).alias("f")
         cand = (
-            frontier.join(edges, frontier["v"] == edges["src"])
-            .groupBy(edges["dst"].alias("nv"))
-            .agg(F.sum("sigma").alias("nsigma"))
+            frontier.join(edges.alias("e"), F.col("f.v") == F.col("e.src"))
+            .groupBy(F.col("f.source").alias("source"), F.col("e.dst").alias("v"))
+            .agg(F.sum("f.sigma").alias("nsigma"))
         )
-        new = cand.join(state, cand["nv"] == state["v"], "left_anti").select(
-            F.col("nv").alias("v"),
-            F.lit(depth + 1).cast("int").alias("depth"),
-            F.col("nsigma").alias("sigma"),
+        new = (
+            cand.join(state.select("source", "v"), ["source", "v"], "left_anti")
+            .select(
+                "source",
+                "v",
+                F.lit(depth + 1).cast("int").alias("depth"),
+                F.col("nsigma").alias("sigma"),
+            )
         )
         state = state.unionByName(new).localCheckpoint(eager=False)
         if state.where(F.col("depth") == depth + 1).limit(1).count() == 0:
@@ -57,24 +89,25 @@ def _forward(graph: EdgeTable, source: int) -> tuple[DataFrame, int]:
         depth += 1
 
 
-def bc_single_source(graph: EdgeTable, source: int) -> DataFrame:
-    """Per-vertex dependency scores from one source:
-    DataFrame[v, bc] over ALL vertices (0.0 where unreached/source)."""
+def bc_batch(graph: EdgeTable, sources: DataFrame) -> DataFrame:
+    """Brandes dependency scores summed over a batch of sources in ONE
+    forward + ONE backward level-loop: DataFrame[v, bc] over ALL
+    vertices (0.0 where unreached / source-only)."""
     edges = graph.edges
-    dag, max_depth = _forward(graph, source)
+    dag, max_depth = _forward_batched(graph, sources)
     dag = dag.persist()
     dag.count()
-    # deltas per level, deepest first; leaves start at 0
-    deltas = dag.select("v", "depth", "sigma", F.lit(0.0).alias("delta"))
+    deltas = dag.select("source", "v", "depth", "sigma", F.lit(0.0).alias("delta"))
     for level in range(max_depth - 1, -1, -1) if max_depth > 0 else []:
         children = deltas.where(F.col("depth") == level + 1).select(
+            F.col("source").alias("csource"),
             F.col("v").alias("cv"),
             F.col("sigma").alias("csigma"),
             F.col("delta").alias("cdelta"),
         )
         contrib = (
             edges.join(children, edges["dst"] == children["cv"])
-            .groupBy(edges["src"].alias("pv"))
+            .groupBy(F.col("csource"), edges["src"].alias("pv"))
             .agg(
                 F.sum(
                     (F.lit(1.0) + F.col("cdelta")) / F.col("csigma")
@@ -82,8 +115,14 @@ def bc_single_source(graph: EdgeTable, source: int) -> DataFrame:
             )
         )
         deltas = (
-            deltas.join(contrib, deltas["v"] == contrib["pv"], "left")
+            deltas.join(
+                contrib,
+                (deltas["source"] == contrib["csource"])
+                & (deltas["v"] == contrib["pv"]),
+                "left",
+            )
             .select(
+                "source",
                 "v",
                 "depth",
                 "sigma",
@@ -94,35 +133,45 @@ def bc_single_source(graph: EdgeTable, source: int) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    result = (
-        graph.vertices.join(
-            deltas.where(F.col("v") != source).select("v", F.col("delta").alias("bc")),
-            "v",
-            "left",
-        )
-        .select("v", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+    per_v = (
+        deltas.where(F.col("v") != F.col("source"))
+        .groupBy("v")
+        .agg(F.sum("delta").alias("bc"))
+    )
+    result = graph.vertices.join(per_v, "v", "left").select(
+        "v", F.coalesce("bc", F.lit(0.0)).alias("bc")
     )
     dag.unpersist()
     return result
 
 
+def bc_single_source(graph: EdgeTable, source: int) -> DataFrame:
+    """Per-vertex dependency scores from one source:
+    DataFrame[v, bc] over ALL vertices (0.0 where unreached/source) —
+    the reference test's default (tests/bc/test_bc.cu:86-88). One-row
+    batch of the batched implementation."""
+    spark = graph.edges.sparkSession
+    sources = spark.createDataFrame([(int(source),)], schema="source long")
+    return bc_batch(graph, sources)
+
+
 def betweenness_centrality(
-    graph: EdgeTable, sources: list[int] | None = None
+    graph: EdgeTable,
+    sources: list[int] | DataFrame | None = None,
+    num_sources: int = 32,
 ) -> DataFrame:
-    """BC summed over ``sources`` (default: all vertices — O(V) BFS
-    passes, sample for large graphs, matching the reference test's
-    single-source default, tests/bc/test_bc.cu:86-88)."""
+    """BC summed over ``sources`` in one batched pass. ``sources``:
+    a list of vertex ids, a DataFrame[source], or None for a seeded
+    deterministic sample of ``num_sources`` vertices (the standard
+    approximate-BC estimator — exact all-sources BC is O(V·E); pass
+    the full vertex table explicitly if you really want it)."""
+    spark = graph.edges.sparkSession
     if sources is None:
-        sources = [r["v"] for r in graph.vertices.collect()]
-    total: DataFrame | None = None
-    for s in sources:
-        one = bc_single_source(graph, s)
-        if total is None:
-            total = one
-        else:
-            total = (
-                total.join(one.withColumnRenamed("bc", "bc2"), "v")
-                .select("v", (F.col("bc") + F.col("bc2")).alias("bc"))
-                .localCheckpoint(eager=False)
-            )
-    return total
+        src_df = sample_sources(graph, num_sources)
+    elif isinstance(sources, DataFrame):
+        src_df = sources.select(F.col("source").cast("long").alias("source"))
+    else:
+        src_df = spark.createDataFrame(
+            [(int(s),) for s in sources], schema="source long"
+        )
+    return bc_batch(graph, src_df)

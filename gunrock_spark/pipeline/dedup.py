@@ -21,9 +21,13 @@ deterministic, engine-reproducible, no Python UDFs.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from gunrock_spark.functions.hashing import h60, tokens
+
+_LOG = logging.getLogger(__name__)
 
 NUM_MINHASHES = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
@@ -212,31 +216,84 @@ def simhash(
     return bit_sums.select("id", sim.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
+def default_simhash_chunks(n_docs: int, max_hamming: int = 3) -> int:
+    """Pick the block count for simhash multi-index bucketing so
+    expected bucket occupancy (n / 2^key_bits) stays ≤ ~64. Fixed
+    15-bit buckets (the k+1=4-block minimum) go quadratic once the
+    corpus outgrows 32k buckets; wider keys need more blocks
+    (generalized pigeonhole: with c blocks and hamming ≤ k, some
+    c-k blocks are untouched — key on every (c-k)-combination,
+    Manku et al. WWW'07 multi-index simhash). Candidates from
+    {4, 5, 6} blocks → 15/24/30-bit keys and 4/10/20 index tables;
+    beyond c=6 the table count (C(c, c-k)) grows faster than the
+    key widens, so 30 bits is the cap — at 10^12 docs pair the
+    bucket join with a same-bucket count guard instead."""
+    for c in (max_hamming + 1, max_hamming + 2, max_hamming + 3):
+        key_bits = (c - max_hamming) * (60 // c)
+        if n_docs <= 64 * (1 << key_bits):
+            return c
+    return max_hamming + 3
+
+
+def simhash_candidate_pairs(
+    sh: DataFrame, max_hamming: int = 3, n_chunks: int | None = None, n_docs: int | None = None
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs with hamming(simhash) <= k, found
-    via 15-bit chunk buckets (4 chunks; hamming<=3 guarantees a shared
-    chunk — pigeonhole), then verified exactly with bit_count(xor)."""
-    sh = simhash(df, id_col, text_col).persist()
-    chunks = None
-    for c in range(4):
-        part = sh.select(
-            "id",
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"),
+    """(id_a, id_b) distinct pairs from ``sh`` (id, simhash) whose
+    fingerprints share at least one multi-index key.
+
+    Split the 60 bits into ``n_chunks`` blocks; hamming ≤ k leaves at
+    least ``n_chunks - k`` blocks untouched, so keying every
+    (n_chunks-k)-block combination catches EVERY true pair
+    (pigeonhole — exact recall, like the 4×15-bit special case). Wider
+    combined keys mean exponentially fewer same-bucket collisions:
+    the fix for quadratic within-bucket joins at ≥10⁹ docs (VERDICT
+    r1 #4). ``n_chunks=None`` scales with ``n_docs`` (counted if
+    absent) via :func:`default_simhash_chunks`; the chosen geometry is
+    logged so silent blowups are visible."""
+    from itertools import combinations
+
+    if n_chunks is None:
+        if n_docs is None:
+            n_docs = sh.count()
+        n_chunks = default_simhash_chunks(n_docs, max_hamming)
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"n_chunks={n_chunks} must exceed max_hamming={max_hamming} "
+            f"(pigeonhole needs at least one untouched block)"
         )
-        chunks = part if chunks is None else chunks.unionByName(part)
+    w = 60 // n_chunks
+    keep = n_chunks - max_hamming
+    subsets = list(combinations(range(n_chunks), keep))
+    _LOG.info(
+        "simhash bucketing: %d blocks x %d bits, %d index tables, %d-bit keys",
+        n_chunks, w, len(subsets), keep * w,
+    )
+
+    def _block(j: int):
+        return F.shiftright(F.col("simhash"), j * w).bitwiseAND(F.lit((1 << w) - 1))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(sid).alias("chunk"),
+                sum(
+                    (_block(j) * F.lit(1 << (idx * w)) for idx, j in enumerate(s)),
+                    F.lit(0).cast("long"),
+                ).alias("key"),
+            )
+            for sid, s in enumerate(subsets)
+        ]
+    )
+    chunks = sh.select("id", F.explode(entries).alias("e")).select(
+        "id", F.col("e.chunk").alias("chunk"), F.col("e.key").alias("key")
+    )
     left = chunks.select(
         F.col("chunk").alias("c1"), F.col("key").alias("k1"), F.col("id").alias("id_a")
     )
     right = chunks.select(
         F.col("chunk").alias("c2"), F.col("key").alias("k2"), F.col("id").alias("id_b")
     )
-    cands = (
+    return (
         left.join(
             right,
             (F.col("c1") == F.col("c2"))
@@ -246,6 +303,27 @@ def simhash_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    log_candidates: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(simhash) <= k, found
+    via corpus-size-scaled multi-index block buckets
+    (:func:`simhash_candidate_pairs`), then verified exactly with
+    bit_count(xor). ``log_candidates=True`` counts and logs the
+    candidate-pair volume (one extra action) so bucket-geometry
+    problems surface as a number, not a hung stage."""
+    sh = simhash(df, id_col, text_col).persist()
+    cands = simhash_candidate_pairs(sh, max_hamming, n_chunks)
+    if log_candidates:
+        cands = cands.persist()
+        _LOG.info("simhash candidate pairs: %d", cands.count())
     a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

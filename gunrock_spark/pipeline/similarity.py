@@ -291,53 +291,110 @@ def _planes(dim: int, n_planes: int) -> list[list[float]]:
     ]
 
 
+def default_signbit_geometry(n_rows: int, bands: int = 4) -> tuple[int, int]:
+    """(n_planes, bands) for sign-bit LSH scaled to the corpus: per
+    band the bucket key uses r = max(8, ceil(log2(n/32))) planes so
+    expected bucket occupancy n / 2^r stays ≤ ~32 (a fixed 8-plane /
+    256-bucket geometry makes within-bucket joins quadratic past ~10⁴
+    vectors); ``bands`` independent bands recover the recall lost to
+    the wider keys (a pair collides if ANY band agrees — the
+    OR-of-ANDs LSH amplification)."""
+    import math
+
+    r = max(8, math.ceil(math.log2(max(n_rows, 2) / 32)))
+    return r * bands, bands
+
+
 def signbit_buckets(
     corpus: DataFrame,
     dim: int,
     n_planes: int = 8,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 1,
 ) -> DataFrame:
-    """(vec_id, bucket) — bucket = sign-bit signature over n_planes
-    deterministic hyperplanes (cosine-LSH)."""
+    """(vec_id, band, bucket) — bucket = sign-bit signature over the
+    band's n_planes/bands deterministic hyperplanes (cosine-LSH,
+    banded OR-amplification when bands > 1)."""
     c = corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
     planes = _planes(dim, n_planes)
-    bucket = None
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(F.col("cv"), lit_plane) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    r = n_planes // bands
+    parts = []
+    for band in range(bands):
+        bucket = None
+        for p in range(r):
+            lit_plane = F.array(*[F.lit(x) for x in planes[band * r + p]])
+            bit = F.when(
+                _dot(F.col("cv"), lit_plane) > 0, F.lit(1 << p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bit if bucket is None else bucket + bit
+        parts.append(
+            c.select(corpus_id, F.lit(band).alias("band"), bucket.alias("bucket"))
         )
-        bucket = bit if bucket is None else bucket + bit
-    return c.select(corpus_id, bucket.alias("bucket"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     dim: int | None = None,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     brute_force: bool = False,
+    bands: int = 1,
+    log_candidates: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
     Default: sign-bit-LSH bucketed (only same-bucket pairs verified);
-    ``brute_force=True`` checks every pair (baseline/oracle path)."""
+    ``brute_force=True`` checks every pair (baseline/oracle path).
+    ``n_planes=None`` scales the bucket geometry with the corpus size
+    (see :func:`default_signbit_geometry`) — the fixed 8-plane default
+    is fine to ~10⁴ vectors and quadratic past it (VERDICT r1 #4).
+    ``log_candidates=True`` counts and logs the candidate-pair volume
+    (one extra action)."""
+    import logging
+
     c = corpus.select(F.col(corpus_id).alias("id"), _as_double(F.col(vec_col)).alias("cv"))
     if brute_force:
         a = c.select(F.col("id").alias("id_a"), F.col("cv").alias("va"))
         b = c.select(F.col("id").alias("id_b"), F.col("cv").alias("vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
+        if n_planes is None:
+            n_planes, bands = default_signbit_geometry(corpus.count(), max(bands, 4))
+        logging.getLogger(__name__).info(
+            "sign-bit LSH: %d planes in %d bands (%d-bit band keys)",
+            n_planes, bands, n_planes // bands,
+        )
         if dim is None:
             dim = len(corpus.select(vec_col).first()[0])
-        bk = signbit_buckets(corpus, dim, n_planes, corpus_id, vec_col)
-        l = bk.select(F.col(corpus_id).alias("id_a"), F.col("bucket").alias("k1"))
-        r = bk.select(F.col(corpus_id).alias("id_b"), F.col("bucket").alias("k2"))
-        cand = l.join(r, (F.col("k1") == F.col("k2")) & (F.col("id_a") < F.col("id_b"))).select(
-            "id_a", "id_b"
+        bk = signbit_buckets(corpus, dim, n_planes, corpus_id, vec_col, bands)
+        l = bk.select(
+            F.col(corpus_id).alias("id_a"), F.col("band").alias("b1"), F.col("bucket").alias("k1")
         )
+        r = bk.select(
+            F.col(corpus_id).alias("id_b"), F.col("band").alias("b2"), F.col("bucket").alias("k2")
+        )
+        cand = (
+            l.join(
+                r,
+                (F.col("b1") == F.col("b2"))
+                & (F.col("k1") == F.col("k2"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b")
+        )
+        if bands > 1:  # a pair may collide in several bands
+            cand = cand.distinct()
+        if log_candidates:
+            cand = cand.persist()
+            logging.getLogger(__name__).info(
+                "sign-bit LSH candidate pairs: %d", cand.count()
+            )
         a = c.select(F.col("id").alias("id_a"), F.col("cv").alias("va"))
         b = c.select(F.col("id").alias("id_b"), F.col("cv").alias("vb"))
         pairs = cand.join(a, "id_a").join(b, "id_b")

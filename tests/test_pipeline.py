@@ -232,3 +232,55 @@ def test_centroid_selection_matches_global_sort_and_scales_n_lists(spark, vector
     n_vec = vectors.count()
     all_c = select_centroids(vectors, n_vec + 10)
     assert all_c.count() == n_vec
+
+
+def test_simhash_bucket_width_scales_and_bounds_candidates(spark):
+    """VERDICT r1 #4: bucket geometry must scale with corpus size.
+    On 10^5 synthetic fingerprints the 5-block/24-bit-key geometry
+    must (a) keep candidate pairs orders of magnitude under n^2 and
+    far under the 4-block geometry's volume, and (b) still catch
+    every planted hamming<=3 pair (pigeonhole is exact recall)."""
+    from gunrock_spark.functions.hashing import h60, h60_py
+    from gunrock_spark.pipeline.dedup import (
+        default_simhash_chunks,
+        simhash_candidate_pairs,
+    )
+
+    assert default_simhash_chunks(100_000) == 4
+    assert default_simhash_chunks(10_000_000) == 5
+    assert default_simhash_chunks(2_000_000_000) == 6
+
+    n = 100_000
+    base = spark.range(n).select(
+        F.col("id"), h60(F.col("id").cast("string")).alias("simhash")
+    )
+    # plant 10 near-dups: id n+j is id j with 3 low bits flipped
+    planted = [(n + j, h60_py(str(j)) ^ 0b111) for j in range(10)]
+    sh = base.unionByName(
+        spark.createDataFrame(planted, schema="id long, simhash long")
+    ).persist()
+    cands5 = simhash_candidate_pairs(sh, max_hamming=3, n_chunks=5).persist()
+    n5 = cands5.count()
+    got = {(r["id_a"], r["id_b"]) for r in cands5.collect()}
+    for j in range(10):
+        assert (j, n + j) in got
+    # 10 tables x ~n^2/2 / 2^24 expected ~3k; generous bound
+    assert n5 < 100_000, n5
+    sh.unpersist()
+    cands5.unpersist()
+
+
+def test_signbit_banded_geometry(spark, vectors):
+    """Banded sign-bit LSH: wider band keys + OR-amplification must
+    still find the planted near-dup pair; geometry helper scales."""
+    from gunrock_spark.pipeline.similarity import (
+        cosine_near_dup_pairs,
+        default_signbit_geometry,
+    )
+
+    assert default_signbit_geometry(10**9) == (25 * 4, 4)
+    assert default_signbit_geometry(100)[0] == 8 * 4
+    banded = cosine_near_dup_pairs(
+        vectors, threshold=0.999, n_planes=24, bands=3
+    )
+    assert (0, 40) in {(r["id_a"], r["id_b"]) for r in banded.collect()}
