@@ -43,6 +43,20 @@ def main() -> None:
     ap.add_argument("--source", default="lineitem", choices=["lineitem", "orders"])
     args = ap.parse_args()
 
+    # Host-speed calibration: this sandbox's throughput drifts ±20%
+    # (sometimes 2x) between sessions, which makes round-over-round
+    # absolute-seconds comparisons meaningless. A fixed single-thread
+    # CPU workload gives the denominator: compare
+    # query_sec * (calibration_this_round / calibration_that_round).
+    import hashlib
+    import time as _time
+
+    _t = _time.monotonic()
+    _b = b"calibration"
+    for _ in range(200_000):
+        _b = hashlib.md5(_b).digest()
+    host_calibration_sec = round(_time.monotonic() - _t, 4)
+
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
     # adaptive=False: AQE's per-stage re-planning costs ~20% wall-clock
     # on these many-small-stage iterative loops (see session.py note);
@@ -123,6 +137,7 @@ def main() -> None:
                 },
                 "iterations": iters,
                 "teps": {k: round(v) for k, v in teps.items()},
+                "host_calibration_sec": host_calibration_sec,
             }
         )
     )

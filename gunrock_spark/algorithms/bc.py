@@ -93,7 +93,10 @@ def bc_batch(graph: EdgeTable, sources: DataFrame) -> DataFrame:
     """Brandes dependency scores summed over a batch of sources in ONE
     forward + ONE backward level-loop: DataFrame[v, bc] over ALL
     vertices (0.0 where unreached / source-only)."""
-    edges = graph.edges
+    # the backward accumulation joins on the ORIGINAL dst per level —
+    # the cached reversed (CSC) layout is partitioned+sorted by that
+    # key, so only the |V|-sized children side shuffles per level
+    rev = graph.reversed_layout().edges
     dag, max_depth = _forward_batched(graph, sources)
     dag = dag.persist()
     dag.count()
@@ -106,8 +109,8 @@ def bc_batch(graph: EdgeTable, sources: DataFrame) -> DataFrame:
             F.col("delta").alias("cdelta"),
         )
         contrib = (
-            edges.join(children, edges["dst"] == children["cv"])
-            .groupBy(F.col("csource"), edges["src"].alias("pv"))
+            rev.join(children, rev["src"] == children["cv"])
+            .groupBy(F.col("csource"), rev["dst"].alias("pv"))
             .agg(
                 F.sum(
                     (F.lit(1.0) + F.col("cdelta")) / F.col("csigma")

@@ -45,10 +45,16 @@ def hits(
         "v", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
     ).repartition(spark.sparkContext.defaultParallelism, "v").localCheckpoint(eager=True)
 
+    # the HUB advance runs over the CSC (join keyed on original dst);
+    # the cached reversed layout is partitioned+sorted by that key, so
+    # per iteration only the |V|-row state shuffles — joining the raw
+    # edge table on dst would re-shuffle |E| rows every iteration
+    rev = graph.reversed_layout().edges
+
     def step(cur: DataFrame, i: int):
         cur = cur.select("v", "hub", "auth")
         e1 = edges.select(F.col("src").alias("s1"), F.col("dst").alias("d1"))
-        e2 = edges.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
+        e2 = rev.select(F.col("src").alias("d2"), F.col("dst").alias("s2"))
         # auth_i[v] = sum over in-edges of hub/max(out_deg,1)
         hub_side = cur.join(deg.select("v", "out_degree"), "v")
         auth_msgs = (

@@ -32,6 +32,7 @@ def salsa(graph: EdgeTable, max_iter: int = 20) -> IterationResult:
     """Result state: (v long, hub double, auth double)."""
     spark = graph.edges.sparkSession
     edges = graph.edges
+    rev = graph.reversed_layout().edges
     deg = graph.degrees
 
     out_nodes = deg.where(F.col("out_degree") > 0).count()
@@ -47,9 +48,12 @@ def salsa(graph: EdgeTable, max_iter: int = 20) -> IterationResult:
         cur = cur.join(deg, "v").select(
             "v", "hub", "auth", "out_degree", "in_degree"
         )
+        # e2/e3 are joined on the ORIGINAL dst — use the cached
+        # reversed (CSC) layout, which is partitioned+sorted by that
+        # key, instead of re-shuffling |E| rows by dst per iteration
         e1 = edges.select(F.col("src").alias("s1"), F.col("dst").alias("d1"))
-        e2 = edges.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
-        e3 = edges.select(F.col("src").alias("s3"), F.col("dst").alias("d3"))
+        e2 = rev.select(F.col("src").alias("d2"), F.col("dst").alias("s2"))
+        e3 = rev.select(F.col("src").alias("d3"), F.col("dst").alias("s3"))
         e4 = edges.select(F.col("src").alias("s4"), F.col("dst").alias("d4"))
         # hub pass: t[v] = sum_{w->v} hub[w]/outdeg(w), then
         # hub'[u] = sum_{u->v} t[v]/indeg(v)

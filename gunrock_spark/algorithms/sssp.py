@@ -10,9 +10,11 @@ next frontier. ``mark_paths`` records a predecessor (sssp_functor.cuh:
 Delta-stepping (priority_queue/, sssp_enactor.cuh:272-310): the
 reference splits the frontier into near/far piles by
 ``priority = dist / delta``; our analog filters the active set to
-``dist < (level+1) * delta`` and only promotes the level when the
-near pile drains — same work-ordering idea, two predicates instead
-of a bisect kernel.
+``dist < (level+1) * delta`` where the level is recomputed from the
+previous iteration's metrics aggregate (floor of the minimum active
+distance / delta) — same work-ordering idea, zero extra driver
+probes: drain detection rides the stop-metric action the loop
+already pays.
 
 Spark plan per iteration:
     frontier(v, dist) ⋈ edges on v = src
@@ -62,12 +64,14 @@ def sssp(
     def step(cur: DataFrame, i: int):
         frontier = cur.where(F.col("active"))
         if delta is not None:
-            near = frontier.where(F.col("dist") < (level["value"] + 1) * delta)
-            # promote the level when the near pile is drained
-            if near.limit(1).count() == 0:
-                level["value"] += 1
-                near = frontier.where(F.col("dist") < (level["value"] + 1) * delta)
-            frontier = near
+            # the level was computed by the PREVIOUS iteration's
+            # metrics action (min active dist // delta) — no extra
+            # near-pile-drained probe job per iteration (VERDICT r1
+            # next-round #9); the bucket is never empty while any
+            # vertex is active
+            frontier = frontier.where(
+                F.col("dist") < (level["value"] + 1) * delta
+            )
         cand = (
             frontier.join(edges, frontier["v"] == edges["src"])
             .select(
@@ -102,8 +106,25 @@ def sssp(
         )
 
         def metrics(materialized: DataFrame) -> dict:
-            improved = materialized.where(F.col("active")).count()
-            return {"improved": improved, "edges_traversed": improved}
+            if delta is None:
+                improved = materialized.where(F.col("active")).count()
+                return {"improved": improved, "edges_traversed": improved}
+            # one aggregate yields BOTH the stop metric and the next
+            # bucket level (floor(min active dist / delta)) — drain
+            # detection folded into the action the loop already pays
+            row = (
+                materialized.where(F.col("active"))
+                .agg(F.count(F.lit(1)).alias("n"), F.min("dist").alias("mind"))
+                .collect()[0]
+            )
+            improved = row["n"]
+            if improved:
+                level["value"] = int(row["mind"] // delta)
+            return {
+                "improved": improved,
+                "edges_traversed": improved,
+                "bucket_level": level["value"],
+            }
 
         return new, metrics
 

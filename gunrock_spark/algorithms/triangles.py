@@ -69,15 +69,127 @@ def _closed_wedges(graph: EdgeTable) -> DataFrame:
     return wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
 
 
-def triangle_count(graph: EdgeTable) -> int:
-    """Exact global triangle count (undirected semantics)."""
+def triangle_count(graph: EdgeTable, impl: str = "join") -> int:
+    """Exact global triangle count (undirected semantics).
+
+    ``impl`` selects the physical strategy:
+      - "join" (default): wedge join + closure join — pure Catalyst,
+        shuffle-based, the at-scale default (work O(m^1.5), memory
+        O(shuffle partition)).
+      - "blocks": per-partition sorted-intersection pandas UDF over
+        CSR blocks (the north rule's optimized path; the DataFrame
+        analog of the reference's per-edge adjacency intersection,
+        gunrock/util/join.cuh:17-60 / Wang et al. HPGP'16) — see
+        :func:`triangle_count_blocks`.
+    """
+    if impl == "blocks":
+        return triangle_count_blocks(graph)
+    if impl != "join":
+        raise ValueError(f"unknown impl {impl!r} (expected 'join' or 'blocks')")
     return _closed_wedges(graph).count()
 
 
-def triangle_count_df(graph: EdgeTable) -> DataFrame:
+def triangle_count_df(graph: EdgeTable, impl: str = "join") -> DataFrame:
     """Global count as a 1-row DataFrame[n_triangles long] (for the
     correctness harness)."""
+    if impl == "blocks":
+        spark = graph.edges.sparkSession
+        return spark.createDataFrame(
+            [(triangle_count_blocks(graph),)], schema="n_triangles long"
+        )
     return _closed_wedges(graph).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# worker-local decoded adjacency cache: (store_path, block) ->
+# dict[vertex -> sorted unique numpy array of out-neighbors]. Same
+# immutability contract as csr_blocks._BLOCK_CACHE (unique store path
+# per build); evicted alongside it on store change.
+_ADJ_CACHE: dict = {}
+
+
+def _adjacency(store_path: str, block: int):
+    key = (store_path, block)
+    adj = _ADJ_CACHE.get(key)
+    if adj is None:
+        from gunrock_spark.engine.csr_blocks import _load_block
+
+        for k in [k for k in _ADJ_CACHE if k[0] != store_path]:
+            del _ADJ_CACHE[k]
+        edf = _load_block(store_path, block).sort_values(["src", "dst"])
+        adj = {
+            int(u): grp["dst"].to_numpy()
+            for u, grp in edf.groupby("src", sort=False)
+        }
+        _ADJ_CACHE[key] = adj
+    return adj
+
+
+def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> int:
+    """Exact triangle count via per-partition sorted intersection of
+    CSR adjacency slices (SURVEY §7.2 item 8; reference per-edge
+    intersection, util/join.cuh:17-60).
+
+    Physical plan: the degree-ordered oriented edges are written once
+    to a CSR block store (block = pmod(hash(u), P), sorted by u —
+    engine/csr_blocks.py infrastructure). Each oriented edge (u, w)
+    contributes |N+(u) ∩ N+(w)| triangles; edges are grouped by the
+    BLOCK PAIR (block(u), block(w)) via ``applyInPandas``, so every
+    task touches exactly two CSR slices, intersected with vectorized
+    numpy over worker-cached decoded adjacency (no per-row Python
+    against Spark rows; only partial counts cross Arrow back).
+
+    Scale contract: like the reference's GPU kernels this strategy
+    wants the oriented CSR resident per executor (slices are fetched
+    from shared storage and cached worker-locally; a worker may
+    eventually hold all P slices ≈ m/2 edges). That is the
+    compute-optimized regime; beyond per-executor memory, use the
+    shuffle-based join path (the default)."""
+    import os
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from gunrock_spark.engine.csr_blocks import (
+        build_block_store,
+        remove_block_store,
+    )
+
+    spark = graph.edges.sparkSession
+    if num_blocks is None:
+        num_blocks = spark.sparkContext.defaultParallelism
+    o = _oriented(graph)
+    base = os.environ.get("SPARK_GRAFT_BLOCK_STORE")
+    tmp_base = tempfile.mkdtemp(prefix="tc_blocks_") if base is None else None
+    store = (base or tmp_base).rstrip("/") + "/" + uuid.uuid4().hex
+    build_block_store(
+        o.select(F.col("u").alias("src"), F.col("w").alias("dst")), num_blocks, store
+    )
+
+    def pair_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bu, bw = int(key[0]), int(key[1])
+        adj_u = _adjacency(store, bu)
+        adj_w = _adjacency(store, bw)
+        total = 0
+        for u, w in zip(pdf["u"].to_numpy(), pdf["w"].to_numpy()):
+            a = adj_u.get(int(u))
+            b = adj_w.get(int(w))
+            if a is not None and b is not None:
+                total += np.intersect1d(a, b, assume_unique=True).size
+        return pd.DataFrame({"cnt": pd.Series([total], dtype="int64")})
+
+    tagged = o.select(
+        "u",
+        "w",
+        F.pmod(F.hash("u"), F.lit(num_blocks)).alias("bu"),
+        F.pmod(F.hash("w"), F.lit(num_blocks)).alias("bw"),
+    )
+    partials = tagged.groupBy("bu", "bw").applyInPandas(pair_fn, schema="cnt long")
+    n = partials.agg(F.sum("cnt")).collect()[0][0] or 0
+    remove_block_store(tmp_base or store)
+    return int(n)
 
 
 def triangle_count_per_vertex(graph: EdgeTable) -> DataFrame:

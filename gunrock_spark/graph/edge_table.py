@@ -36,6 +36,7 @@ class EdgeTable:
         self._num_edges: int | None = None
         self._num_vertices: int | None = None
         self._symmetrized: "EdgeTable | None" = None
+        self._reversed_layout: "EdgeTable | None" = None
 
     # ------------------------------------------------------------------
     # construction
@@ -104,6 +105,26 @@ class EdgeTable:
         if self.weighted:
             cols.append(F.col("weight"))
         return EdgeTable(self.edges.select(*cols), weighted=self.weighted)
+
+    def reversed_layout(self) -> "EdgeTable":
+        """The CSC mirror WITH the CSR-analog physical layout:
+        reversed edges hash-partitioned + sorted by their src
+        (= original dst) and persisted, cached on the instance —
+        built once per graph like the reference's CSC
+        (csr.cuh:127-154), so every backward/pull advance (BFS pull
+        regime, HITS/SALSA reverse passes) reuses the cached ordering
+        instead of re-shuffling |E| rows per call."""
+        if self._reversed_layout is not None:
+            return self._reversed_layout
+        n = self.edges.rdd.getNumPartitions()
+        e = (
+            self.reversed()
+            .edges.repartition(n, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._reversed_layout = EdgeTable(e, weighted=self.weighted)
+        return self._reversed_layout
 
     def symmetrized(self) -> "EdgeTable":
         """Union of both directions, deduped (undirected view).
@@ -215,4 +236,7 @@ class EdgeTable:
         if self._symmetrized is not None:
             self._symmetrized.unpersist()
             self._symmetrized = None
+        if self._reversed_layout is not None:
+            self._reversed_layout.edges.unpersist()
+            self._reversed_layout = None
         self.edges.unpersist()

@@ -90,26 +90,62 @@ def read_mtx(
     return EdgeTable.from_df(e, num_partitions=num_partitions)
 
 
+def _write_single_text(lines: DataFrame, path: str) -> None:
+    """Write a (section int, k1 long, k2 long, line string) DataFrame
+    as ONE sorted text file at ``path`` — a single-partition Spark
+    text write plus a rename, never a driver-side collect: the export
+    streams through one writer task instead of materializing every
+    row in driver memory (the reference's writers are likewise
+    single-stream, csr.cuh:333-401). Local/file:// paths only (these
+    are interop text formats, not the engine's parquet snapshots)."""
+    import glob
+    import shutil
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    tmp = local + "._spark_tmp"
+    (
+        lines.repartition(1)
+        .sortWithinPartitions("section", "k1", "k2")
+        .select("line")
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    os.replace(part, local)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_mtx(graph: EdgeTable, path: str) -> None:
     """Export as 1-based Matrix Market coordinate text (general
-    symmetry — the cleaned table is directional), single file."""
-    n = graph.num_vertices()
+    symmetry — the cleaned table is directional), single file, edges
+    sorted by (src, dst). Distributed pipeline + one writer task; no
+    driver collect (Csr::WriteToMtxFile analog, gunrock/csr.cuh:
+    365-401)."""
+    spark = graph.edges.sparkSession
     m = graph.num_edges()
     max_id = graph.vertices.agg(F.max("v")).collect()[0][0] or 0
     dims = max_id + 1  # ids are dense-or-sparse longs; matrix dim = max+1
+    kind = "real" if graph.weighted else "pattern"
+    header = spark.createDataFrame(
+        [
+            (0, 0, 0, f"%%MatrixMarket matrix coordinate {kind} general"),
+            (0, 0, 1, f"{dims} {dims} {m}"),
+        ],
+        schema="section int, k1 long, k2 long, line string",
+    )
     cols = [
         (F.col("src") + 1).cast("string"),
         (F.col("dst") + 1).cast("string"),
     ]
     if graph.weighted:
         cols.append(F.col("weight").cast("string"))
-    body = graph.edges.select(F.concat_ws(" ", *cols).alias("line")).collect()
-    kind = "real" if graph.weighted else "pattern"
-    with open(path, "w") as f:
-        f.write(f"%%MatrixMarket matrix coordinate {kind} general\n")
-        f.write(f"{dims} {dims} {m}\n")
-        for r in body:
-            f.write(r["line"] + "\n")
+    body = graph.edges.select(
+        F.lit(1).alias("section"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+        F.concat_ws(" ", *cols).alias("line"),
+    )
+    _write_single_text(header.unionByName(body), path)
 
 
 def save_edge_table(graph: EdgeTable, path: str) -> None:
@@ -147,23 +183,41 @@ def load_edge_table(
 def write_ligra_adj(graph: EdgeTable, path: str) -> None:
     """Export as a Ligra AdjacencyGraph text file (the reference's
     Csr::WriteToLigraFile, gunrock/csr.cuh:333-363): header, n, m,
-    n row-offsets, m column indices. Collects to the driver — an
-    export utility for graphs that fit there (the reference's writer
-    is likewise single-stream)."""
-    rows = graph.edges.select("src", "dst").orderBy("src", "dst").collect()
+    n row-offsets, m column indices (CSR order: dst sorted within
+    src). Offsets are a running degree sum computed in the same
+    single writer partition the text write already needs — the export
+    streams; nothing is collected to the driver."""
+    from pyspark.sql import Window
+
+    spark = graph.edges.sparkSession
     n = (graph.vertices.agg(F.max("v")).collect()[0][0] or 0) + 1
-    m = len(rows)
-    offsets = [0] * (n + 1)
-    cols = []
-    for r in rows:
-        offsets[r["src"] + 1] += 1
-        cols.append(r["dst"])
-    for i in range(1, n + 1):
-        offsets[i] += offsets[i - 1]
-    with open(path, "w") as f:
-        f.write("AdjacencyGraph\n")
-        f.write(f"{n}\n{m}\n")
-        for i in range(n):
-            f.write(f"{offsets[i]}\n")
-        for c in cols:
-            f.write(f"{c}\n")
+    m = graph.num_edges()
+    header = spark.createDataFrame(
+        [(0, 0, 0, "AdjacencyGraph"), (0, 0, 1, str(n)), (0, 0, 2, str(m))],
+        schema="section int, k1 long, k2 long, line string",
+    )
+    out_deg = graph.edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    dense = spark.range(n).select(F.col("id").alias("v"))
+    # exclusive prefix sum over the dense 0..n-1 vertex range; the
+    # global window is one |V|-row task — the same task the
+    # single-file write serializes through anyway (export utility)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        dense.join(out_deg, "v", "left")
+        .select("v", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .select(
+            F.lit(1).alias("section"),
+            F.col("v").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            F.coalesce(F.sum("deg").over(w), F.lit(0)).cast("string").alias("line"),
+        )
+    )
+    cols = graph.edges.select(
+        F.lit(2).alias("section"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+        F.col("dst").cast("string").alias("line"),
+    )
+    _write_single_text(header.unionByName(offsets).unionByName(cols), path)

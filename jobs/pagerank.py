@@ -44,7 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--pages-generate", type=int, metavar="N",
                      help="generate a deterministic N-page table (power of two)")
     ap.add_argument("--algorithm", default="pagerank",
-                    choices=["pagerank", "cc", "lp", "tc"])
+                    choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
+                             "bc", "hits", "salsa", "wtf", "topk"],
+                    help="the reference CLI binaries' surface "
+                         "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk})")
     ap.add_argument("--delta", type=float, default=0.85)
     ap.add_argument("--threshold", type=float, default=0.01)
     ap.add_argument("--max-iter", type=int, default=50)
@@ -66,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--manifest", default=None,
                     help="run-manifest JSON path (default: stdout)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--source", type=int, default=None,
+                    help="source vertex (bfs/sssp/bc/hits/wtf; default: "
+                         "smallest vertex id)")
+    ap.add_argument("--k", type=int, default=10, help="top-k size (topk)")
+    ap.add_argument("--num-sources", type=int, default=32,
+                    help="bc: seeded source-sample size when --source unset")
+    ap.add_argument("--mark-pred", action="store_true",
+                    help="bfs: record predecessors / sssp: record paths")
     args = ap.parse_args(argv)
     # fail fast on flag/algorithm mismatches (a silently-ignored warm
     # start looks identical to a successful one from the outside)
@@ -108,8 +119,30 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         edges_df, _ = pages_to_edges(pages)
     n_parts = args.num_partitions or spark.sparkContext.defaultParallelism
-    graph = EdgeTable.from_df(edges_df, num_partitions=n_parts)
+    # sssp needs weights: use a weight column when present, else fill
+    # deterministically like the .mtx reader (h60(src:dst) % 64)
+    weight = None
+    if args.algorithm == "sssp":
+        if "weight" not in edges_df.columns:
+            from pyspark.sql import functions as F
+
+            from gunrock_spark.functions.hashing import h60
+
+            edges_df = edges_df.withColumn(
+                "weight",
+                (h60(F.concat_ws(":", F.col("src"), F.col("dst"))) % 64
+                 ).cast("double"),
+            )
+        weight = "weight"
+    graph = EdgeTable.from_df(edges_df, weight=weight, num_partitions=n_parts)
     load_sec = time.monotonic() - t_load
+
+    def _default_source():
+        if args.source is not None:
+            return args.source
+        from pyspark.sql import functions as F
+
+        return graph.vertices.agg(F.min("v")).collect()[0][0]
 
     if args.algorithm == "pagerank":
         from gunrock_spark.algorithms.pagerank import pagerank, ranked
@@ -152,11 +185,54 @@ def main(argv: list[str] | None = None) -> int:
 
         res = label_propagation(graph, mode="mode", max_iter=args.max_iter)
         out_df = res.state.select("v", "label")
-    else:  # tc
+    elif args.algorithm == "tc":
         from gunrock_spark.algorithms.triangles import triangle_count_per_vertex
 
         res = None
         out_df = triangle_count_per_vertex(graph)
+    elif args.algorithm == "bfs":
+        from gunrock_spark.algorithms.bfs import bfs
+
+        res = bfs(graph, source=_default_source(), max_depth=args.max_iter,
+                  mark_predecessors=args.mark_pred)
+        out_df = res.state
+    elif args.algorithm == "sssp":
+        from gunrock_spark.algorithms.sssp import distances, sssp
+
+        res = sssp(graph, source=_default_source(), max_iter=args.max_iter,
+                   mark_paths=args.mark_pred)
+        out_df = distances(res.state)
+    elif args.algorithm == "bc":
+        from gunrock_spark.algorithms.bc import betweenness_centrality
+
+        res = None
+        out_df = betweenness_centrality(
+            graph,
+            sources=[args.source] if args.source is not None else None,
+            num_sources=args.num_sources,
+        )
+    elif args.algorithm == "hits":
+        from gunrock_spark.algorithms.hits import hits
+
+        res = hits(graph, src=_default_source(), delta=args.delta,
+                   max_iter=args.max_iter)
+        out_df = res.state
+    elif args.algorithm == "salsa":
+        from gunrock_spark.algorithms.salsa import salsa
+
+        res = salsa(graph, max_iter=args.max_iter)
+        out_df = res.state
+    elif args.algorithm == "wtf":
+        from gunrock_spark.algorithms.wtf import who_to_follow
+
+        res = None
+        out_df = who_to_follow(graph, src=_default_source(),
+                               delta=args.delta, max_iter=args.max_iter)
+    else:  # topk
+        from gunrock_spark.algorithms.topk import degree_topk
+
+        res = None
+        out_df = degree_topk(graph, k=args.k)
 
     out_df.write.mode("overwrite").parquet(args.out)
 

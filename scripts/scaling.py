@@ -57,10 +57,22 @@ spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet(path)
 g = EdgeTable.from_df(edges, num_partitions=cpus)
 m = g.num_edges(); g.degrees.count()   # warm cache outside the timer
+warm = None
+if algo == "pagerank_warm":
+    # the continuous-crawl path: yesterday's converged (v, rank) table
+    # seeds today's run; built untimed — the measured job is the
+    # warm-started power iteration incl. the extra init join
+    warm = (
+        pagerank(g, threshold=0.0, max_iter=2)
+        .state.select("v", "rank")
+        .localCheckpoint(eager=True)
+    )
 def run(k):
     if algo == "cc":
         # CC touches 2|E| symmetrized edges per iteration
         return connected_components(g, max_iter=k)
+    if algo == "pagerank_warm":
+        return pagerank(g, threshold=0.0, max_iter=k, init_ranks=warm)
     return pagerank(g, threshold=0.0, max_iter=k)
 
 edge_mult = 2 if algo == "cc" else 1
@@ -90,7 +102,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=4, help="small size N (big = 4N)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--input", default=None, help="reuse an existing edges.parquet")
-    ap.add_argument("--algorithm", default="pagerank", choices=["pagerank", "cc"])
+    ap.add_argument("--algorithm", default="pagerank", choices=["pagerank", "cc", "pagerank_warm"])
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-runner wall-clock cap, seconds")
     args = ap.parse_args()

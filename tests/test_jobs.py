@@ -133,3 +133,28 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         _run_job(["--pages-generate", "0", "--out", str(tmp_path / "o")])
     assert exc.value.code == 2
     assert "must be positive" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize(
+    "algo,extra",
+    [
+        ("bfs", ["--mark-pred"]),
+        ("sssp", []),
+        ("bc", ["--num-sources", "2"]),
+        ("hits", ["--max-iter", "3"]),
+        ("salsa", ["--max-iter", "3"]),
+        ("wtf", ["--max-iter", "5"]),
+        ("topk", ["--k", "3"]),
+    ],
+)
+def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, algo, extra):
+    """Every reference CLI binary (tests/{bfs,sssp,bc,hits,salsa,wtf,
+    topk}) has a jobs-driver analog that runs end-to-end and writes
+    non-empty parquet."""
+    out = str(tmp_path / f"out_{algo}")
+    rc = _run_job(["--edges", edges_parquet, "--algorithm", algo, "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["algorithm"] == algo

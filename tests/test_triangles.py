@@ -32,3 +32,24 @@ def test_triangle_rmat_power_law(spark):
     g = EdgeTable.from_df(edges_df(spark, edge_list))
     n = max(max(e) for e in edge_list) + 1
     assert triangle_count(g) == triangle_count_ref(edge_list, n=n)
+
+
+def test_triangle_count_blocks_matches_join(spark):
+    """The CSR-block sorted-intersection strategy (north-rule optimized
+    path) must count exactly what the wedge-join strategy counts."""
+    from gunrock_spark.algorithms.triangles import triangle_count_df
+    from gunrock_spark.graph.generators import rmat_edges
+    from tests.oracles import clean_edges
+
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(8, 8, seed=13)])
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    via_join = triangle_count(g, impl="join")
+    via_blocks = triangle_count(g, impl="blocks")
+    assert via_blocks == via_join
+    assert via_join > 0
+    df = triangle_count_df(g, impl="blocks").collect()
+    assert df[0]["n_triangles"] == via_join
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        triangle_count(g, impl="nope")
