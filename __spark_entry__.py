@@ -40,8 +40,14 @@ from gunrock_spark.pipeline.dedup import (
     near_duplicates,
     shingles,
     simhash,
+    simhash_near_duplicates,
 )
-from gunrock_spark.pipeline.similarity import cosine_near_dup_pairs, cosine_topk
+from gunrock_spark.pipeline.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_index,
+    ivf_search,
+)
 from gunrock_spark.pipeline.text import (
     fingerprint,
     language_id,
@@ -928,6 +934,85 @@ SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {k}"""
 
 
+def _simhash_near_dups_sql(max_hamming: int = 3) -> str:
+    """Brute-force all-pairs hamming over the simhash CTE — the
+    engine's multi-index bucketing has exact recall, so results must
+    match the O(n^2) reference computation."""
+    return (
+        f"""WITH sh AS ({_simhash_sql()})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+    )
+
+
+def _ann_ivf_sql(k: int = 3, nprobe: int = 4, n_lists: int = 8, n_queries: int = 5) -> str:
+    """Exact replica of the engine's deterministic IVF: centroids =
+    n_lists vectors with smallest (h60(vec_id), vec_id); assignment =
+    argmax cosine(centroid) (ties -> smallest list_id); probe = top
+    nprobe lists per query; brute-force cosine inside probed lists."""
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+ranked_c AS (
+  SELECT vec_id, cv,
+         ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS list_id
+  FROM c
+),
+cent AS (SELECT list_id, cv AS centroid FROM ranked_c WHERE list_id < {n_lists}),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT c.vec_id, cent.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.cv, cent.centroid)
+                      / (sqrt(list_dot_product(c.cv, c.cv))
+                         * sqrt(list_dot_product(cent.centroid, cent.centroid))) DESC,
+                      cent.list_id ASC
+           ) AS rn
+    FROM c, cent
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, cent.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cent.centroid)
+                      / (sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(cent.centroid, cent.centroid))) DESC,
+                      cent.list_id ASC
+           ) AS rn
+    FROM q, cent
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(q.qv, c.cv)
+         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+  FROM probes p
+  JOIN asg a ON a.list_id = p.list_id
+  JOIN q ON q.query_id = p.query_id
+  JOIN c ON c.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
 def _embed_near_dup_sql(threshold: float = EMBED_DEDUP_THRESHOLD) -> str:
     return f"""
 WITH c AS (
@@ -1010,6 +1095,14 @@ def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph(spark, sf_dir).degree_histogram()
 
 
+def _q_triangles_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count via the CSR-block sorted-intersection
+    physical strategy (algorithms/triangles.py triangle_count_blocks;
+    reference per-edge intersection, util/join.cuh:17-60) — same
+    oracle as the wedge-join path."""
+    return triangle_count_df(_graph(spark, sf_dir), impl="blocks")
+
+
 def _min_vertex(g) -> int:
     return int(g.vertices.agg(F.min("v")).collect()[0][0])
 
@@ -1017,6 +1110,15 @@ def _min_vertex(g) -> int:
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     res = bfs(g, source=_min_vertex(g), mark_predecessors=True)
+    return res.state.select("v", "depth", "pred")
+
+
+def _q_bfs_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same BFS contract, pull (backward/CSC) regime forced from the
+    first level — proves the direction-optimized plan produces
+    identical depths AND predecessors under the driver's oracle."""
+    g = _graph(spark, sf_dir)
+    res = bfs(g, source=_min_vertex(g), mark_predecessors=True, pull_alpha=1e-9)
     return res.state.select("v", "depth", "pred")
 
 
@@ -1108,6 +1210,27 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-duplicate pairs (hamming <= 3) via corpus-scaled
+    multi-index buckets (pipeline/dedup.py) — bucketing is
+    exact-recall (pigeonhole), so the result equals the brute-force
+    all-pairs oracle."""
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search: deterministic h60-sampled
+    centroids, nearest-centroid assignments, nprobe-list probe
+    (pipeline/similarity.py) — fully deterministic, so the DuckDB
+    oracle replicates the index build AND the search exactly."""
+    e = _embeds(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids, assignments = ivf_index(e, n_lists=8)
+    return ivf_search(e, centroids, assignments, queries, k=3, nprobe=4)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeds(spark, sf_dir)
     queries = e.where(F.col("vec_id") < 5).select(
@@ -1156,11 +1279,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "lp_mode3": _q_lp_mode,
         "triangles_total": _q_triangles_total,
+        "triangles_blocks": _q_triangles_blocks,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "degree_topk": _q_degree_topk,
         "edge_clean": _q_edge_clean,
         "degree_histogram": _q_degree_histogram,
         "bfs_depths": _q_bfs,
+        "bfs_pull_depths": _q_bfs_pull,
         "sssp_dist": _q_sssp,
         "hits_k5": _q_hits,
         "salsa_k4": _q_salsa,
@@ -1176,7 +1301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sigs,
         "minhash_lsh_near_dups": _q_lsh_near_dups,
         "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_top5": _q_ann_topk,
+        "ann_ivf_top3": _q_ann_ivf,
         "embedding_near_dups": _q_embed_near_dup,
         "events_hourly": _q_events_hourly,
     }
@@ -1190,11 +1317,13 @@ def oracle_sql() -> dict[str, str]:
         "component_sizes": _component_sizes_sql(),
         "lp_mode3": _lp_mode_sql(),
         "triangles_total": _triangles_total_sql(),
+        "triangles_blocks": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "degree_topk": _degree_topk_sql(),
         "edge_clean": _edge_clean_sql(),
         "degree_histogram": _degree_histogram_sql(),
         "bfs_depths": _bfs_sql(),
+        "bfs_pull_depths": _bfs_sql(),
         "sssp_dist": _sssp_sql(),
         "hits_k5": _hits_sql(),
         "salsa_k4": _salsa_sql(),
@@ -1210,7 +1339,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sigs_sql(),
         "minhash_lsh_near_dups": _lsh_near_dups_sql(),
         "simhash": _simhash_sql(),
+        "simhash_near_dups": _simhash_near_dups_sql(),
         "ann_cosine_top5": _ann_topk_sql(),
+        "ann_ivf_top3": _ann_ivf_sql(),
         "embedding_near_dups": _embed_near_dup_sql(),
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
