@@ -1245,6 +1245,16 @@ def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows over the events table (batch analog
+    of the applyInPandasWithState streaming operator,
+    streaming/sessions.py) — lag/cumsum/aggregate, 30-minute gap."""
+    from gunrock_spark.streaming.sessions import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_ms=1_800_000)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window rollup of the events stream table —
     the batch shape of the streaming windowed aggregation
@@ -1306,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top3": _q_ann_ivf,
         "embedding_near_dups": _q_embed_near_dup,
         "events_hourly": _q_events_hourly,
+        "sessions_gap": _q_sessions_gap,
     }
 
 
@@ -1342,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_near_dups_sql(),
         "ann_cosine_top5": _ann_topk_sql(),
         "ann_ivf_top3": _ann_ivf_sql(),
+        "sessions_gap": __import__("gunrock_spark.streaming.sessions", fromlist=["sessions_gap_sql"]).sessions_gap_sql(1_800_000),
         "embedding_near_dups": _embed_near_dup_sql(),
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -69,34 +69,68 @@ def _closed_wedges(graph: EdgeTable) -> DataFrame:
     return wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
 
 
-def triangle_count(graph: EdgeTable, impl: str = "join") -> int:
+# auto-impl thresholds: below MIN the wedge join's overhead is
+# trivial anyway; above MAX the oriented CSR (~16 B/edge + numpy/dict
+# overhead) stops fitting comfortably in one executor's memory and
+# the shuffle-based join is the only strategy that spills.
+AUTO_BLOCKS_MIN_EDGES = 2_000_000
+AUTO_BLOCKS_MAX_EDGES = 250_000_000
+
+
+def triangle_count(graph: EdgeTable, impl: str = "auto") -> int:
     """Exact global triangle count (undirected semantics).
 
     ``impl`` selects the physical strategy:
-      - "join" (default): wedge join + closure join — pure Catalyst,
-        shuffle-based, the at-scale default (work O(m^1.5), memory
-        O(shuffle partition)).
+      - "join": wedge join + closure join — pure Catalyst,
+        shuffle-based. Its intermediate is the WEDGE SET
+        (O(Σ deg+²) rows even after degree-ordered orientation) —
+        measured 11.9x slower than blocks at 33M power-law edges and
+        disk-exhausting at 132M (BENCH.md §3a); it is, however, the
+        only strategy whose memory is bounded by a shuffle partition,
+        so it remains the fallback beyond per-executor CSR capacity.
       - "blocks": per-partition sorted-intersection pandas UDF over
-        CSR blocks (the north rule's optimized path; the DataFrame
-        analog of the reference's per-edge adjacency intersection,
-        gunrock/util/join.cuh:17-60 / Wang et al. HPGP'16) — see
+        CSR block pairs (the north rule's optimized path; the
+        DataFrame analog of the reference's per-edge adjacency
+        intersection, gunrock/util/join.cuh:17-60 / Wang et al.
+        HPGP'16) — never materializes wedges; wants the oriented CSR
+        resident per executor (GPU-style). See
         :func:`triangle_count_blocks`.
+      - "auto" (default): blocks while |E| is inside
+        [AUTO_BLOCKS_MIN_EDGES, AUTO_BLOCKS_MAX_EDGES], join
+        otherwise.
     """
+    if impl == "auto":
+        m = graph.num_edges()
+        impl = (
+            "blocks"
+            if AUTO_BLOCKS_MIN_EDGES <= m <= AUTO_BLOCKS_MAX_EDGES
+            else "join"
+        )
     if impl == "blocks":
         return triangle_count_blocks(graph)
     if impl != "join":
-        raise ValueError(f"unknown impl {impl!r} (expected 'join' or 'blocks')")
+        raise ValueError(f"unknown impl {impl!r} (expected 'auto', 'join' or 'blocks')")
     return _closed_wedges(graph).count()
 
 
-def triangle_count_df(graph: EdgeTable, impl: str = "join") -> DataFrame:
+def triangle_count_df(graph: EdgeTable, impl: str = "auto") -> DataFrame:
     """Global count as a 1-row DataFrame[n_triangles long] (for the
-    correctness harness)."""
+    correctness harness). Same ``impl`` semantics as
+    :func:`triangle_count`."""
+    if impl == "auto":
+        m = graph.num_edges()
+        impl = (
+            "blocks"
+            if AUTO_BLOCKS_MIN_EDGES <= m <= AUTO_BLOCKS_MAX_EDGES
+            else "join"
+        )
     if impl == "blocks":
         spark = graph.edges.sparkSession
         return spark.createDataFrame(
             [(triangle_count_blocks(graph),)], schema="n_triangles long"
         )
+    if impl != "join":
+        raise ValueError(f"unknown impl {impl!r} (expected 'auto', 'join' or 'blocks')")
     return _closed_wedges(graph).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 

@@ -180,27 +180,12 @@ def default_n_lists(n_rows: int) -> int:
     return max(16, int(round(n_rows ** 0.5)))
 
 
-def ivf_index(
-    corpus: DataFrame,
-    n_lists: int | None = None,
-    corpus_id: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Build (centroids(list_id, cv), assignments(vec_id, list_id)).
-
-    Centroids = the n_lists corpus vectors with smallest h60(id) — a
-    deterministic uniform sample (k-means would converge better; the
-    index structure and probe path are identical). ``n_lists=None``
-    scales with the corpus: ~sqrt(n) (see :func:`default_n_lists`) —
-    a fixed small default would make within-list searches quadratic
-    once the corpus outgrows it."""
-    c = corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
-    n_rows = corpus.count()
-    if n_lists is None:
-        n_lists = default_n_lists(n_rows)
-    centroids = select_centroids(
-        corpus, n_lists, corpus_id, vec_col, n_rows=n_rows
-    ).localCheckpoint(eager=True)
+def _assign_to_lists(
+    c: DataFrame, centroids: DataFrame, corpus_id: str
+) -> DataFrame:
+    """(corpus_id, list_id): nearest centroid by cosine (ties → the
+    smallest list_id). One broadcast crossJoin + one hash-partitioned
+    argmax window per vector — the centroid table is the small side."""
     scored = (
         c.crossJoin(F.broadcast(centroids))
         .select(
@@ -213,11 +198,65 @@ def ivf_index(
         )
     )
     ww = Window.partitionBy(corpus_id).orderBy(F.desc("sim"), F.asc("list_id"))
-    assignments = (
+    return (
         scored.withColumn("rn", F.row_number().over(ww))
         .where(F.col("rn") == 1)
         .select(corpus_id, "list_id")
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int | None = None,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Build (centroids(list_id, cv), assignments(vec_id, list_id)).
+
+    Centroids start as the n_lists corpus vectors with smallest
+    h60(id) — a deterministic uniform sample. ``refine_iters`` runs
+    that many Lloyd (k-means) rounds on top: assign → per-list mean →
+    re-assign. Each round is one broadcast-join pass over the corpus
+    plus one |n|-row shuffle for the means — the standard IVF training
+    loop, and it tightens the lists so a given recall needs a smaller
+    nprobe. Empty lists keep their previous centroid. ``n_lists=None``
+    scales with the corpus: ~sqrt(n) (see :func:`default_n_lists`) —
+    a fixed small default would make within-list searches quadratic
+    once the corpus outgrows it."""
+    c = corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
+    n_rows = corpus.count()
+    if n_lists is None:
+        n_lists = default_n_lists(n_rows)
+    centroids = select_centroids(
+        corpus, n_lists, corpus_id, vec_col, n_rows=n_rows
+    ).localCheckpoint(eager=True)
+    for _ in range(refine_iters):
+        assignments = _assign_to_lists(c, centroids, corpus_id)
+        # per-list mean vector: posexplode -> avg per (list, dim) ->
+        # re-assemble in dimension order (array_sort on struct(pos, m))
+        means = (
+            c.join(assignments, corpus_id)
+            .select("list_id", F.posexplode("cv").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_centroid")
+            )
+        )
+        centroids = (
+            centroids.join(means, "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    assignments = _assign_to_lists(c, centroids, corpus_id)
     return centroids, assignments
 
 

@@ -133,3 +133,34 @@ def test_write_mtx_roundtrip_1m_edges(spark, tmp_path):
     a = {(r["src"], r["dst"]) for r in g.edges.where(F.col("src") % 997 == 0).collect()}
     b = {(r["src"], r["dst"]) for r in back.edges.where(F.col("src") % 997 == 0).collect()}
     assert a == b
+
+
+def test_clustered_edge_store_prunes_partitions(spark, tmp_path):
+    """Community-bucketed edge store (cluster-partitioner analog):
+    a community-restricted read returns exactly that community's
+    out-edges and prunes bucket directories at the partition level."""
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.graph.io import read_clustered_edges, save_edge_table_clustered
+
+    # two disjoint components
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (12, 11)]
+    g = EdgeTable.from_df(edges_df(spark, edges))
+    labels = connected_components(g).state.select("v", "label")
+    path = str(tmp_path / "clustered")
+    save_edge_table_clustered(g, labels, path, num_buckets=8)
+    lab = {r["v"]: r["label"] for r in labels.collect()}
+    c0 = lab[0]
+    got = read_clustered_edges(spark, path, community=c0, num_buckets=8)
+    assert {(r["src"], r["dst"]) for r in got.collect()} == {
+        (s, d) for s, d in edges if lab[s] == c0
+    }
+    # the cbucket predicate must appear as a partition filter (pruning
+    # happens before the scan), and the label filter must be pushed
+    plan = got._jdf.queryExecution().explainString(
+        got._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "cbucket" in pf, plan
+    # full read returns everything
+    assert read_clustered_edges(spark, path).count() == len(edges)

@@ -284,3 +284,30 @@ def test_signbit_banded_geometry(spark, vectors):
         vectors, threshold=0.999, n_planes=24, bands=3
     )
     assert (0, 40) in {(r["id_a"], r["id_b"]) for r in banded.collect()}
+
+
+def test_ivf_kmeans_refinement(spark, vectors):
+    """Lloyd rounds must keep the index contract intact (every vector
+    assigned exactly once; centroid count constant) and not hurt
+    recall vs the sample-centroid baseline on the planted clusters."""
+    from gunrock_spark.pipeline.similarity import ivf_index, ivf_search
+
+    queries = vectors.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {(r["query_id"], r["vec_id"]) for r in cosine_topk(vectors, queries, k=3).collect()}
+
+    def recall(refine):
+        cents, asg = ivf_index(vectors, n_lists=8, refine_iters=refine)
+        n_vec = vectors.count()
+        assert asg.count() == n_vec  # every vector in exactly one list
+        assert cents.count() == 8
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_search(vectors, cents, asg, queries, k=3, nprobe=4).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 - 0.2  # refinement must not collapse the index
+    assert r2 >= 0.5

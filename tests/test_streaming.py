@@ -193,3 +193,65 @@ def test_continuous_crawl_ingest_then_warm_start_rerank(spark, tmp_path):
     wl = {(r["v"], r["label"]) for r in warm_cc.state.select("v", "label").collect()}
     assert wl == cl
     assert warm_cc.iterations <= cold_cc.iterations
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): gap-based
+    session windows. Streaming emission (event-time timeouts + the
+    in-batch gap split) must equal the batch lag/cumsum formulation
+    for every key whose sessions have closed."""
+    import datetime as dt
+
+    from gunrock_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    events_dir = str(tmp_path / "sess_events")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def rows(*evts):
+        return spark.createDataFrame(
+            [(ts, k, float(v)) for ts, k, v in evts],
+            schema="ts timestamp, event_type string, value double",
+        )
+
+    batches = [
+        rows((t0, "a", 1.0), (t0 + dt.timedelta(seconds=30), "a", 2.0), (t0, "b", 5.0)),
+        rows((t0 + dt.timedelta(hours=2), "a", 3.0)),
+        # flush batches: an unused key far in the future closes all
+        # real sessions via the advancing watermark
+        rows((t0 + dt.timedelta(hours=8), "zz", 0.0)),
+        rows((t0 + dt.timedelta(hours=16), "zz", 0.0)),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(events_dir)
+        if i == 0:
+            stream = (
+                spark.readStream.schema("ts timestamp, event_type string, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir)
+            )
+            q = (
+                sessionize_stream(stream, gap_ms=60_000, watermark_delay="0 seconds")
+                .writeStream.format("memory")
+                .queryName("sessions_out")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "sess_ck"))
+                .start()
+            )
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["key"], r["session_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+        if r["key"] != "zz"  # the flush key's own early session closes too
+    }
+    all_events = batches[0].unionByName(batches[1])
+    want = {
+        (r["key"], r["session_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in sessionize_batch(all_events, gap_ms=60_000).collect()
+    }
+    assert got == want
+    assert len(want) == 3  # a: two sessions; b: one
