@@ -84,7 +84,14 @@ def _forward_batched(
             )
         )
         state = state.unionByName(new).localCheckpoint(eager=False)
-        if state.where(F.col("depth") == depth + 1).limit(1).count() == 0:
+        # ONE job per level: the full count over the new level both
+        # decides the stop AND computes every partition of the lazily
+        # checkpointed state, materializing the lineage cut in the same
+        # action (the SSSP stop-metric fold, sssp.py metrics()). The
+        # previous limit(1).count() probe could satisfy its limit from
+        # a partition prefix, leaving the checkpoint unmaterialized for
+        # the next level's job to recompute.
+        if state.where(F.col("depth") == depth + 1).count() == 0:
             return state, depth
         depth += 1
 
@@ -170,6 +177,17 @@ def betweenness_centrality(
     the full vertex table explicitly if you really want it)."""
     spark = graph.edges.sparkSession
     if sources is None:
+        # the default is APPROXIMATE (sampled-source) BC — make the
+        # switch visible to callers who relied on exact all-sources
+        # semantics (pass graph.vertices as sources for exact BC)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "betweenness_centrality: sources=None uses a deterministic "
+            "%d-source sample (approximate BC); pass sources explicitly "
+            "(e.g. the full vertex table) for exact all-sources BC",
+            num_sources,
+        )
         src_df = sample_sources(graph, num_sources)
     elif isinstance(sources, DataFrame):
         src_df = sources.select(F.col("source").cast("long").alias("source"))

@@ -102,6 +102,11 @@ def _write_single_text(lines: DataFrame, path: str) -> None:
     import shutil
 
     local = path[len("file://"):] if path.startswith("file://") else path
+    # absolutize BEFORE handing the tmp dir to the JVM writer: Spark's
+    # JVM resolves relative paths against ITS cwd, while the glob/rename
+    # below uses Python's — the same mismatch read_pages fixed (a
+    # relative output path crashed on glob()[0] or wrote elsewhere)
+    local = os.path.abspath(local)
     tmp = local + "._spark_tmp"
     (
         lines.repartition(1)

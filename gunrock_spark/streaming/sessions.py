@@ -22,11 +22,14 @@ pure Catalyst window functions, DuckDB-oracle-checkable (the
 key: no global sort, scales with the key cardinality.
 
 Streaming path (`sessionize_stream`): per-key GroupState holds the
-open session (start, end, n, sum); every micro-batch folds its events
-into the state; an EVENT-TIME timeout at `end + gap` (advanced by the
-watermark) closes and emits the session exactly once. State is O(open
-sessions); emitted rows are final — the same append-once contract as
-streaming/windows.py.
+open session (start, end, n, sum, sid); every micro-batch SORTS and
+GAP-SPLITS its events per key (a batch spanning several gaps emits
+every internally-closed session, keeping only the last open one), then
+an EVENT-TIME timeout at `end + gap` (advanced by the watermark)
+closes and emits the final session exactly once. Closed sessions leave
+a zero-event tombstone carrying the session counter, preserving the
+batch path's monotone per-key 1..N numbering; emitted rows are final —
+the same append-once contract as streaming/windows.py.
 """
 
 from __future__ import annotations
@@ -119,68 +122,102 @@ def sessionize_stream(
     """Streaming sessionization via ``applyInPandasWithState``:
     per-key GroupState = the open session; event-time timeout at
     session_end + gap closes it. Emits each session exactly once
-    (append mode), keyed like :func:`sessionize_batch`; session_ids
-    number each key's CLOSED sessions in emission order (equal to
-    time order, since a key's sessions close in order)."""
+    (append mode), keyed like :func:`sessionize_batch`.
+
+    A micro-batch whose events span MORE than one gap (backfill,
+    replay, a file source without maxFilesPerTrigger, slow triggers)
+    is split INSIDE the batch: the key's events are sorted, cut at
+    every intra-batch gap > gap_ms, every internally-closed session is
+    emitted immediately and only the last (still-open) one stays in
+    state — so batch grouping can never merge distinct sessions.
+
+    session_ids match :func:`sessionize_batch`'s monotone per-key
+    1..N numbering: when an event-time timeout closes a session the
+    state is not removed but replaced by a zero-event TOMBSTONE that
+    keeps the counter, so the key's next session continues at sid+1
+    instead of restarting at 1. (Cost: state is O(keys ever seen),
+    not O(open sessions) — a tombstone is one 5-field row per key.)
+    Numbering equals batch time-order numbering whenever events
+    arrive no later than the watermark allows; data so late it forms
+    a whole session BEFORE an already-emitted one gets the next free
+    id (streaming cannot renumber emitted rows)."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    def emit(closed: list) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [c[5] for c in closed],
+                "session_id": pd.Series([c[4] for c in closed], dtype="int64"),
+                "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
+                "sum_value": [round(float(c[3]), 6) for c in closed],
+            }
+        )
+
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             start, end, n, s, sid = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]],
-                    "session_id": pd.Series([sid], dtype="int64"),
-                    "session_start": [pd.Timestamp(start, unit="ms")],
-                    "session_end": [pd.Timestamp(end, unit="ms")],
-                    "n_events": pd.Series([n], dtype="int64"),
-                    "sum_value": [round(float(s), 6)],
-                }
-            )
+            # keep the sid counter in a zero-event tombstone so the
+            # key's NEXT session numbers sid+1 (no timeout set: the
+            # tombstone never fires again, it only carries the counter)
+            state.update((int(end), int(end), 0, 0.0, int(sid)))
+            yield emit([(start, end, n, s, sid, key[0])])
             return
-        mn = None
-        mx = None
-        n = 0
-        s = 0.0
+        ts_parts, val_parts = [], []
         for pdf in pdfs:
-            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
-            if len(ts_ms) == 0:
+            if len(pdf) == 0:
                 continue
-            bmn, bmx = int(ts_ms.min()), int(ts_ms.max())
-            mn = bmn if mn is None else min(mn, bmn)
-            mx = bmx if mx is None else max(mx, bmx)
-            n += int(len(ts_ms))
-            s += float(pdf[value_col].sum())
-        closed = []
+            ts_parts.append((pdf[ts_col].astype("int64") // 1_000_000).to_numpy())
+            val_parts.append(pdf[value_col].to_numpy(dtype="float64"))
+        # runs: [mn, mx, n, sum] candidate sessions, state's open one first
+        runs = []
+        base = 0  # sessions already numbered for this key
         if state.exists:
             start, end, pn, ps, sid = state.get
-            if mn is not None and mn - end > gap_ms:
-                # the new batch starts a NEW session: close the old one
-                closed.append((start, end, pn, ps, sid))
-                state.update((mn, mx, n, s, sid + 1))
-            elif mn is not None:
-                state.update(
-                    (min(start, mn), max(end, mx), pn + n, ps + s, sid)
+            if pn > 0:
+                runs.append([int(start), int(end), int(pn), float(ps)])
+                base = int(sid) - 1
+            else:  # tombstone: counter only
+                base = int(sid)
+        if ts_parts:
+            ts = np.concatenate(ts_parts)
+            vals = np.concatenate(val_parts)
+            order = np.argsort(ts, kind="stable")
+            ts, vals = ts[order], vals[order]
+            # cut the batch at every intra-batch gap > gap_ms
+            cuts = np.flatnonzero(np.diff(ts) > gap_ms) + 1
+            for seg_ts, seg_v in zip(np.split(ts, cuts), np.split(vals, cuts)):
+                runs.append(
+                    [int(seg_ts[0]), int(seg_ts[-1]), int(len(seg_ts)), float(seg_v.sum())]
                 )
-        elif mn is not None:
-            state.update((mn, mx, n, s, 1))
-        if state.exists:
-            _, end, *_ = state.get
-            state.setTimeoutTimestamp(end + gap_ms)
+        if not runs:
+            return  # empty invocation: state (incl. any timeout) unchanged
+        # interval-merge runs whose gap is <= gap_ms (handles late data
+        # that extends or bridges the open session)
+        runs.sort(key=lambda r: (r[0], r[1]))
+        merged = [runs[0]]
+        for r in runs[1:]:
+            cur = merged[-1]
+            if r[0] - cur[1] <= gap_ms:
+                cur[0] = min(cur[0], r[0])
+                cur[1] = max(cur[1], r[1])
+                cur[2] += r[2]
+                cur[3] += r[3]
+            else:
+                merged.append(r)
+        closed = [
+            (m[0], m[1], m[2], m[3], base + 1 + i, key[0])
+            for i, m in enumerate(merged[:-1])
+        ]
+        last = merged[-1]
+        state.update((int(last[0]), int(last[1]), int(last[2]), float(last[3]), base + len(merged)))
+        state.setTimeoutTimestamp(int(last[1]) + gap_ms)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]] * len(closed),
-                    "session_id": pd.Series([c[4] for c in closed], dtype="int64"),
-                    "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
-                    "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
-                    "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
-                    "sum_value": [round(float(c[3]), 6) for c in closed],
-                }
-            )
+            yield emit(closed)
 
     return (
         events.select(

