@@ -189,7 +189,24 @@ def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> in
 
     spark = graph.edges.sparkSession
     if num_blocks is None:
-        num_blocks = spark.sparkContext.defaultParallelism
+        # Scale-aware block count (Suri & Vassilvitskii's partitioned
+        # TC sizing): a slice must fit comfortably inside the worker
+        # LRU budget or every pair task thrashes the cache. A slice
+        # holds ~|E+|/P edges at ~16 B decoded (two int64 columns),
+        # so pick the smallest P with slice ≤ budget/4 (leaves room
+        # for two resident slices per task plus frame/csr duplicates),
+        # floored at the cluster parallelism. Read amplification of
+        # the block store is O(P) — the standard trade of this
+        # algorithm family — so P should not be raised gratuitously.
+        from gunrock_spark.engine.csr_blocks import LRUBytesCache
+
+        budget = LRUBytesCache.budget_bytes()
+        # |E+| = undirected edge count ≤ num_edges(); use the upper
+        # bound (over-partitioning is cheap, an oversized slice isn't)
+        oriented_edges = graph.num_edges()
+        par = spark.sparkContext.defaultParallelism
+        fit = -(-oriented_edges * 16 // max(budget // 4, 1))  # ceil
+        num_blocks = max(par, int(fit))
     o = _oriented(graph)
     base = os.environ.get("SPARK_GRAFT_BLOCK_STORE")
     tmp_base = tempfile.mkdtemp(prefix="tc_blocks_") if base is None else None
