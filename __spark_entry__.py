@@ -32,6 +32,7 @@ from gunrock_spark.algorithms.sssp import sssp
 from gunrock_spark.algorithms.triangles import (
     triangle_count_df,
     triangle_count_per_vertex,
+    triangle_count_per_vertex_blocks,
 )
 from gunrock_spark.algorithms.wtf import who_to_follow
 from gunrock_spark.pipeline.dedup import (
@@ -1135,6 +1136,13 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_per_vertex(_graph(spark, sf_dir))
 
 
+def _q_triangles_per_vertex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts via the blocks strategy (bounded
+    LRU slice cache, per-corner partial counts) — the scale path,
+    gated against the same SQL oracle as the wedge-join variant."""
+    return triangle_count_per_vertex_blocks(_graph(spark, sf_dir))
+
+
 def _q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     return (
@@ -1368,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_total": _q_triangles_total,
         "triangles_blocks": _q_triangles_blocks,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "triangles_per_vertex_blocks": _q_triangles_per_vertex_blocks,
         "degree_topk": _q_degree_topk,
         "edge_clean": _q_edge_clean,
         "degree_histogram": _q_degree_histogram,
@@ -1408,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_total": _triangles_total_sql(),
         "triangles_blocks": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
+        "triangles_per_vertex_blocks": _triangles_per_vertex_sql(),
         "degree_topk": _degree_topk_sql(),
         "edge_clean": _edge_clean_sql(),
         "degree_histogram": _degree_histogram_sql(),

@@ -176,44 +176,11 @@ def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> in
     2·|E|/P) regardless of graph size. Raise ``num_blocks`` so a
     slice (≈16 B/edge) fits the budget; the former 250 M-edge
     residency cap (VERDICT r2 #1) is gone."""
-    import os
-    import tempfile
-    import uuid
-
     import pandas as pd
 
-    from gunrock_spark.engine.csr_blocks import (
-        build_block_store,
-        remove_block_store,
-    )
+    from gunrock_spark.engine.csr_blocks import remove_block_store
 
-    spark = graph.edges.sparkSession
-    if num_blocks is None:
-        # Scale-aware block count (Suri & Vassilvitskii's partitioned
-        # TC sizing): a slice must fit comfortably inside the worker
-        # LRU budget or every pair task thrashes the cache. A slice
-        # holds ~|E+|/P edges at ~16 B decoded (two int64 columns),
-        # so pick the smallest P with slice ≤ budget/4 (leaves room
-        # for two resident slices per task plus frame/csr duplicates),
-        # floored at the cluster parallelism. Read amplification of
-        # the block store is O(P) — the standard trade of this
-        # algorithm family — so P should not be raised gratuitously.
-        from gunrock_spark.engine.csr_blocks import LRUBytesCache
-
-        budget = LRUBytesCache.budget_bytes()
-        # |E+| = undirected edge count ≤ num_edges(); use the upper
-        # bound (over-partitioning is cheap, an oversized slice isn't)
-        oriented_edges = graph.num_edges()
-        par = spark.sparkContext.defaultParallelism
-        fit = -(-oriented_edges * 16 // max(budget // 4, 1))  # ceil
-        num_blocks = max(par, int(fit))
-    o = _oriented(graph)
-    base = os.environ.get("SPARK_GRAFT_BLOCK_STORE")
-    tmp_base = tempfile.mkdtemp(prefix="tc_blocks_") if base is None else None
-    store = (base or tmp_base).rstrip("/") + "/" + uuid.uuid4().hex
-    build_block_store(
-        o.select(F.col("u").alias("src"), F.col("w").alias("dst")), num_blocks, store
-    )
+    o, store, cleanup, num_blocks = _oriented_block_store(graph, num_blocks)
 
     def pair_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-pivot intersection (VERDICT r2 #2): edges are
@@ -271,8 +238,143 @@ def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> in
     )
     partials = tagged.groupBy("bu", "bw").applyInPandas(pair_fn, schema="cnt long")
     n = partials.agg(F.sum("cnt")).collect()[0][0] or 0
-    remove_block_store(tmp_base or store)
+    remove_block_store(cleanup)
     return int(n)
+
+
+def _oriented_block_store(graph: EdgeTable, num_blocks: int | None):
+    """Shared setup for the blocks TC strategies: degree-ordered
+    oriented edges written once to a CSR block store. Returns
+    (oriented_df, store_path, cleanup_path, num_blocks)."""
+    import os
+    import tempfile
+    import uuid
+
+    from gunrock_spark.engine.csr_blocks import (
+        LRUBytesCache,
+        build_block_store,
+    )
+
+    spark = graph.edges.sparkSession
+    if num_blocks is None:
+        # Scale-aware block count (Suri & Vassilvitskii's partitioned
+        # TC sizing): a slice must fit comfortably inside the worker
+        # LRU budget or every pair task thrashes the cache. A slice
+        # holds ~|E+|/P edges at ~16 B decoded (two int64 columns),
+        # so pick the smallest P with slice ≤ budget/4 (leaves room
+        # for two resident slices per task plus frame/csr duplicates),
+        # floored at the cluster parallelism. Read amplification of
+        # the block store is O(P) — the standard trade of this
+        # algorithm family — so P should not be raised gratuitously.
+        budget = LRUBytesCache.budget_bytes()
+        # |E+| = undirected edge count ≤ num_edges(); use the upper
+        # bound (over-partitioning is cheap, an oversized slice isn't)
+        oriented_edges = graph.num_edges()
+        par = spark.sparkContext.defaultParallelism
+        fit = -(-oriented_edges * 16 // max(budget // 4, 1))  # ceil
+        num_blocks = max(par, int(fit))
+    o = _oriented(graph)
+    base = os.environ.get("SPARK_GRAFT_BLOCK_STORE")
+    tmp_base = tempfile.mkdtemp(prefix="tc_blocks_") if base is None else None
+    store = (base or tmp_base).rstrip("/") + "/" + uuid.uuid4().hex
+    build_block_store(
+        o.select(F.col("u").alias("src"), F.col("w").alias("dst")), num_blocks, store
+    )
+    return o, store, (tmp_base or store), num_blocks
+
+
+def triangle_count_per_vertex_blocks(
+    graph: EdgeTable, num_blocks: int | None = None
+) -> DataFrame:
+    """DataFrame[v, n_triangles] via the blocks strategy — the scale
+    path for per-vertex counts (the wedge-join variant materializes
+    the full triangle list, which explodes on power-law graphs exactly
+    like the join total count, BENCH.md §3a).
+
+    Same block-pair plan as :func:`triangle_count_blocks`; instead of
+    one partial count, each task credits the three corners of every
+    matched triangle (pivot u, partner w, closing vertex c) and emits
+    per-vertex partial counts — output per task is bounded by the
+    distinct vertices its two slices touch, never by the triangle
+    count. A final groupBy(v) merges partials; vertices in no
+    triangle come back 0 via the vertex-table left join."""
+    import numpy as np
+    import pandas as pd
+
+    from gunrock_spark.engine.csr_blocks import remove_block_store
+
+    o, store, cleanup, num_blocks = _oriented_block_store(graph, num_blocks)
+
+    def pair_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bu, bw = int(key[0]), int(key[1])
+        verts_u, indptr_u, dsts_u = _adjacency_csr(store, bu)
+        verts_w, indptr_w, dsts_w = _adjacency_csr(store, bw)
+        corners: list = []
+        if verts_u.size and verts_w.size and len(pdf):
+            u_arr = pdf["u"].to_numpy(dtype="int64")
+            w_arr = pdf["w"].to_numpy(dtype="int64")
+            order = np.argsort(u_arr, kind="stable")
+            u_s, w_s = u_arr[order], w_arr[order]
+            wi = np.minimum(np.searchsorted(verts_w, w_s), verts_w.size - 1)
+            has_w = verts_w[wi] == w_s
+            w_start = np.where(has_w, indptr_w[wi], 0)
+            w_len = np.where(has_w, indptr_w[wi + 1] - indptr_w[wi], 0)
+            grp = np.concatenate(
+                ([0], np.flatnonzero(np.diff(u_s)) + 1, [u_s.size])
+            )
+            pivots = u_s[grp[:-1]]
+            ui = np.minimum(np.searchsorted(verts_u, pivots), verts_u.size - 1)
+            has_u = verts_u[ui] == pivots
+            for g in range(pivots.size):
+                if not has_u[g]:
+                    continue
+                a = dsts_u[indptr_u[ui[g]]:indptr_u[ui[g] + 1]]
+                lo, hi = grp[g], grp[g + 1]
+                lens = w_len[lo:hi]
+                tot = int(lens.sum())
+                if tot == 0 or a.size == 0:
+                    continue
+                offs = np.repeat(w_start[lo:hi] - np.concatenate(
+                    ([0], np.cumsum(lens)[:-1])
+                ), lens)
+                cand = dsts_w[np.arange(tot) + offs]
+                pos = np.minimum(np.searchsorted(a, cand), a.size - 1)
+                match = a[pos] == cand
+                n = int(np.count_nonzero(match))
+                if n == 0:
+                    continue
+                # the three corners of each matched triangle
+                corners.append(np.full(n, pivots[g], dtype="int64"))
+                corners.append(np.repeat(w_s[lo:hi], lens)[match])
+                corners.append(cand[match])
+        if not corners:
+            return pd.DataFrame(
+                {"v": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
+            )
+        vs, cnts = np.unique(np.concatenate(corners), return_counts=True)
+        return pd.DataFrame({"v": vs, "cnt": cnts.astype("int64")})
+
+    tagged = o.select(
+        "u",
+        "w",
+        F.pmod(F.hash("u"), F.lit(num_blocks)).alias("bu"),
+        F.pmod(F.hash("w"), F.lit(num_blocks)).alias("bw"),
+    )
+    partials = tagged.groupBy("bu", "bw").applyInPandas(
+        pair_fn, schema="v long, cnt long"
+    )
+    counts = partials.groupBy("v").agg(F.sum("cnt").alias("n_triangles"))
+    out = graph.vertices.join(counts, "v", "left").select(
+        "v", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )
+    # the block store must outlive the returned (lazy) plan: hand
+    # cleanup to the caller via an action barrier — materialize here
+    # so the store can be removed before returning.
+    out = out.localCheckpoint(eager=True)
+    remove_block_store(cleanup)
+    return out
 
 
 def triangle_count_per_vertex(graph: EdgeTable) -> DataFrame:

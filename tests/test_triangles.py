@@ -53,3 +53,43 @@ def test_triangle_count_blocks_matches_join(spark):
 
     with _pytest.raises(ValueError):
         triangle_count(g, impl="nope")
+
+
+def test_triangle_per_vertex_blocks_matches_join(spark):
+    """The blocks per-vertex strategy (per-corner partial counts over
+    block pairs) must produce exactly the wedge-join per-vertex table,
+    including 0 rows for triangle-free vertices."""
+    from gunrock_spark.algorithms.triangles import (
+        triangle_count_per_vertex_blocks,
+    )
+
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(8, 8, seed=13)])
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    via_join = {
+        r["v"]: r["n_triangles"] for r in triangle_count_per_vertex(g).collect()
+    }
+    via_blocks = {
+        r["v"]: r["n_triangles"]
+        for r in triangle_count_per_vertex_blocks(g).collect()
+    }
+    assert via_blocks == via_join
+    assert sum(via_join.values()) > 0
+
+
+def test_triangle_per_vertex_blocks_tiny_cache_budget(spark, monkeypatch):
+    """Slice eviction/refetch must never change per-vertex counts."""
+    from gunrock_spark.algorithms.triangles import (
+        triangle_count_per_vertex_blocks,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_CACHE_MB", "1e-3")
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(7, 8, seed=29)])
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    via_join = {
+        r["v"]: r["n_triangles"] for r in triangle_count_per_vertex(g).collect()
+    }
+    via_blocks = {
+        r["v"]: r["n_triangles"]
+        for r in triangle_count_per_vertex_blocks(g, num_blocks=8).collect()
+    }
+    assert via_blocks == via_join
