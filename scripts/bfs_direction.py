@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--source", type=int, default=0)
     args = ap.parse_args()
-    os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(32, 4 * args.cpus)}g")
+    os.environ.setdefault("SPARK_DRIVER_MEM", f"{min(96, max(32, 4 * args.cpus))}g")  # cap: 128 GiB host
 
     from gunrock_spark.algorithms.bfs import bfs
     from gunrock_spark.graph.edge_table import EdgeTable

@@ -41,7 +41,7 @@ os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
 # so total memory scales with core count (4 GiB/core, floor 32g —
 # conservative for the efficiency ratio: the N side gets MORE memory
 # per core than the 4N side). Override via SPARK_DRIVER_MEM.
-os.environ.setdefault("SPARK_DRIVER_MEM", f"{{max(32, 4 * cpus)}}g")
+os.environ.setdefault("SPARK_DRIVER_MEM", f"{{min(96, max(32, 4 * cpus))}}g")  # cap: 128 GiB host
 # the cluster-scale plan: shuffle joins co-partitioned on the key (a
 # 10^12-vertex state table cannot be broadcast), shuffle partitions =
 # cores, AQE off (per-stage re-planning latency dominates these small

@@ -29,7 +29,7 @@ from gunrock_spark.graph.edge_table import EdgeTable
 from gunrock_spark.algorithms.triangles import triangle_count
 
 cpus = int(sys.argv[1]); path = sys.argv[2]; impl = sys.argv[3]
-os.environ.setdefault("SPARK_DRIVER_MEM", f"{{max(32, 6 * cpus)}}g")
+os.environ.setdefault("SPARK_DRIVER_MEM", f"{{min(96, max(32, 6 * cpus))}}g")  # cap: 128 GiB host
 spark = build_session(
     "tc-ab", master=f"local[{{cpus}}]", shuffle_partitions=cpus, adaptive=False
 )
