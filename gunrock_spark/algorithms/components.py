@@ -101,13 +101,27 @@ def connected_components(
         new = cur.withColumnRenamed("label", "prev").join(cand, "v", "left").select(
             "v", F.least(F.col("prev"), F.coalesce("nbr_min", F.col("prev"))).alias("label"), "prev"
         )
-        # 2. pointer jump: label := label(label). Labels only shrink, so
-        # every label value is a vertex id present in the table.
+        # 2. pointer jump: label := label_prev(label), the parent map
+        # taken from the MATERIALIZED previous state (``cur``), not
+        # from ``new`` — a self-join on the uncached hash-min result
+        # computes the |E|-row join+agg twice per iteration (the two
+        # exchange children canonicalize differently, so Catalyst
+        # cannot reuse them). Jumping through the previous mapping is
+        # an equally valid contraction: labels never grow, prev(x) ≤ x
+        # and prev(x) is in x's component, so label stays a shrinking
+        # per-vertex upper bound of the component minimum and the
+        # changed==0 fixpoint is the same converged labeling.
         if pointer_jump:
-            parents = new.select(F.col("v").alias("pv"), F.col("label").alias("plabel"))
+            parents = cur.select(F.col("v").alias("pv"), F.col("label").alias("plabel"))
             new = (
                 new.join(parents, new["label"] == parents["pv"], "left")
-                .select("v", F.coalesce("plabel", "label").alias("label"), "prev")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"), F.coalesce("plabel", "label")
+                    ).alias("label"),
+                    "prev",
+                )
             )
 
         def metrics(materialized: DataFrame) -> dict:
