@@ -1330,6 +1330,98 @@ def _q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WALKS_LEN = 3
+WALKS_PER_VERTEX = 2
+WALKS_SEED = 7
+SAMPLE_SEED = 11
+SAMPLE_DEN = 5
+STRAT_K = 7
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk sampling (algorithms/walks.py)
+    — hash-chosen neighbor per step over the dst-ranked adjacency, so
+    the DuckDB oracle unrolls the identical walks step by step."""
+    from gunrock_spark.algorithms.walks import random_walks
+
+    g = _graph(spark, sf_dir)
+    return random_walks(
+        g, walk_length=WALKS_LEN, walks_per_vertex=WALKS_PER_VERTEX, seed=WALKS_SEED
+    )
+
+
+def _walks_sql(
+    k: int = WALKS_LEN, walks: int = WALKS_PER_VERTEX, seed: int = WALKS_SEED
+) -> str:
+    from gunrock_spark.algorithms.walks import HASH_A, HASH_P, HASH_STEP, HASH_WALK
+
+    walk_rows = " UNION ALL ".join(f"SELECT {w} AS walk" for w in range(walks))
+    body = [
+        """ranked AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk
+  FROM edges
+)""",
+        "degl AS (SELECT v, CAST(outd AS BIGINT) AS d FROM deg)",
+        f"wk AS ({walk_rows})",
+        "s0 AS (SELECT v AS start, walk, v AS cur FROM verts CROSS JOIN wk)",
+    ]
+    for t in range(1, k + 1):
+        body.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT s.start, s.walk, r.dst AS cur
+  FROM s{t - 1} s
+  JOIN degl dg ON dg.v = s.cur
+  JOIN ranked r ON r.src = s.cur
+   AND r.rnk = (((s.cur % {HASH_P}) * {HASH_A} + {t * HASH_STEP}
+                 + s.walk * {HASH_WALK} + {seed}) % {HASH_P}) % dg.d
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, CAST({t} AS INT) AS step, cur AS v FROM s{t}"
+        for t in range(0, k + 1)
+    )
+    return "WITH " + _EDGES_CTES + ",\n" + ",\n".join(body) + "\n" + selects
+
+
+def _q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/den Bernoulli sample by arithmetic id hash
+    (pipeline/sampling.py) — no shuffle, reproducible on any engine
+    and under task retries (unlike rand()-based sampling)."""
+    from gunrock_spark.pipeline.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 1, SAMPLE_DEN, seed=SAMPLE_SEED)
+
+
+def _docs_hash_sample_sql() -> str:
+    from gunrock_spark.pipeline.sampling import HASH_A, HASH_P
+
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE (((doc_id % {HASH_P}) * {HASH_A} + {SAMPLE_SEED}) % {HASH_P}) % {SAMPLE_DEN} < 1"""
+
+
+def _q_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample (distributed reservoir
+    analog): k smallest id hashes within each language."""
+    from gunrock_spark.pipeline.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", k=STRAT_K, seed=SAMPLE_SEED
+    )
+
+
+def _docs_stratified_sql() -> str:
+    from gunrock_spark.pipeline.sampling import HASH_A, HASH_P
+
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY lang
+  ORDER BY (((doc_id % {HASH_P}) * {HASH_A} + {SAMPLE_SEED}) % {HASH_P}), doc_id
+) <= {STRAT_K}"""
+
+
 def _q_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows over the events table (batch analog
     of the applyInPandasWithState streaming operator,
@@ -1404,6 +1496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
         "events_hourly": _q_events_hourly,
         "sessions_gap": _q_sessions_gap,
+        "random_walks_k3": _q_random_walks,
+        "docs_hash_sample": _q_docs_hash_sample,
+        "docs_stratified_sample": _q_docs_stratified,
     }
 
 
@@ -1449,4 +1544,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "random_walks_k3": _walks_sql(),
+        "docs_hash_sample": _docs_hash_sample_sql(),
+        "docs_stratified_sample": _docs_stratified_sql(),
     }
