@@ -41,6 +41,16 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     ap.add_argument("--source", default="lineitem", choices=["lineitem", "orders"])
+    ap.add_argument(
+        "--mod",
+        type=int,
+        default=None,
+        help="vertex-id modulus for the derived graph (default: the "
+        "BENCH_MOD contract, 100_003). The contract mod CAPS the vertex "
+        "count, so a 10x-lineitem SF yields a DENSER graph, not a bigger "
+        "one — pass a ~|rows|/6 prime to scale vertices with the data "
+        "instead (e.g. 1_000_003 at sf1).",
+    )
     args = ap.parse_args()
 
     # Host-speed calibration: this sandbox's throughput drifts ±20%
@@ -66,7 +76,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    graph = derived_edge_table(spark, args.sf_dir, source=args.source)
+    graph = derived_edge_table(spark, args.sf_dir, mod=args.mod, source=args.source)
     n_edges = graph.num_edges()
     n_vertices = graph.num_vertices()
     graph.degrees.count()  # warm the cached degree table
