@@ -1276,6 +1276,39 @@ def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates(_docs(spark, sf_dir), threshold=LSH_JACCARD_THRESHOLD)
 
 
+def _q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard set-similarity join (pipeline/dedup.py
+    jaccard_near_duplicates) — exact-recall complement to the
+    MinHash-LSH path, gated against a DuckDB oracle that computes the
+    identical shingle self-join."""
+    from gunrock_spark.pipeline.dedup import jaccard_near_duplicates
+
+    return jaccard_near_duplicates(
+        _docs(spark, sf_dir), threshold=LSH_JACCARD_THRESHOLD
+    )
+
+
+def _jaccard_near_dups_sql(threshold: float = LSH_JACCARD_THRESHOLD) -> str:
+    return (
+        "WITH "
+        + _SHINGLE_CTES
+        + f""",
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT i.id_a, i.id_b,
+         ROUND(i.inter / (za.sz + zb.sz - i.inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+) t WHERE jaccard >= {threshold}"""
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -1496,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
         "events_hourly": _q_events_hourly,
         "sessions_gap": _q_sessions_gap,
+        "jaccard_near_dups": _q_jaccard_near_dups,
         "random_walks_k3": _q_random_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
@@ -1544,6 +1578,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "jaccard_near_dups": _jaccard_near_dups_sql(),
         "random_walks_k3": _walks_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),

@@ -336,3 +336,65 @@ def simhash_near_duplicates(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — EXACT n-gram-Jaccard near-dup pairs via
+    the sparse set-similarity join: candidate pairs are docs sharing
+    at least one shingle (a self-join on the shingle key — one
+    shuffle), and the join's per-pair row count IS the intersection
+    size, so a single groupBy after the join yields Jaccard with no
+    second pass over the shingle sets.
+
+    This is the exact-recall complement to :func:`near_duplicates`
+    (MinHash-LSH, probabilistic recall): every pair with ANY overlap
+    is scored. Cost is O(sum over shingles of df(s)^2) — a
+    "stop-shingle" appearing in k docs contributes k^2 join rows, so
+    at corpus scale either run the LSH path or set
+    ``max_shingle_df`` to skip shingles above that document
+    frequency in the join (standard stop-shingle pruning; pairs
+    sharing ONLY hot shingles are then missed and intersections
+    counted through them shrink — recall trades for the quadratic
+    blowup, and set sizes stay exact so reported Jaccard is a lower
+    bound).
+    """
+    sh = shingles(df, id_col, text_col, n).persist()
+    joinable = sh
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(keep, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = joinable.select(F.col("id").alias("id_a"), "shingle")
+    sb = joinable.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

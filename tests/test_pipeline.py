@@ -90,6 +90,29 @@ def test_jaccard_matches_python(spark, docs):
         assert got[row["doc_id"]] == py_shingles(row["text"])
 
 
+def test_jaccard_near_duplicates_exact(spark, docs):
+    from gunrock_spark.pipeline.dedup import jaccard_near_duplicates
+
+    nd = jaccard_near_duplicates(docs, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in nd.collect()}
+    assert pairs[(0, 1)] == 1.0
+    # exact path guarantees the near-dup pair is present (no LSH chance)
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert pairs[(0, 2)] == pairs[(1, 2)]
+    assert all(a < b for (a, b) in pairs)
+    assert (3, 4) not in pairs
+
+    # stop-shingle pruning keeps sizes exact so jaccard only shrinks
+    pruned = jaccard_near_duplicates(docs, threshold=0.0, max_shingle_df=2)
+    p2 = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pruned.collect()}
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_near_duplicates(docs, threshold=0.0).collect()
+    }
+    for k, v in p2.items():
+        assert v <= full[k] + 1e-9
+
+
 def test_simhash_near_dup(spark, docs):
     sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
     # exact duplicates share the simhash
