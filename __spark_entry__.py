@@ -1309,6 +1309,318 @@ SELECT * FROM (
     )
 
 
+# --- k-core / coreness (algorithms/kcore.py) ------------------------------
+
+KCORE_K = 20  # sf0.01: 970-vertex core after 3 peel rounds (non-trivial)
+KCORE_PEEL_ROUNDS = 8  # oracle unroll; fixpoint rounds are no-ops
+CORE_HINDEX_ROUNDS = 14  # sf0.01 h-index fixpoint in 9 rounds
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.kcore import k_core_vertices
+
+    return k_core_vertices(_graph(spark, sf_dir), k=KCORE_K)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_PEEL_ROUNDS) -> str:
+    """Unrolled synchronous peeling: each round recomputes degrees in
+    the alive-induced subgraph and drops deg < k. The engine peels by
+    delta-decrement instead (algorithms/kcore.py), but the round-r
+    alive sets coincide, and past the fixpoint extra rounds are
+    no-ops, so any unroll >= the peel depth is exact."""
+    body = ["a0 AS (SELECT v FROM verts)"]
+    for i in range(1, rounds + 1):
+        body.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT s.src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM sym s JOIN a{i - 1} x ON x.v = s.src JOIN a{i - 1} y ON y.v = s.dst
+  GROUP BY 1)"""
+        )
+        body.append(
+            f"a{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE deg >= {k})"
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, deg FROM d{rounds} WHERE deg >= {k}"
+    )
+
+
+def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.kcore import core_numbers
+
+    return core_numbers(_graph(spark, sf_dir)).state.select("v", "c")
+
+
+def _core_numbers_sql(rounds: int = CORE_HINDEX_ROUNDS) -> str:
+    """Unrolled h-index fixpoint (Lü et al. 2016): c_0 = degree,
+    c_{t+1}(v) = h-index of neighbor values — identical operator to
+    algorithms/kcore.core_numbers; extra rounds past the fixpoint are
+    no-ops."""
+    body = [
+        "c0 AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM sym GROUP BY 1)"
+    ]
+    for i in range(1, rounds + 1):
+        body.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT t.v, CAST(MAX(LEAST(t.rn, t.cu)) AS BIGINT) AS c
+  FROM (
+    SELECT s.dst AS v, p.c AS cu,
+           ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY p.c DESC) AS rn
+    FROM sym s JOIN c{i - 1} p ON p.v = s.src
+  ) t GROUP BY t.v)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, c FROM c{rounds}"
+    )
+
+
+# --- host-level link rollup (ingest/hosts.py) ------------------------------
+
+HOST_BUCKET = 50  # pages-per-host for the synthetic url mapping (~20 hosts)
+_URL_FMT = "https://site%05d.example/page/%06d"
+
+
+def _q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived page graph -> synthetic urls (v // bucket = host) ->
+    ingest.hosts.host_link_rollup. Exercises the real regexp host
+    extraction + rollup against a byte-identical SQL construction."""
+    from gunrock_spark.ingest.hosts import host_link_rollup
+
+    g = _graph(spark, sf_dir)
+
+    def url(c: str):
+        return F.format_string(
+            _URL_FMT,
+            (F.col(c) / HOST_BUCKET).cast("long"),
+            (F.col(c) % HOST_BUCKET).cast("long"),
+        )
+
+    links = g.edges.select(url("src").alias("url"), url("dst").alias("target_url"))
+    return host_link_rollup(links)
+
+
+def _host_rollup_sql() -> str:
+    from gunrock_spark.ingest.hosts import HOST_RE
+
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+urls AS (
+  SELECT printf('{_URL_FMT}', src // {HOST_BUCKET}, src % {HOST_BUCKET}) AS url,
+         printf('{_URL_FMT}', dst // {HOST_BUCKET}, dst % {HOST_BUCKET}) AS target_url
+  FROM edges
+),
+h AS (
+  SELECT regexp_extract(url, '{HOST_RE}', 1) AS src_host,
+         regexp_extract(target_url, '{HOST_RE}', 1) AS dst_host
+  FROM urls
+)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM h
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY 1, 2"""
+    )
+
+
+HOSTPR_ITERS = 10
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank ("host rank") over the n_links-weighted host
+    graph rolled up from the derived page graph — the Common-Crawl
+    host-webgraph ranking flow, end to end."""
+    from gunrock_spark.algorithms.pagerank import weighted_pagerank
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.ingest.hosts import host_dictionary
+
+    rollup = _q_host_rollup(spark, sf_dir)
+    d = host_dictionary(rollup)
+    src_ids = d.select(F.col("host").alias("src_host"), F.col("v").alias("src"))
+    dst_ids = d.select(F.col("host").alias("dst_host"), F.col("v").alias("dst"))
+    edges = (
+        rollup.join(src_ids, "src_host")
+        .join(dst_ids, "dst_host")
+        .select("src", "dst", F.col("n_links").cast("double").alias("weight"))
+    )
+    g = EdgeTable.from_df(edges, weight="weight")
+    res = weighted_pagerank(g, threshold=0.0, max_iter=HOSTPR_ITERS)
+    return (
+        res.state.join(d, "v")
+        .select("host", F.round("rank", 6).alias("rank"))
+    )
+
+
+def _host_pagerank_sql(k: int = HOSTPR_ITERS, delta: float = 0.85) -> str:
+    from gunrock_spark.ingest.hosts import HOST_RE
+
+    body = [
+        "p0 AS (SELECT host, 1.0 / (SELECT COUNT(*) FROM hosts) AS rank FROM hosts)"
+    ]
+    for i in range(1, k + 1):
+        body.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT hosts.host,
+         (1.0 - {delta}) / (SELECT COUNT(*) FROM hosts)
+           + {delta} * COALESCE(s.msg, 0.0) AS rank
+  FROM hosts
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(p.rank * e.n_links / w.wout) AS msg
+    FROM hr e
+    JOIN p{i - 1} p ON p.host = e.src_host
+    JOIN wout w ON w.host = e.src_host
+    GROUP BY 1
+  ) s ON s.host = hosts.host
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+urls AS (
+  SELECT printf('{_URL_FMT}', src // {HOST_BUCKET}, src % {HOST_BUCKET}) AS url,
+         printf('{_URL_FMT}', dst // {HOST_BUCKET}, dst % {HOST_BUCKET}) AS target_url
+  FROM edges
+),
+hp AS (
+  SELECT regexp_extract(url, '{HOST_RE}', 1) AS src_host,
+         regexp_extract(target_url, '{HOST_RE}', 1) AS dst_host
+  FROM urls
+),
+hr AS MATERIALIZED (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM hp
+  WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+  GROUP BY 1, 2
+),
+hosts AS MATERIALIZED (
+  SELECT src_host AS host FROM hr UNION SELECT dst_host FROM hr
+),
+wout AS MATERIALIZED (
+  SELECT src_host AS host, CAST(SUM(n_links) AS DOUBLE) AS wout FROM hr GROUP BY 1
+),
+"""
+        + ",\n".join(body)
+        + f"\nSELECT host, ROUND(rank, 6) AS rank FROM p{k}"
+    )
+
+
+# --- vocabulary / n-gram / PII (pipeline/text.py) --------------------------
+
+TERM_TOP = 100
+
+
+def _q_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.text import term_counts
+
+    return (
+        term_counts(_docs(spark, sf_dir))
+        .orderBy(F.col("n_occurrences").desc(), "term")
+        .limit(TERM_TOP)
+    )
+
+
+def _term_counts_sql(top: int = TERM_TOP) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT {top}"""
+
+
+def _q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.text import ngram_counts
+
+    return (
+        ngram_counts(_docs(spark, sf_dir), n=2)
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(TERM_TOP)
+    )
+
+
+def _bigram_counts_sql(top: int = TERM_TOP) -> str:
+    return f"""
+WITH tk AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS ngram
+  FROM tk WHERE len(t) >= 2
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM bg GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT {top}"""
+
+
+def _q_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII gate driven over text synthesized from ``customer`` (the
+    documents corpus is PII-free word salad, which would only ever
+    compare zeros): name -> email-shaped token, c_phone -> phone,
+    plus a per-customer url. Counts are nonzero and exact."""
+    from gunrock_spark.pipeline.text import pii_flags
+
+    cust = load_table(spark, sf_dir, "customer")
+    phone = F.format_string(
+        "+%d-555-%04d-%04d",
+        (F.col("c_nationkey") + 1).cast("long"),
+        (F.col("c_custkey") % 10000).cast("long"),
+        ((F.col("c_custkey") * 7) % 10000).cast("long"),
+    )
+    df = cust.select(
+        F.col("c_custkey").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("contact "),
+            F.lower(F.regexp_replace(F.col("c_name"), "#", "")),
+            F.lit("@example.com or call "),
+            phone,
+            F.lit(" visit https://example.com/u/"),
+            F.col("c_custkey").cast("string"),
+        ).alias("text"),
+    )
+    return pii_flags(df)
+
+
+def _pii_flags_sql() -> str:
+    from gunrock_spark.pipeline.text import PII_PATTERNS
+
+    count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    flag = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat in PII_PATTERNS.values()
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+         'contact ' || lower(replace(c_name, '#', '')) || '@example.com or call '
+           || printf('+%d-555-%04d-%04d', c_nationkey + 1, c_custkey % 10000,
+                     (c_custkey * 7) % 10000)
+           || ' visit https://example.com/u/' || CAST(c_custkey AS VARCHAR)
+           AS text
+  FROM customer
+)
+SELECT doc_id, {count_cols},
+       ({flag}) AS has_pii
+FROM d"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -1530,6 +1842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "sessions_gap": _q_sessions_gap,
         "jaccard_near_dups": _q_jaccard_near_dups,
+        "kcore_k20": _q_kcore,
+        "core_numbers": _q_core_numbers,
+        "host_link_rollup": _q_host_rollup,
+        "host_pagerank_w10": _q_host_pagerank,
+        "term_counts_top100": _q_term_counts,
+        "bigram_counts_top100": _q_bigram_counts,
+        "pii_flags": _q_pii_flags,
         "random_walks_k3": _q_random_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
@@ -1579,6 +1898,13 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
         "jaccard_near_dups": _jaccard_near_dups_sql(),
+        "kcore_k20": _kcore_sql(),
+        "core_numbers": _core_numbers_sql(),
+        "host_link_rollup": _host_rollup_sql(),
+        "host_pagerank_w10": _host_pagerank_sql(),
+        "term_counts_top100": _term_counts_sql(),
+        "bigram_counts_top100": _bigram_counts_sql(),
+        "pii_flags": _pii_flags_sql(),
         "random_walks_k3": _walks_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),

@@ -289,6 +289,91 @@ def pagerank(
     return result
 
 
+def weighted_pagerank(
+    graph: EdgeTable,
+    delta: float = 0.85,
+    threshold: float = 0.01,
+    max_iter: int = 50,
+    normalized: bool = True,
+) -> IterationResult:
+    """PageRank over a WEIGHTED edge table (e.g. the host graph's
+    n_links weights, ingest/hosts.py): each vertex pushes
+    rank * w(u,v) / wout(u) instead of rank / out_degree(u), where
+    wout is the weighted out-degree. With uniform weights this reduces
+    exactly to :func:`pagerank`. Zero-weighted-out-degree vertices
+    contribute nothing (same dangling rule as the unweighted default).
+
+    State: (v long, wout double, rank double, prev double). Same
+    physical plan as the join impl of :func:`pagerank` — one
+    co-partitioned join + map-side-combined sum per iteration; the
+    weight rides along the already-shuffled edge rows, so the weighted
+    variant costs the same shuffle bytes + one multiply.
+    """
+    if not graph.weighted:
+        raise ValueError("weighted_pagerank needs an EdgeTable built with weight=")
+    spark = graph.edges.sparkSession
+    edges = graph.edges
+    n = graph.num_vertices()
+    if n == 0:
+        empty = spark.createDataFrame(
+            [], schema="v long, wout double, rank double, prev double"
+        )
+        return IterationResult(state=empty, iterations=0, converged=True)
+    reset = (1.0 - delta) / n if normalized else (1.0 - delta)
+    init = 1.0 / n if normalized else 1.0
+
+    wout = edges.groupBy(F.col("src").alias("v")).agg(
+        F.sum("weight").alias("wout")
+    )
+    state = (
+        graph.vertices.join(wout, "v", "left")
+        .select(
+            "v",
+            F.coalesce("wout", F.lit(0.0)).alias("wout"),
+            F.lit(float(init)).alias("rank"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "v")
+        .localCheckpoint(eager=True)
+    )
+
+    def step(cur: DataFrame, i: int):
+        pushers = cur.where(F.col("wout") > 0)
+        sums = (
+            pushers.join(edges, pushers["v"] == edges["src"])
+            .select(
+                edges["dst"].alias("dst"),
+                (F.col("rank") * F.col("weight") / F.col("wout")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("msg"))
+        )
+        new = (
+            cur.select("v", "wout", F.col("rank").alias("prev"))
+            .join(sums, F.col("v") == F.col("dst"), "left")
+            .drop("dst")
+            .select(
+                "v",
+                "wout",
+                (F.lit(reset) + F.lit(delta) * F.coalesce("msg", F.lit(0.0))).alias(
+                    "rank"
+                ),
+                "prev",
+            )
+        )
+
+        def metrics(materialized: DataFrame) -> dict:
+            active = materialized.where(
+                F.abs(F.col("rank") - F.col("prev")) > threshold * F.col("prev")
+            ).count()
+            return {"active": active, "edges_traversed": graph.num_edges()}
+
+        return new, metrics
+
+    return iterate(
+        state, step, stop=lambda m: m["active"] == 0, max_iter=max_iter
+    )
+
+
 def ranked(result_state: DataFrame, scaled_n: int | None = None) -> DataFrame:
     """(v, rank) sorted rank desc, v asc — the reference's stable-sorted
     extract (pr_enactor.cuh:1380-1401). ``scaled_n``: divide by n when

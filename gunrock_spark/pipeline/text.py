@@ -123,6 +123,85 @@ def language_id(
     )
 
 
+def term_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(term, n_occurrences, n_docs) — corpus vocabulary with term and
+    document frequencies, the input to tokenizer training / TF-IDF /
+    stopword discovery. One explode + one groupBy (map-side partial
+    aggregation absorbs the Zipf head: every partition pre-combines
+    its 'the' counts before the shuffle, so hot terms do NOT skew the
+    exchange the way a raw groupBy on documents would)."""
+    toks = _token_col(text_col)
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+    out = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("_id")).alias("n_docs"),
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_occurrences") >= min_count)
+    return out
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(ngram, n_occurrences) — token n-gram counts (space-joined),
+    the raw material for n-gram LM scoring and BPE-ish merges. The
+    n-grams are built INSIDE the token array (transform over index
+    sequence — whole-stage codegen, no self-join, no extra shuffle),
+    then one explode + groupBy."""
+    toks = _token_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    out = (
+        df.where(F.size(toks) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_occurrences") >= min_count)
+    return out
+
+
+# deliberately simple, deterministic patterns (production would plug
+# in a real PII library; the PIPELINE contract — scan-bound Catalyst
+# regexp counting, no UDF — is what this engine provides)
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"\+?[0-9][0-9()\[\] .-]{7,}[0-9]",
+    "urls": r"https?://[^\s]+",
+    "ipv4s": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_emails, n_phones, n_urls, n_ipv4s, has_pii) — per-doc
+    counts of PII-shaped spans, the filter/redaction gate of a
+    training-data pipeline. Pure regexp_count projections."""
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *cols)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag.cast("boolean"))
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

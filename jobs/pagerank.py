@@ -45,9 +45,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="generate a deterministic N-page table (power of two)")
     ap.add_argument("--algorithm", default="pagerank",
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
-                             "bc", "hits", "salsa", "wtf", "topk"],
+                             "bc", "hits", "salsa", "wtf", "topk",
+                             "kcore", "corenums"],
                     help="the reference CLI binaries' surface "
-                         "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk})")
+                         "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
+                         "plus the engine's k-core/coreness extensions")
     ap.add_argument("--delta", type=float, default=0.85)
     ap.add_argument("--threshold", type=float, default=0.01)
     ap.add_argument("--max-iter", type=int, default=50)
@@ -72,11 +74,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--source", type=int, default=None,
                     help="source vertex (bfs/sssp/bc/hits/wtf; default: "
                          "smallest vertex id)")
-    ap.add_argument("--k", type=int, default=10, help="top-k size (topk)")
+    ap.add_argument("--k", type=int, default=10,
+                    help="top-k size (topk) / minimum degree (kcore)")
     ap.add_argument("--num-sources", type=int, default=32,
                     help="bc: seeded source-sample size when --source unset")
     ap.add_argument("--mark-pred", action="store_true",
                     help="bfs: record predecessors / sssp: record paths")
+    ap.add_argument("--host-level", action="store_true",
+                    help="with --pages/--pages-generate: roll the page "
+                         "links up to the HOST graph (ingest/hosts.py) "
+                         "and run the algorithm there; writes the "
+                         "host dictionary next to --out as <out>_hosts")
     args = ap.parse_args(argv)
     # fail fast on flag/algorithm mismatches (a silently-ignored warm
     # start looks identical to a successful one from the outside)
@@ -88,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
     # must be a clear argparse error, not a later NameError on edges_df
     if args.pages_generate is not None and args.pages_generate <= 0:
         ap.error("--pages-generate N must be positive")
+    if args.host_level and args.edges:
+        ap.error("--host-level needs a pages input (--pages/--pages-generate)")
 
     # spark-submit provides master/conf; fall back to engine defaults
     # (local[cpus]) when run as a bare python script.
@@ -117,7 +127,14 @@ def main(argv: list[str] | None = None) -> int:
         if bad:
             print(f"FATAL: {bad} pages fail byte-identical text extraction", file=sys.stderr)
             return 2
-        edges_df, _ = pages_to_edges(pages)
+        if args.host_level:
+            from gunrock_spark.ingest.hosts import host_graph
+
+            host_et, host_dict, _ = host_graph(pages)
+            host_dict.write.mode("overwrite").parquet(args.out + "_hosts")
+            edges_df = host_et.edges
+        else:
+            edges_df, _ = pages_to_edges(pages)
     n_parts = args.num_partitions or spark.sparkContext.defaultParallelism
     # sssp needs weights: use a weight column when present, else fill
     # deterministically like the .mtx reader (h60(src:dst) % 64)
@@ -228,6 +245,16 @@ def main(argv: list[str] | None = None) -> int:
         res = None
         out_df = who_to_follow(graph, src=_default_source(),
                                delta=args.delta, max_iter=args.max_iter)
+    elif args.algorithm == "kcore":
+        from gunrock_spark.algorithms.kcore import k_core
+
+        res = k_core(graph, k=args.k, max_iter=args.max_iter)
+        out_df = res.state.select("v", "deg")
+    elif args.algorithm == "corenums":
+        from gunrock_spark.algorithms.kcore import core_numbers
+
+        res = core_numbers(graph, max_iter=args.max_iter)
+        out_df = res.state.select("v", "c")
     else:  # topk
         from gunrock_spark.algorithms.topk import degree_topk
 

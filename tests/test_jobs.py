@@ -114,6 +114,25 @@ def test_job_cc_warm_start_from_previous_labels(spark, edges_parquet, tmp_path):
     assert l1 == l2
 
 
+def test_job_host_level_pagerank(spark, tmp_path):
+    """--host-level rolls page links up to the host graph (2048 pages
+    span 3 url_for hosts) and writes the host dictionary."""
+    out = str(tmp_path / "hostpr")
+    rc = _run_job(["--pages-generate", "2048", "--host-level",
+                   "--algorithm", "pagerank", "--out", out])
+    assert rc == 0
+    hosts = spark.read.parquet(out + "_hosts")
+    assert hosts.count() >= 2
+    ranks = spark.read.parquet(out)
+    assert ranks.count() == hosts.count()
+
+
+def test_job_host_level_requires_pages(spark, edges_parquet, tmp_path):
+    with pytest.raises(SystemExit):
+        _run_job(["--edges", edges_parquet, "--host-level",
+                  "--out", str(tmp_path / "x")])
+
+
 def test_job_rejects_mismatched_warm_start_flags(spark, edges_parquet, tmp_path):
     import pytest as _pytest
 
@@ -145,6 +164,8 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("salsa", ["--max-iter", "3"]),
         ("wtf", ["--max-iter", "5"]),
         ("topk", ["--k", "3"]),
+        ("kcore", ["--k", "1"]),
+        ("corenums", []),
     ],
 )
 def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, algo, extra):

@@ -121,6 +121,56 @@ def test_simhash_near_dup(spark, docs):
     assert pairs.get((0, 1)) == 0
 
 
+def test_term_counts(spark, docs):
+    from gunrock_spark.pipeline.text import term_counts
+
+    got = {
+        r["term"]: (r["n_occurrences"], r["n_docs"])
+        for r in term_counts(docs).collect()
+    }
+    # "the" appears 3x in each of docs 0,1 and 3x in doc 2 -> 9 occ, 3 docs
+    assert got["the"] == (9, 3)
+    assert got["fox"] == (3, 3)
+    assert got["spark"] == (1, 1)
+    # min_count filters occurrences
+    from gunrock_spark.pipeline.text import term_counts as tc
+
+    filtered = {r["term"] for r in tc(docs, min_count=3).collect()}
+    assert "the" in filtered and "spark" not in filtered
+
+
+def test_ngram_counts(spark, docs):
+    from gunrock_spark.pipeline.text import ngram_counts
+
+    got = {r["ngram"]: r["n_occurrences"] for r in ngram_counts(docs, n=2).collect()}
+    assert got["quick brown"] == 3  # docs 0, 1, 2
+    assert got["the lazy"] == 3
+    tri = {r["ngram"]: r["n_occurrences"] for r in ngram_counts(docs, n=3).collect()}
+    assert tri["the quick brown"] == 3
+    # a doc shorter than n contributes nothing; empty doc is dropped
+    assert "" not in got
+
+
+def test_pii_flags(spark):
+    from gunrock_spark.pipeline.text import pii_flags
+
+    df = spark.createDataFrame(
+        [
+            (0, "reach me at alice@example.com or bob.smith@corp.co.uk"),
+            (1, "call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 and page https://x.test/a?b=1"),
+            (3, "nothing sensitive here"),
+            (4, ""),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_flags(df).collect()}
+    assert got[0]["n_emails"] == 2 and got[0]["has_pii"]
+    assert got[1]["n_phones"] == 1 and got[1]["has_pii"]
+    assert got[2]["n_ipv4s"] == 1 and got[2]["n_urls"] == 1 and got[2]["has_pii"]
+    assert not got[3]["has_pii"] and not got[4]["has_pii"]
+
+
 def test_fingerprint_order_insensitive(spark):
     df = spark.createDataFrame(
         [(0, "alpha beta gamma"), (1, "gamma beta alpha alpha")],
