@@ -173,7 +173,9 @@ def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, 
     topk}) has a jobs-driver analog that runs end-to-end and writes
     non-empty parquet."""
     out = str(tmp_path / f"out_{algo}")
-    rc = _run_job(["--edges", edges_parquet, "--algorithm", algo, "--out", out])
+    rc = _run_job(
+        ["--edges", edges_parquet, "--algorithm", algo, "--out", out] + extra
+    )
     assert rc == 0
     got = spark.read.parquet(out)
     assert got.count() > 0
