@@ -1621,6 +1621,70 @@ SELECT doc_id, {count_cols},
 FROM d"""
 
 
+# --- Count-Min sketch (pipeline/sketches.py) -------------------------------
+
+CMS_DEPTH, CMS_WIDTH = 4, 1024
+
+
+def _q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.sketches import cms_build
+
+    return cms_build(_docs(spark, sf_dir), depth=CMS_DEPTH, width=CMS_WIDTH)
+
+
+def _q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point estimates for every distinct corpus term — exercises
+    build + lookup end to end; est >= exact count by construction."""
+    from gunrock_spark.pipeline.sketches import cms_build, cms_lookup
+    from gunrock_spark.pipeline.text import term_counts
+
+    docs = _docs(spark, sf_dir)
+    cms = cms_build(docs, depth=CMS_DEPTH, width=CMS_WIDTH)
+    terms = term_counts(docs).select("term")
+    return cms_lookup(cms, terms, depth=CMS_DEPTH, width=CMS_WIDTH)
+
+
+def _cms_cells_sql(depth: int, width: int) -> str:
+    from gunrock_spark.pipeline.sketches import CMS_P, _coeffs
+
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, (({a} * hm + {b}) % {CMS_P}) % {width} AS col, term FROM hm"
+        for i, (a, b) in enumerate(_coeffs(depth, "cms"))
+    )
+    h = _H60.format(x="term")
+    return f"""
+tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+hm AS (SELECT term, {h} % {CMS_P} AS hm FROM tok),
+cells AS ({rows})"""
+
+
+def _cms_sketch_sql(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    return (
+        "WITH "
+        + _cms_cells_sql(depth, width)
+        + """
+SELECT CAST(row AS INT) AS row, CAST(col AS BIGINT) AS col,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2"""
+    )
+
+
+def _cms_estimates_sql(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    return (
+        "WITH "
+        + _cms_cells_sql(depth, width)
+        + """,
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+probes AS (SELECT DISTINCT row, col, term FROM cells)
+SELECT term, CAST(MIN(s.cnt) AS BIGINT) AS est
+FROM probes p JOIN sketch s ON s.row = p.row AND s.col = p.col
+GROUP BY term"""
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -1849,6 +1913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_counts_top100": _q_term_counts,
         "bigram_counts_top100": _q_bigram_counts,
         "pii_flags": _q_pii_flags,
+        "cms_sketch": _q_cms_sketch,
+        "cms_estimates": _q_cms_estimates,
         "random_walks_k3": _q_random_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
@@ -1905,6 +1971,8 @@ FROM events GROUP BY 1, 2""",
         "term_counts_top100": _term_counts_sql(),
         "bigram_counts_top100": _bigram_counts_sql(),
         "pii_flags": _pii_flags_sql(),
+        "cms_sketch": _cms_sketch_sql(),
+        "cms_estimates": _cms_estimates_sql(),
         "random_walks_k3": _walks_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),

@@ -1,4 +1,4 @@
-from gunrock_spark.algorithms.pagerank import pagerank, ranked
+from gunrock_spark.algorithms.pagerank import pagerank, ranked, weighted_pagerank
 from gunrock_spark.algorithms.components import component_sizes, connected_components
 from gunrock_spark.algorithms.label_propagation import label_propagation
 from gunrock_spark.algorithms.triangles import (
@@ -12,8 +12,10 @@ from gunrock_spark.algorithms.bc import bc_single_source, betweenness_centrality
 from gunrock_spark.algorithms.hits import hits
 from gunrock_spark.algorithms.salsa import salsa
 from gunrock_spark.algorithms.wtf import who_to_follow
+from gunrock_spark.algorithms.kcore import core_numbers, k_core, k_core_vertices
 from gunrock_spark.algorithms.topk import degree_topk
 from gunrock_spark.algorithms.modularity import modularity
+from gunrock_spark.algorithms.walks import random_walks
 from gunrock_spark.algorithms.subgraph_match import (
     subgraph_match,
     subgraph_match_count,
@@ -22,6 +24,7 @@ from gunrock_spark.algorithms.subgraph_match import (
 __all__ = [
     "pagerank",
     "ranked",
+    "weighted_pagerank",
     "connected_components",
     "component_sizes",
     "label_propagation",
@@ -37,6 +40,10 @@ __all__ = [
     "salsa",
     "who_to_follow",
     "degree_topk",
+    "k_core",
+    "k_core_vertices",
+    "core_numbers",
+    "random_walks",
     "modularity",
     "subgraph_match",
     "subgraph_match_count",

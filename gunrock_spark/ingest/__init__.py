@@ -1,3 +1,20 @@
+from gunrock_spark.ingest.hosts import (
+    host_dictionary,
+    host_graph,
+    host_link_rollup,
+    host_of,
+    page_links,
+)
 from gunrock_spark.ingest.links import extract_text, extract_links, pages_to_edges, url_dictionary
 
-__all__ = ["extract_text", "extract_links", "pages_to_edges", "url_dictionary"]
+__all__ = [
+    "extract_text",
+    "extract_links",
+    "pages_to_edges",
+    "url_dictionary",
+    "host_of",
+    "host_link_rollup",
+    "host_dictionary",
+    "host_graph",
+    "page_links",
+]

@@ -171,6 +171,44 @@ def test_pii_flags(spark):
     assert not got[3]["has_pii"] and not got[4]["has_pii"]
 
 
+def test_cms_sketch_estimates(spark, docs):
+    from gunrock_spark.pipeline.sketches import cms_build, cms_lookup, cms_merge
+    from gunrock_spark.pipeline.text import term_counts
+
+    exact = {
+        r["term"]: r["n_occurrences"] for r in term_counts(docs).collect()
+    }
+    terms = spark.createDataFrame([(t,) for t in exact], schema="term string")
+
+    cms = cms_build(docs, width=1024)
+    est = {r["term"]: r["est"] for r in cms_lookup(cms, terms).collect()}
+    assert est == exact  # wide sketch, tiny vocab: no collisions
+
+    # narrow sketch: collisions force overestimates, never under
+    cms4 = cms_build(docs, width=4)
+    est4 = {r["term"]: r["est"] for r in cms_lookup(cms4, terms, width=4).collect()}
+    assert all(est4[t] >= exact[t] for t in exact)
+    # total counter mass per row = token count
+    row_sums = {
+        r["row"]: r["s"]
+        for r in cms4.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    n_tokens = sum(exact.values())
+    assert all(s == n_tokens for s in row_sums.values())
+
+    # merge of two shards == sketch of the union
+    a = docs.where(F.col("doc_id") < 3)
+    b = docs.where(F.col("doc_id") >= 3)
+    merged = cms_merge(cms_build(a, width=1024), cms_build(b, width=1024))
+    whole = {(r["row"], r["col"]): r["cnt"] for r in cms_build(docs, width=1024).collect()}
+    got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+    # absent term -> 0 (left-join coalesce path)
+    ghost = spark.createDataFrame([("zzzmissing",)], schema="term string")
+    assert cms_lookup(cms, ghost).collect()[0]["est"] == 0
+
+
 def test_fingerprint_order_insensitive(spark):
     df = spark.createDataFrame(
         [(0, "alpha beta gamma"), (1, "gamma beta alpha alpha")],

@@ -158,3 +158,65 @@ def test_ivf_centroid_selection_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in tree
     assert "Exchange" not in tree
+
+
+def test_term_and_cms_plans_one_exchange_partial_agg(spark):
+    """Vocabulary and CMS builds are explode -> partial agg -> ONE
+    exchange -> final agg: the map-side combine is what absorbs the
+    Zipf head at corpus scale."""
+    from gunrock_spark.pipeline.sketches import cms_build
+    from gunrock_spark.pipeline.text import ngram_counts, term_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # term_counts carries a count_distinct(doc_id): Catalyst's
+    # two-phase distinct rewrite legitimately adds one exchange (the
+    # partial-distinct on (term, doc_id) is itself map-side combined)
+    for df, max_ex in ((term_counts(docs), 2), (ngram_counts(docs), 1), (cms_build(docs), 1)):
+        plan = _plan(df)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") <= max_ex, plan
+        assert tree.count("HashAggregate") >= 2, plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_pii_flags_pure_projection(spark):
+    """PII counting is a single scan-bound projection: no exchange,
+    no Python, text+id pruned scan."""
+    from gunrock_spark.pipeline.text import pii_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pii_flags(docs))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_peel_round_no_python_bounded_exchanges(spark):
+    """One delta-peel round: frontier selection is a filter on the
+    |V|-row state (no scan of E for the survivors), the decrement join
+    + agg shuffles only frontier-incident edges, and nothing drops to
+    Python."""
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_TOY7, edges_df
+    from pyspark.sql import functions as F  # noqa: F811
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    sym = g.symmetrized().edges
+    state = (
+        sym.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state.where(F.col("deg") < 3).select("v")
+    dec = (
+        frontier.join(sym, frontier["v"] == sym["src"])
+        .groupBy(sym["dst"].alias("dv"))
+        .agg(F.count(F.lit(1)).alias("ddec"))
+    )
+    survivors = state.where(F.col("deg") >= 3)
+    new = survivors.join(dec, survivors["v"] == dec["dv"], "left").select(
+        "v", (F.col("deg") - F.coalesce("ddec", F.lit(0))).alias("deg")
+    )
+    plan = _plan(new)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final on the decrement
