@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
                          "links up to the HOST graph (ingest/hosts.py) "
                          "and run the algorithm there; writes the "
                          "host dictionary next to --out as <out>_hosts")
+    ap.add_argument("--weighted", action="store_true",
+                    help="pagerank: push rank along edge weights "
+                         "(host-rank over n_links; needs a weight "
+                         "column — --host-level provides one)")
     args = ap.parse_args(argv)
     # fail fast on flag/algorithm mismatches (a silently-ignored warm
     # start looks identical to a successful one from the outside)
@@ -98,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--pages-generate N must be positive")
     if args.host_level and args.edges:
         ap.error("--host-level needs a pages input (--pages/--pages-generate)")
+    if args.weighted and args.algorithm != "pagerank":
+        ap.error("--weighted only applies to --algorithm pagerank")
 
     # spark-submit provides master/conf; fall back to engine defaults
     # (local[cpus]) when run as a bare python script.
@@ -139,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
     # sssp needs weights: use a weight column when present, else fill
     # deterministically like the .mtx reader (h60(src:dst) % 64)
     weight = None
+    if args.weighted:
+        if "weight" not in edges_df.columns:
+            print("FATAL: --weighted needs a weight column on the edge table",
+                  file=sys.stderr)
+            return 2
+        weight = "weight"
     if args.algorithm == "sssp":
         if "weight" not in edges_df.columns:
             from pyspark.sql import functions as F
@@ -161,7 +173,17 @@ def main(argv: list[str] | None = None) -> int:
 
         return graph.vertices.agg(F.min("v")).collect()[0][0]
 
-    if args.algorithm == "pagerank":
+    if args.algorithm == "pagerank" and args.weighted:
+        from gunrock_spark.algorithms.pagerank import weighted_pagerank
+
+        res = weighted_pagerank(
+            graph,
+            delta=args.delta,
+            threshold=args.threshold,
+            max_iter=args.max_iter,
+        )
+        out_df = res.state.select("v", "rank")
+    elif args.algorithm == "pagerank":
         from gunrock_spark.algorithms.pagerank import pagerank, ranked
 
         res = pagerank(

@@ -127,6 +127,21 @@ def test_job_host_level_pagerank(spark, tmp_path):
     assert ranks.count() == hosts.count()
 
 
+def test_job_host_level_weighted_pagerank(spark, tmp_path):
+    out = str(tmp_path / "hostprw")
+    rc = _run_job(["--pages-generate", "2048", "--host-level", "--weighted",
+                   "--algorithm", "pagerank", "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.columns == ["v", "rank"] and got.count() > 0
+
+
+def test_job_weighted_requires_weight_column(spark, edges_parquet, tmp_path):
+    rc = _run_job(["--edges", edges_parquet, "--weighted",
+                   "--algorithm", "pagerank", "--out", str(tmp_path / "w")])
+    assert rc == 2
+
+
 def test_job_host_level_requires_pages(spark, edges_parquet, tmp_path):
     with pytest.raises(SystemExit):
         _run_job(["--edges", edges_parquet, "--host-level",
