@@ -1,0 +1,131 @@
+"""Streaming Count-Min maintenance — a live heavy-hitter table over a
+continuously-crawled corpus.
+
+The batch sketch (pipeline/sketches.py) is a commutative monoid
+(counters add), which is exactly what a streaming aggregation needs:
+each micro-batch builds its own depth x width sketch and MERGES it
+into the stored one. Merging is NOT idempotent (a replayed batch
+would double-count), so the store keeps the last applied batch_id and
+skips replays — the same exactly-once discipline as
+incremental_link_ingestion's dictionary swap; with Structured
+Streaming's sequential, monotone batch_ids a single `<=` check makes
+the foreachBatch effectively-once.
+
+State is O(depth x width) forever, whatever the corpus size — the
+reason to sketch the stream instead of re-running term_counts over
+an ever-growing corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gunrock_spark.pipeline.sketches import cms_build, cms_merge
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def _marker_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_LATEST")
+
+
+def _latest(out_dir: str) -> tuple[int, str | None]:
+    """(last applied batch_id, committed sketch path)."""
+    try:
+        with open(_marker_path(out_dir)) as f:
+            m = json.load(f)
+        return m["batch_id"], m["path"]
+    except (OSError, ValueError, KeyError):
+        return -1, None
+
+
+def load_sketch(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The last COMMITTED sketch (crash-orphaned versions invisible)."""
+    _, path = _latest(out_dir)
+    if path is None:
+        return None
+    return spark.read.parquet(path)
+
+
+def apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> bool:
+    """Merge one micro-batch into the stored sketch; returns False for
+    replays (batch_id <= last committed) — counters must never
+    double-add.
+
+    Crash-safe order: the merged sketch is written to a NEW versioned
+    directory, then the marker (batch_id + path) is swung atomically
+    via os.replace. A crash after the data write but before the
+    marker leaves an orphan version the marker never points to — the
+    replayed batch re-merges FROM THE OLD committed sketch, so counts
+    are never applied twice (the checkpoint.py commit discipline).
+    """
+    last_id, prior_path = _latest(out_dir)
+    if batch_id <= last_id:
+        return False
+    if batch.isEmpty():
+        return False
+    os.makedirs(out_dir, exist_ok=True)
+    delta = cms_build(batch, text_col=text_col, depth=depth, width=width, seed=seed)
+    prior = None if prior_path is None else spark.read.parquet(prior_path)
+    merged = delta if prior is None else cms_merge(prior, delta)
+    version = os.path.join(out_dir, f"sketch_v{batch_id}")
+    merged.write.mode("overwrite").parquet(version)
+    tmp = _marker_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "path": version}, f)
+    os.replace(tmp, _marker_path(out_dir))
+    if prior_path is not None:  # retire the superseded version
+        try:
+            import shutil
+
+            shutil.rmtree(prior_path, ignore_errors=True)
+        except Exception:
+            pass
+    return True
+
+
+def incremental_cms(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    available_now: bool = True,
+):
+    """Stream ``pages_dir``/*.parquet into a persistent CMS at
+    ``out_dir``/sketch. Returns the StreamingQuery (awaited when
+    ``available_now``)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
+    stream = spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        apply_batch(
+            spark, batch, batch_id, out_dir,
+            text_col=text_col, depth=depth, width=width, seed=seed,
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

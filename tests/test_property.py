@@ -75,3 +75,35 @@ def test_pagerank_fixed_iters_match_numpy(spark, raw, iters):
     assert set(got) == set(vs)
     for v, rank in got.items():
         assert rank == pytest.approx(float(ref[idx[v]]), abs=1e-9)
+
+
+@given(raw=edge_lists)
+@SLOW
+def test_core_numbers_match_exact_peeling_property(spark, raw):
+    """h-index fixpoint == exact min-degree peeling coreness for EVERY
+    graph (Lü et al. 2016 convergence theorem, exercised end-to-end)."""
+    from gunrock_spark.algorithms.kcore import core_numbers
+    from tests.test_kcore_hosts import _py_coreness
+
+    clean = [(s, d) for s, d in raw if s != d]
+    if not clean:
+        return
+    g = EdgeTable.from_df(edges_df(spark, raw))
+    want = _py_coreness(clean)
+    got = {r["v"]: r["c"] for r in core_numbers(g).state.select("v", "c").collect()}
+    assert got == want
+
+
+@given(raw=edge_lists, k=st.integers(1, 5))
+@SLOW
+def test_kcore_matches_python_peeling_property(spark, raw, k):
+    from gunrock_spark.algorithms.kcore import k_core_vertices
+    from tests.test_kcore_hosts import _py_kcore
+
+    clean = [(s, d) for s, d in raw if s != d]
+    if not clean:
+        return
+    g = EdgeTable.from_df(edges_df(spark, raw))
+    want = _py_kcore(clean, k)
+    got = {r["v"]: r["deg"] for r in k_core_vertices(g, k).collect()}
+    assert got == want

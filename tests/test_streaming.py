@@ -380,3 +380,52 @@ def test_sessionize_stream_ids_continue_after_timeout(spark, tmp_path):
         if r["key"] == "a"
     )
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_incremental_cms_stream_matches_batch(spark, tmp_path):
+    """Streamed micro-batch sketch merges == one batch sketch over the
+    whole corpus; replayed batch ids never double-count."""
+    from gunrock_spark.pipeline.sketches import cms_build
+    from gunrock_spark.streaming.sketch_stream import (
+        apply_batch,
+        incremental_cms,
+        load_sketch,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "cms_out")
+    a, _ = pages_table(spark, n_pages=64, seed=21)
+    b, _ = pages_table(spark, n_pages=32, seed=22)
+    b = b.selectExpr(
+        "concat('x', url) AS url", "warc_ts", "html", "text", "lang"
+    )
+    a.coalesce(1).write.mode("append").parquet(pages_dir)
+    incremental_cms(
+        spark, pages_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ck"), width=256,
+    )
+    # second crawl increment drains as a separate micro-batch
+    b.coalesce(1).write.mode("append").parquet(pages_dir)
+    incremental_cms(
+        spark, pages_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ck"), width=256,
+    )
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in load_sketch(spark, out_dir).collect()
+    }
+    whole = a.select("text").unionByName(b.select("text"))
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_build(whole, width=256).collect()
+    }
+    assert got == want
+
+    # replay: a batch id at-or-below the committed one is refused and
+    # the sketch is unchanged
+    assert apply_batch(spark, a, 0, out_dir, width=256) is False
+    after = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in load_sketch(spark, out_dir).collect()
+    }
+    assert after == want
