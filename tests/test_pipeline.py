@@ -295,8 +295,55 @@ def test_multimodal_decode_plumbing(spark):
     feats2 = {r["media_id"]: r["feature"] for r in decode_features(media).collect()}
     for r in feats:
         assert feats2[r["media_id"]] == r["feature"]
-    with pytest.raises(NotImplementedError):
-        decode_features(media, decoder="real")
+    # fake payloads carry compressed codecs -> real decode refuses them
+    # per row (decode_ok=false), never silently fabricates features
+    real = decode_features(media, decoder="real").collect()
+    assert all(not r["decode_ok"] and r["feature"] is None for r in real)
+
+
+def test_multimodal_real_decode_ppm_wav(spark):
+    """decoder='real' actually parses the bytes: PPM pixels reproduce
+    the generator's array, WAV sine RMS lands at amplitude/sqrt(2);
+    codec-library formats (h264 video) stay decode_ok=false."""
+    import numpy as np
+
+    from gunrock_spark.pipeline.multimodal import (
+        _decode_ppm,
+        _decode_wav,
+        _image_features,
+        _make_ppm,
+        _make_wav,
+    )
+
+    # pure decoder round-trips
+    img = _decode_ppm(_make_ppm(32, 16, seed=7))
+    assert img.shape == (16, 32, 3)
+    rng = np.random.default_rng(7)
+    want = rng.integers(0, 256, size=(16, 32, 3), dtype=np.uint8)
+    assert (img == want).all()
+    rate, samples = _decode_wav(_make_wav(500, seed=3))
+    assert rate == 8000 and samples.size == 4000
+    rms = np.sqrt(np.mean((samples / 32768.0) ** 2))
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01
+
+    # end-to-end through mapInPandas
+    media = synthesize_media(spark, n=12, real_payloads=True)
+    rows = {r["media_id"]: r for r in decode_features(media, decoder="real").collect()}
+    kinds = {r["media_id"]: (r["kind"], r["meta"]) for r in media.collect()}
+    for mid, r in rows.items():
+        kind, meta = kinds[mid]
+        if kind in ("image", "audio"):
+            assert r["decode_ok"], (mid, kind)
+            assert len(r["feature"]) == 16
+            assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        else:  # video: compressed codec, residual stub
+            assert not r["decode_ok"]
+    # image features equal a driver-side decode of the same payload
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    img_mid = next(m for m, (k, _) in kinds.items() if k == "image")
+    direct = _image_features(_decode_ppm(payloads[img_mid]), 16)
+    got = np.asarray(rows[img_mid]["feature"], dtype=np.float32)
+    assert np.allclose(direct, got, atol=1e-6)
 
 
 def test_frame_sample(spark):
