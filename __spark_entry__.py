@@ -1685,6 +1685,75 @@ GROUP BY term"""
     )
 
 
+HLL_M = 64
+
+
+def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register table over distinct document texts
+    (pipeline/sketches.py) — bounded-memory distinct counting; the
+    register build is exact integer bit arithmetic, replayed by SQL."""
+    from gunrock_spark.pipeline.sketches import hll_registers
+
+    return hll_registers(_docs(spark, sf_dir), "text", m=HLL_M)
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar HLL estimate: harmonic sum kept exact in integers
+    (s_scaled), one double multiply/divide + round, so the oracle is
+    bit-identical."""
+    from gunrock_spark.pipeline.sketches import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), "text", m=HLL_M)
+
+
+def _hll_bits_sql(m: int = HLL_M) -> str:
+    from gunrock_spark.pipeline.sketches import HLL_RHO_CAP
+
+    b = m.bit_length() - 1
+    h = _H60.format(x="'hll:' || text")
+    return f"""
+hh AS (SELECT {h} AS h FROM documents),
+bits AS (SELECT h & {m - 1} AS j, h >> {b} AS rem FROM hh),
+rr AS (
+  SELECT j, CASE WHEN rem = 0 THEN {HLL_RHO_CAP}
+                 ELSE LEAST(bit_count((rem & -rem) - 1) + 1, {HLL_RHO_CAP}) END AS rho
+  FROM bits
+),
+regs AS (SELECT CAST(j AS INT) AS j, CAST(MAX(rho) AS INT) AS rho FROM rr GROUP BY 1)"""
+
+
+def _hll_registers_sql(m: int = HLL_M) -> str:
+    return "WITH " + _hll_bits_sql(m) + "\nSELECT j, rho FROM regs"
+
+
+def _hll_distinct_sql(m: int = HLL_M) -> str:
+    from gunrock_spark.pipeline.sketches import HLL_RHO_CAP, hll_alpha
+
+    alpha = f"CAST({hll_alpha(m)!r} AS DOUBLE)"
+    raw = f"({alpha} * {m} * {m} * CAST({1 << HLL_RHO_CAP} AS DOUBLE) / s_scaled)"
+    return (
+        "WITH "
+        + _hll_bits_sql(m)
+        + f""",
+allregs AS (
+  SELECT gs.j, COALESCE(regs.rho, 0) AS rho
+  FROM (SELECT UNNEST(range(0, {m})) AS j) gs
+  LEFT JOIN regs ON regs.j = gs.j
+),
+agg AS (
+  SELECT SUM((1::BIGINT) << ({HLL_RHO_CAP} - rho)) AS s_scaled,
+         SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zero_registers
+  FROM allregs
+)
+SELECT CAST(CASE WHEN zero_registers > 0 AND {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+            THEN ROUND(CAST({m} AS DOUBLE) * LN(CAST({m} AS DOUBLE) / zero_registers))
+            ELSE ROUND({raw}) END AS BIGINT) AS est_distinct,
+       CAST(zero_registers AS BIGINT) AS zero_registers,
+       CAST(s_scaled AS BIGINT) AS s_scaled
+FROM agg"""
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -1742,6 +1811,9 @@ def _q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 WALKS_LEN = 3
 WALKS_PER_VERTEX = 2
 WALKS_SEED = 7
+N2V_LEN = 3
+N2V_P = 2
+N2V_Q = 3
 SAMPLE_SEED = 11
 SAMPLE_DEN = 5
 STRAT_K = 7
@@ -1759,19 +1831,31 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _walks_sql(
-    k: int = WALKS_LEN, walks: int = WALKS_PER_VERTEX, seed: int = WALKS_SEED
-) -> str:
+def _walk_hash_sql(cur_expr: str, t: int, walks: int, seed: int) -> str:
+    """The walks determinism contract's hash, as a SQL expression —
+    wid = start * walks_per_vertex + walk is mixed in so walks that
+    meet at the same vertex/step draw different next hops."""
     from gunrock_spark.algorithms.walks import HASH_A, HASH_P, HASH_STEP, HASH_WALK
 
-    walk_rows = " UNION ALL ".join(f"SELECT {w} AS walk" for w in range(walks))
-    body = [
-        """ranked AS MATERIALIZED (
+    return (
+        f"((({cur_expr} % {HASH_P}) * {HASH_A} + {t * HASH_STEP}"
+        f" + ((start * {walks} + walk) % {HASH_P}) * {HASH_WALK} + {seed}) % {HASH_P})"
+    )
+
+
+_WALK_BASE_CTES = """ranked AS MATERIALIZED (
   SELECT src, dst,
          CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk
   FROM edges
-)""",
-        "degl AS (SELECT v, CAST(outd AS BIGINT) AS d FROM deg)",
+)""", "degl AS (SELECT v, CAST(outd AS BIGINT) AS d FROM deg)"
+
+
+def _walks_sql(
+    k: int = WALKS_LEN, walks: int = WALKS_PER_VERTEX, seed: int = WALKS_SEED
+) -> str:
+    walk_rows = " UNION ALL ".join(f"SELECT {w} AS walk" for w in range(walks))
+    body = [
+        *_WALK_BASE_CTES,
         f"wk AS ({walk_rows})",
         "s0 AS (SELECT v AS start, walk, v AS cur FROM verts CROSS JOIN wk)",
     ]
@@ -1782,8 +1866,7 @@ def _walks_sql(
   FROM s{t - 1} s
   JOIN degl dg ON dg.v = s.cur
   JOIN ranked r ON r.src = s.cur
-   AND r.rnk = (((s.cur % {HASH_P}) * {HASH_A} + {t * HASH_STEP}
-                 + s.walk * {HASH_WALK} + {seed}) % {HASH_P}) % dg.d
+   AND r.rnk = {_walk_hash_sql("s.cur", t, walks, seed)} % dg.d
 )"""
         )
     selects = " UNION ALL ".join(
@@ -1791,6 +1874,83 @@ def _walks_sql(
         for t in range(0, k + 1)
     )
     return "WITH " + _EDGES_CTES + ",\n" + ",\n".join(body) + "\n" + selects
+
+
+def _node2vec_sql(
+    k: int = N2V_LEN,
+    p: int = N2V_P,
+    q: int = N2V_Q,
+    walks: int = WALKS_PER_VERTEX,
+    seed: int = WALKS_SEED,
+) -> str:
+    """node2vec walks unrolled to plain SQL: per step, candidates are
+    the out-neighbors in rnk order, integer-weighted (q, p*q, p) for
+    (return, distance-1, distance-2), and the inverse-CDF draw
+    r = hash % total_weight picks the candidate whose cumulative
+    weight interval covers r — exactly algorithms/walks.py's plan."""
+    w_ret, w_d1, w_d2 = q, p * q, p
+    walk_rows = " UNION ALL ".join(f"SELECT {w} AS walk" for w in range(walks))
+    body = [
+        *_WALK_BASE_CTES,
+        f"wk AS ({walk_rows})",
+        "s0 AS (SELECT v AS start, walk, v AS cur FROM verts CROSS JOIN wk)",
+        f"""s1 AS MATERIALIZED (
+  SELECT s.start, s.walk, s.cur AS prev, r.dst AS cur
+  FROM s0 s
+  JOIN degl dg ON dg.v = s.cur
+  JOIN ranked r ON r.src = s.cur
+   AND r.rnk = {_walk_hash_sql("s.cur", 1, walks, seed)} % dg.d
+)""",
+    ]
+    for t in range(2, k + 1):
+        body.extend((
+            f"""cand{t} AS MATERIALIZED (
+  SELECT s.start, s.walk, s.prev, s.cur, r.dst AS x, r.rnk,
+         CAST(CASE WHEN r.dst = s.prev THEN {w_ret}
+                   WHEN e2.src IS NOT NULL THEN {w_d1}
+                   ELSE {w_d2} END AS BIGINT) AS w
+  FROM s{t - 1} s
+  JOIN ranked r ON r.src = s.cur
+  LEFT JOIN edges e2 ON e2.src = s.prev AND e2.dst = r.dst
+)""",
+            f"""sel{t} AS MATERIALIZED (
+  SELECT start, walk, cur, x, w,
+         SUM(w) OVER (PARTITION BY start, walk ORDER BY rnk) AS cum,
+         SUM(w) OVER (PARTITION BY start, walk) AS tot
+  FROM cand{t}
+)""",
+            f"""s{t} AS MATERIALIZED (
+  SELECT start, walk, cur AS prev, x AS cur
+  FROM sel{t}
+  WHERE cum > {_walk_hash_sql("cur", t, walks, seed)} % tot
+    AND cum - w <= {_walk_hash_sql("cur", t, walks, seed)} % tot
+)""",
+        ))
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, CAST({t} AS INT) AS step, cur AS v FROM s{t}"
+        for t in range(0, min(1, k) + 1)
+    ) + "".join(
+        f" UNION ALL SELECT start, walk, CAST({t} AS INT) AS step, cur AS v FROM s{t}"
+        for t in range(2, k + 1)
+    )
+    return "WITH " + _EDGES_CTES + ",\n" + ",\n".join(body) + "\n" + selects
+
+
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec-biased walks (algorithms/walks.py) —
+    integer (q, p*q, p) candidate weights + inverse-CDF hash draw, so
+    the DuckDB oracle replays the identical biased trajectories."""
+    from gunrock_spark.algorithms.walks import node2vec_walks
+
+    g = _graph(spark, sf_dir)
+    return node2vec_walks(
+        g,
+        walk_length=N2V_LEN,
+        p=N2V_P,
+        q=N2V_Q,
+        walks_per_vertex=WALKS_PER_VERTEX,
+        seed=WALKS_SEED,
+    )
 
 
 def _q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1914,8 +2074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts_top100": _q_bigram_counts,
         "pii_flags": _q_pii_flags,
         "cms_sketch": _q_cms_sketch,
+        "hll_registers": _q_hll_registers,
+        "hll_distinct": _q_hll_distinct,
         "cms_estimates": _q_cms_estimates,
         "random_walks_k3": _q_random_walks,
+        "node2vec_walks_k3": _q_node2vec_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
     }
@@ -1972,8 +2135,11 @@ FROM events GROUP BY 1, 2""",
         "bigram_counts_top100": _bigram_counts_sql(),
         "pii_flags": _pii_flags_sql(),
         "cms_sketch": _cms_sketch_sql(),
+        "hll_registers": _hll_registers_sql(),
+        "hll_distinct": _hll_distinct_sql(),
         "cms_estimates": _cms_estimates_sql(),
         "random_walks_k3": _walks_sql(),
+        "node2vec_walks_k3": _node2vec_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),
     }

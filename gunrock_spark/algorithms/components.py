@@ -32,7 +32,7 @@ from gunrock_spark.graph.edge_table import EdgeTable
 def connected_components(
     graph: EdgeTable,
     max_iter: int = 100,
-    pointer_jump: bool = True,
+    pointer_jump: bool | int = True,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
@@ -89,6 +89,10 @@ def connected_components(
                 state, start_iter, prior_metrics = loaded
                 state = state.select("v", "label")
 
+    # holds the previous iteration's mid-step snapshot so it can be
+    # released once the next iteration no longer references it
+    mid_state: dict = {"df": None}
+
     def step(cur: DataFrame, i: int):
         cur = cur.select("v", "label")
         # 1. hash-min over neighbors (edges symmetric -> both directions)
@@ -101,28 +105,53 @@ def connected_components(
         new = cur.withColumnRenamed("label", "prev").join(cand, "v", "left").select(
             "v", F.least(F.col("prev"), F.coalesce("nbr_min", F.col("prev"))).alias("label"), "prev"
         )
-        # 2. pointer jump: label := label_prev(label), the parent map
-        # taken from the MATERIALIZED previous state (``cur``), not
-        # from ``new`` — a self-join on the uncached hash-min result
-        # computes the |E|-row join+agg twice per iteration (the two
-        # exchange children canonicalize differently, so Catalyst
-        # cannot reuse them). Jumping through the previous mapping is
-        # an equally valid contraction: labels never grow, prev(x) ≤ x
-        # and prev(x) is in x's component, so label stays a shrinking
-        # per-vertex upper bound of the component minimum and the
-        # changed==0 fixpoint is the same converged labeling.
-        if pointer_jump:
-            parents = cur.select(F.col("v").alias("pv"), F.col("label").alias("plabel"))
+        # 2. pointer jump: label := label'(label) — true pointer
+        # doubling needs the parent map to be the FRESH hash-min
+        # result itself (Wyllie jumping squares the contraction only
+        # when jumping through the current mapping; jumping through
+        # the previous iteration's map — even repeatedly — adds a
+        # constant chain length and measured ZERO iteration savings,
+        # see BENCH.md §3a-r4). A lazy self-join on the uncached
+        # hash-min result would recompute the |E|-row join+agg twice
+        # (the two exchange children canonicalize differently, so
+        # Catalyst cannot reuse them — the r2 shape), so the default
+        # materializes the hash-min result mid-step (localCheckpoint)
+        # and jumps through that snapshot: per iteration one |E|-row
+        # hash-min computed ONCE + one |V|-row self-join.
+        #   pointer_jump=True  -> mid-step snapshot + self-jump
+        #   pointer_jump=int n -> n cheap jumps through the PREVIOUS
+        #                         materialized state (no extra action)
+        #   pointer_jump=False -> pure hash-min
+        if pointer_jump is True:
+            mid = new.localCheckpoint(eager=True)
+            if mid_state["df"] is not None:
+                try:
+                    mid_state["df"].unpersist()
+                except Exception:
+                    pass
+            mid_state["df"] = mid
+            parents = mid.select(F.col("v").alias("pv"), F.col("label").alias("plabel"))
             new = (
-                new.join(parents, new["label"] == parents["pv"], "left")
+                mid.join(parents, mid["label"] == parents["pv"], "left")
                 .select(
                     "v",
-                    F.least(
-                        F.col("label"), F.coalesce("plabel", "label")
-                    ).alias("label"),
+                    F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
                     "prev",
                 )
             )
+        elif pointer_jump:
+            parents = cur.select(F.col("v").alias("pv"), F.col("label").alias("plabel"))
+            for _ in range(int(pointer_jump)):
+                new = (
+                    new.join(parents, new["label"] == parents["pv"], "left")
+                    .select(
+                        "v",
+                        F.least(
+                            F.col("label"), F.coalesce("plabel", "label")
+                        ).alias("label"),
+                        "prev",
+                    )
+                )
 
         def metrics(materialized: DataFrame) -> dict:
             changed = materialized.where(F.col("label") != F.col("prev")).count()
@@ -130,7 +159,7 @@ def connected_components(
 
         return new, metrics
 
-    return iterate(
+    result = iterate(
         state,
         step,
         stop=lambda m: m["changed"] == 0,
@@ -140,6 +169,12 @@ def connected_components(
         start_iteration=start_iter,
         prior_metrics=prior_metrics,
     )
+    if mid_state["df"] is not None:
+        try:
+            mid_state["df"].unpersist()
+        except Exception:
+            pass
+    return result
 
 
 def component_sizes(labels: DataFrame) -> DataFrame:

@@ -83,10 +83,15 @@ def k_core(
 
         def metrics(materialized: DataFrame) -> dict:
             removed = frontier.count()
+            alive = materialized.count()
+            # unpersist only AFTER the state materialization: the new
+            # state's plan references the frontier (through dec), so
+            # dropping the cache first would recompute the frontier
+            # filter+join inside materialized.count().
             frontier.unpersist()
             return {
                 "changed": removed,
-                "alive": materialized.count(),
+                "alive": alive,
                 "edges_traversed": graph.num_edges(),
             }
 
@@ -105,6 +110,49 @@ def k_core_vertices(graph: EdgeTable, k: int, max_iter: int = 100) -> DataFrame:
     return k_core(graph, k, max_iter=max_iter).state.select("v", "deg")
 
 
+def h_index_round(cur: DataFrame, sym: DataFrame) -> DataFrame:
+    """One synchronous H-operator round: cur (v, c, ...) -> (v, c, prev)
+    with c = h-index of the neighbor c-multiset. Hub-safe shape — see
+    :func:`core_numbers` docstring for the capped-distinct-value
+    identity; the only ordered pass is the cumulative count over the
+    per-vertex distinct capped values (plan-gated in
+    tests/test_plans.py::test_coreness_round_window_over_aggregated_rows).
+    """
+    # gather neighbor values, capped at the receiving vertex's own
+    # current value (join the owner's c back on dst) — the cap is
+    # what lets groupBy(v, capped) collapse a hub's 10^7 gathered
+    # rows into <= c(v)+1 aggregate rows before anything sorts.
+    gathered = (
+        cur.select(F.col("v").alias("u"), F.col("c").alias("cu"))
+        .join(sym, F.col("u") == sym["src"])
+        .select(sym["dst"].alias("v"), "cu")
+        .alias("g")
+    )
+    own = cur.select(F.col("v").alias("ov"), F.col("c").alias("cv")).alias("o")
+    nbr = gathered.join(own, F.col("g.v") == F.col("o.ov")).select(
+        F.col("g.v").alias("v"), F.least("g.cu", "o.cv").alias("capped")
+    )
+    # partial-agg shape: map-side combine absorbs dst skew here
+    counts = nbr.groupBy("v", "capped").agg(F.count(F.lit(1)).alias("n"))
+    # cumulative count over the per-vertex DISTINCT-value rows
+    # (bounded by min(#distinct values, c(v)+1), never the degree)
+    w = (
+        Window.partitionBy("v")
+        .orderBy(F.col("capped").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = (
+        counts.withColumn("cnt_ge", F.sum("n").over(w))
+        .groupBy("v")
+        .agg(F.max(F.least(F.col("capped"), F.col("cnt_ge"))).alias("h"))
+    )
+    return (
+        cur.select("v", F.col("c").alias("prev"))
+        .join(h, "v", "left")
+        .select("v", F.coalesce("h", F.lit(0)).cast("long").alias("c"), "prev")
+    )
+
+
 def core_numbers(graph: EdgeTable, max_iter: int = 100) -> IterationResult:
     """Per-vertex coreness via the h-index fixpoint. State: (v, c,
     prev); converged c(v) = core number of v (the largest k such that
@@ -115,9 +163,25 @@ def core_numbers(graph: EdgeTable, max_iter: int = 100) -> IterationResult:
     where H is the h-index of the neighbor multiset — the largest h
     such that at least h neighbors have value >= h. With c_0 = degree
     the sequence is pointwise non-increasing and converges to the
-    coreness (Lü et al. 2016). Implemented as one |E|-row join
-    (neighbor value gather) + a per-vertex rank window:
-        H = max over neighbors of least(rank_in_desc_order, value).
+    coreness (Lü et al. 2016).
+
+    Hub-safe H (no per-vertex sort over the |E|-row gather): neighbor
+    values are first CAPPED at the owner's current value c(v) (valid
+    because the h-index of the multiset never exceeds c(v) while the
+    sequence is non-increasing, and capping values above any candidate
+    h cannot change whether cnt(>=h) >= h for h <= c(v)), then reduced
+    by a map-side-combinable groupBy(v, capped) count. H is recovered
+    from the DISTINCT-value table via the identity
+        H = max over distinct capped values d of min(d, cnt(>= d))
+    (every candidate min(d, cnt(>=d)) is a valid h — the cnt(>=d)
+    neighbors all have value >= d >= min(...) — and taking d = the
+    smallest value among the h* witnesses achieves the maximum h*).
+    The only ordered pass is the cumulative count over that distinct
+    table: a 10^7-in-degree hub's window input shrinks from 10^7
+    gathered rows (r3 shape) to at most min(#distinct neighbor
+    values, c(v)+1) rows — after round 1 the values collapse toward
+    the (small) coreness range, and the |E|-row stage is pure
+    partial aggregation.
     """
     spark = graph.edges.sparkSession
     sym = graph.symmetrized().edges
@@ -129,22 +193,7 @@ def core_numbers(graph: EdgeTable, max_iter: int = 100) -> IterationResult:
     )
 
     def step(cur: DataFrame, i: int):
-        nbr = (
-            cur.select(F.col("v").alias("u"), F.col("c").alias("cu"))
-            .join(sym, F.col("u") == sym["src"])
-            .select(sym["dst"].alias("v"), "cu")
-        )
-        w = Window.partitionBy("v").orderBy(F.col("cu").desc())
-        h = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .groupBy("v")
-            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("cu"))).alias("h"))
-        )
-        new = (
-            cur.select("v", F.col("c").alias("prev"))
-            .join(h, "v", "left")
-            .select("v", F.coalesce("h", F.lit(0)).cast("long").alias("c"), "prev")
-        )
+        new = h_index_round(cur, sym)
 
         def metrics(materialized: DataFrame) -> dict:
             changed = materialized.where(F.col("c") != F.col("prev")).count()

@@ -6,34 +6,50 @@ problem struct is a verbatim SSSP copy,
 gunrock/app/sample/sample_problem.cuh:27-37, test driver
 tests/sample/test_sample.cu:10 still says "test_sssp.cu"), so there
 are no sampling semantics to transcribe; this operator supplies the
-sampling primitive a link-graph training pipeline actually needs:
-fixed-length walks from every (or a chosen set of) start vertices,
-one step = one advance over the out-adjacency, exactly the
-reference's frontier-advance iteration shape (SURVEY.md §2.1).
+sampling primitives a link-graph training pipeline actually needs:
+fixed-length walks from every (or a chosen set of) start vertices —
+first-order uniform (:func:`random_walks`) and second-order
+node2vec-biased (:func:`node2vec_walks`) — one step = one advance
+over the out-adjacency, exactly the reference's frontier-advance
+iteration shape (SURVEY.md §2.1).
 
 Determinism contract (what makes the walks oracle-able in ANSI SQL
 and reproducible across engines/cluster sizes):
 
   neighbor order  = out-edges ranked by dst asc (rnk = 0..deg-1),
                     the CSR column order of a sorted build
-  choice at (cur, step, walk) =
-      h   = ((cur % P) * 1000003 + step * 7919 + walk * 104729 + seed) % P
-      rnk = h % out_degree(cur)            with P = 900_000_007
+  walk identity   wid = start * walks_per_vertex + walk  (globally
+                    unique per walk, so two walks that meet at the
+                    same vertex at the same step draw DIFFERENT next
+                    hops and decorrelate — mixing only (cur, step,
+                    walk) would coalesce their suffixes forever)
+  choice at (cur, step, wid) =
+      h   = ((cur % P) * 1000003 + step * 7919
+             + (wid % P) * 104729 + seed) % P
+      uniform:   rnk = h % out_degree(cur)
+      node2vec:  r   = h % total_weight; pick the candidate whose
+                 cumulative weight interval (in rnk order) covers r
 
-Pure 64-bit-safe integer arithmetic ((cur % P) * 1000003 < 9e14), no
-engine-specific hash, so DuckDB computes the identical walk. A walk
-that reaches a sink (out_degree 0) simply ends — later steps emit no
-row for it.
+  with P = 900_000_007. Pure 64-bit-safe integer arithmetic
+  ((cur % P) * 1000003 < 9e14, (wid % P) * 104729 < 9.5e13), no
+  engine-specific hash, so DuckDB computes the identical walk. A walk
+  that reaches a sink (out_degree 0) simply ends — later steps emit
+  no row for it.
 
 Scale notes (100 TB link graph): the ranked layout is one
 row_number window partitioned by src — the same one-off cost/layout
-as the CSR build, reused across all walks; a 10^6-out-degree hub
-sorts inside one task, acceptable one-time. Each step shuffles only
-the |starts|x|walks| frontier (state rows, not edges) through two
-equi-joins (degree fetch, then (src, rnk) edge lookup — never a
-per-neighbor expansion, so hub fan-out never materializes). Total
-cost: walk_length shuffles of the frontier, each a fraction of one
-PageRank iteration.
+as the CSR build, reused across all walks. First-order steps shuffle
+only the |starts|x|walks| frontier through two equi-joins (degree
+fetch, then (src, rnk) edge lookup — never a per-neighbor expansion,
+so hub fan-out never materializes). Second-order (node2vec) steps
+MUST see every candidate's class (return / distance-1 / distance-2
+from the previous vertex), so each step expands the frontier by
+deg(cur) candidate rows and probes edge existence with one more
+equi-join — the irreducible node2vec cost; the per-walk cumulative
+window is bounded by deg(cur), the same cost class as the adjacency
+ranking itself. Intermediates are persisted during the unroll and
+unpersisted once the final union is materialized (localCheckpoint),
+so repeated calls don't accumulate executor storage.
 """
 
 from __future__ import annotations
@@ -59,14 +75,42 @@ def ranked_adjacency(graph: EdgeTable) -> DataFrame:
     )
 
 
-def _step_hash(cur, step: int, seed: int):
+def _step_hash(cur, step: int, wid, seed: int):
     h = (
         F.pmod(cur, F.lit(HASH_P)) * HASH_A
         + F.lit(step * HASH_STEP)
-        + F.col("walk") * HASH_WALK
+        + F.pmod(wid, F.lit(HASH_P)) * HASH_WALK
         + F.lit(seed)
     )
     return F.pmod(h, F.lit(HASH_P))
+
+
+def _wid(walks_per_vertex: int):
+    return F.col("start") * walks_per_vertex + F.col("walk")
+
+
+def _start_state(graph: EdgeTable, starts: DataFrame | None, walks_per_vertex: int) -> DataFrame:
+    if starts is None:
+        starts = graph.vertices
+    return starts.select(
+        F.col("v").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("walk"),
+        F.col("v").alias("cur"),
+    )
+
+
+def _finish(levels: list[DataFrame], persisted: list[DataFrame]) -> DataFrame:
+    """Union the per-step outputs, materialize, release intermediates."""
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    out = out.localCheckpoint(eager=True)
+    for df in persisted:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
 
 
 def random_walks(
@@ -77,7 +121,7 @@ def random_walks(
     seed: int = 42,
     starts: DataFrame | None = None,
 ) -> DataFrame:
-    """DataFrame[start, walk, step, v]: deterministic walks of
+    """DataFrame[start, walk, step, v]: deterministic uniform walks of
     ``walk_length`` steps from every start vertex (default: all
     vertices), ``walks_per_vertex`` walks each (walk = 0..n-1).
     step 0 is the start vertex itself.
@@ -87,22 +131,17 @@ def random_walks(
     if walks_per_vertex < 1:
         raise ValueError("walks_per_vertex must be >= 1")
 
-    # Persisted (lazily): the ranked layout is joined at every step,
-    # and each step's state feeds BOTH the next step and its own
+    # Persisted while unrolling: the ranked layout is joined at every
+    # step, and each step's state feeds BOTH the next step and its own
     # output branch of the final union — without the persist each
     # union branch would recompute its whole walk prefix (O(K^2)
-    # joins) and re-run the ranking window per step.
+    # joins) and re-run the ranking window per step. All released by
+    # _finish once the result is materialized.
     ranked = ranked_adjacency(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted: list[DataFrame] = [ranked]
     outdeg = graph.degrees.select("v", "out_degree").where(F.col("out_degree") > 0)
 
-    if starts is None:
-        starts = graph.vertices
-    state = starts.select(
-        F.col("v").alias("start"),
-        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("walk"),
-        F.col("v").alias("cur"),
-    )
-
+    state = _start_state(graph, starts, walks_per_vertex)
     levels = [
         state.select("start", "walk", F.lit(0).cast("int").alias("step"), F.col("cur").alias("v"))
     ]
@@ -110,7 +149,11 @@ def random_walks(
         chosen = (
             state.join(outdeg, state["cur"] == outdeg["v"])
             .withColumn(
-                "target", F.pmod(_step_hash(F.col("cur"), t, seed), F.col("out_degree"))
+                "target",
+                F.pmod(
+                    _step_hash(F.col("cur"), t, _wid(walks_per_vertex), seed),
+                    F.col("out_degree"),
+                ),
             )
             .select("start", "walk", "cur", "target")
         )
@@ -122,13 +165,143 @@ def random_walks(
             .select("start", "walk", F.col("dst").alias("cur"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        persisted.append(state)
         levels.append(
             state.select(
                 "start", "walk", F.lit(t).cast("int").alias("step"), F.col("cur").alias("v")
             )
         )
+    return _finish(levels, persisted)
 
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+
+def node2vec_walks(
+    graph: EdgeTable,
+    walk_length: int = 4,
+    *,
+    p: int = 1,
+    q: int = 1,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """DataFrame[start, walk, step, v]: second-order node2vec-biased
+    walks (Grover & Leskovec 2016). From previous vertex s at current
+    vertex v, candidate x (an out-neighbor of v) is weighted
+
+        1/p  if x == s                  (return)
+        1    if edge s -> x exists      (distance-1, "stay close")
+        1/q  otherwise                  (distance-2, "explore")
+
+    ``p`` and ``q`` must be POSITIVE INTEGERS here: weights are scaled
+    by p*q to the integer triple (q, p*q, p), so the inverse-CDF draw
+    r = hash % total_weight is exact 64-bit arithmetic that an ANSI
+    SQL oracle replays bit-for-bit (no float weight normalization).
+    Step 1 has no previous vertex and is a uniform first-order step.
+    p=q=1 degenerates to :func:`random_walks` (same trajectories: the
+    uniform pick rnk = h % d is exactly the unit-weight inverse CDF).
+    """
+    if walk_length < 0:
+        raise ValueError("walk_length must be >= 0")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    if p < 1 or q < 1:
+        raise ValueError("p and q must be positive integers (weights scale by p*q)")
+    w_ret, w_d1, w_d2 = q, p * q, p
+
+    ranked = ranked_adjacency(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted: list[DataFrame] = [ranked]
+    outdeg = graph.degrees.select("v", "out_degree").where(F.col("out_degree") > 0)
+    # edge-existence probe table for the distance-1 class
+    probe = graph.edges.select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+    )
+
+    base = _start_state(graph, starts, walks_per_vertex)
+    levels = [
+        base.select("start", "walk", F.lit(0).cast("int").alias("step"), F.col("cur").alias("v"))
+    ]
+    # state after step 1: (start, walk, prev, cur) — uniform first hop
+    first = (
+        base.join(outdeg, base["cur"] == outdeg["v"])
+        .withColumn(
+            "target",
+            F.pmod(
+                _step_hash(F.col("cur"), 1, _wid(walks_per_vertex), seed),
+                F.col("out_degree"),
+            ),
+        )
+        .select("start", "walk", "cur", "target")
+    )
+    state = (
+        first.join(
+            ranked, (first["cur"] == ranked["src"]) & (first["target"] == ranked["rnk"])
+        )
+        .select("start", "walk", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    persisted.append(state)
+    if walk_length >= 1:
+        levels.append(
+            state.select(
+                "start", "walk", F.lit(1).cast("int").alias("step"), F.col("cur").alias("v")
+            )
+        )
+
+    cum_w = (
+        Window.partitionBy("start", "walk")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("start", "walk")
+    for t in range(2, walk_length + 1):
+        expanded = state.join(ranked, state["cur"] == ranked["src"]).select(
+            "start",
+            "walk",
+            "prev",
+            F.col("cur").alias("from_v"),
+            F.col("dst").alias("x"),
+            "rnk",
+        )
+        cand = expanded.join(
+            probe,
+            (expanded["prev"] == probe["e_src"]) & (expanded["x"] == probe["e_dst"]),
+            "left",
+        ).select(
+            "start",
+            "walk",
+            "from_v",
+            "x",
+            "rnk",
+            F.when(F.col("x") == F.col("prev"), F.lit(w_ret))
+            .when(F.col("e_src").isNotNull(), F.lit(w_d1))
+            .otherwise(F.lit(w_d2))
+            .cast("long")
+            .alias("w"),
+        )
+        sel = cand.select(
+            "start",
+            "walk",
+            "from_v",
+            "x",
+            "w",
+            F.sum("w").over(cum_w).alias("cum"),
+            F.sum("w").over(tot_w).alias("tot"),
+        ).withColumn(
+            "r",
+            F.pmod(
+                _step_hash(F.col("from_v"), t, _wid(walks_per_vertex), seed),
+                F.col("tot"),
+            ),
+        )
+        state = (
+            sel.where((F.col("cum") > F.col("r")) & (F.col("cum") - F.col("w") <= F.col("r")))
+            .select("start", "walk", F.col("from_v").alias("prev"), F.col("x").alias("cur"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        persisted.append(state)
+        levels.append(
+            state.select(
+                "start", "walk", F.lit(t).cast("int").alias("step"), F.col("cur").alias("v")
+            )
+        )
+    return _finish(levels, persisted)

@@ -1,5 +1,7 @@
-"""Bounded-memory frequency sketches — Count-Min over the token
-stream (Cormode & Muthukrishnan 2005).
+"""Bounded-memory sketches — Count-Min frequency estimation over the
+token stream (Cormode & Muthukrishnan 2005) and HyperLogLog distinct
+counting (Flajolet et al. 2007), the two sketches every 100 TB
+pipeline carries.
 
 At 100 TB the exact vocabulary (`text.term_counts`) is itself a big
 shuffle; a Count-Min Sketch bounds the state to depth x width
@@ -124,3 +126,120 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — mergeable distinct-count sketch
+# ---------------------------------------------------------------------------
+# rho is capped so 2^(HLL_RHO_CAP - rho) stays exact in BIGINT
+# (m * 2^50 < 2^63 for every supported m); the cap is part of the
+# deterministic contract (P(rho > 50) < 2^-50 per item — unreachable).
+HLL_RHO_CAP = 50
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _check_m(m: int) -> int:
+    b = m.bit_length() - 1
+    if m < 16 or (1 << b) != m:
+        raise ValueError("m must be a power of two >= 16")
+    return b
+
+
+def hll_registers(
+    df: DataFrame, col: str = "text", m: int = 64, seed: str = "hll"
+) -> DataFrame:
+    """(j int, rho int) — the HLL register table: for every item,
+    j = low log2(m) bits of h60(seed:x), rho = 1 + trailing-zero
+    count of the remaining bits (geometric, P(rho=k) = 2^-k), and the
+    register keeps the MAX rho. At most m rows whatever the corpus
+    size; registers never hit stay implicitly 0.
+
+    Pure Catalyst integer ops (bit ops + bit_count), bit-reproducible
+    in DuckDB/ANSI SQL via the same md5-prefix hash — unlike Spark's
+    approx_count_distinct whose register encoding is engine-private.
+    """
+    b = _check_m(m)
+    c = F.col(col) if isinstance(col, str) else col
+    h = h60(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    rem = F.shiftright(h, b)  # h >= 0, arithmetic shift == logical
+    lowbit = rem.bitwiseAND(-rem)
+    rho = (
+        F.when(rem == 0, F.lit(HLL_RHO_CAP))
+        .otherwise(F.least(F.bit_count(lowbit - 1) + 1, F.lit(HLL_RHO_CAP)))
+        .cast("int")
+    )
+    return (
+        df.select(h.bitwiseAND(F.lit(m - 1)).cast("int").alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge shard register tables built with identical (m, seed):
+    registers take the max — the property that makes HLL the standard
+    distributed distinct-count tool (union semantics, idempotent)."""
+    if not registers:
+        raise ValueError("need at least one register table")
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("j").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
+    """One row (est_distinct long, zero_registers long, s_scaled long)
+    from a register table.
+
+    The harmonic sum is computed EXACTLY in integers —
+    s_scaled = sum(2^(HLL_RHO_CAP - rho)) over all m registers
+    (absent registers count as rho=0) — so the only float ops are one
+    multiply/divide on identical exact operands in every engine, and
+    the estimate is rounded to a whole count: bit-identical between
+    Spark and a SQL oracle. Small-range correction (linear counting
+    m*ln(m/V) when V zero registers remain and the raw estimate is
+    under 2.5m) follows Flajolet et al. §4."""
+    _check_m(m)
+    spark = registers.sparkSession
+    full = (
+        spark.range(m)
+        .select(F.col("id").cast("int").alias("j"))
+        .join(registers, "j", "left")
+        .select(F.coalesce("rho", F.lit(0)).alias("rho"))
+    )
+    agg = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - rho)")).alias(
+            "s_scaled"
+        ),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).cast("long").alias(
+            "zero_registers"
+        ),
+    )
+    two_pow_cap = float(1 << HLL_RHO_CAP)
+    raw = F.lit(hll_alpha(m)) * m * m * F.lit(two_pow_cap) / F.col("s_scaled")
+    est = F.when(
+        (F.col("zero_registers") > 0) & (raw <= F.lit(2.5 * m)),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers"))),
+    ).otherwise(F.round(raw))
+    return agg.select(
+        est.cast("long").alias("est_distinct"),
+        F.col("zero_registers"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str = "text", m: int = 64, seed: str = "hll"
+) -> DataFrame:
+    """One-call distinct-count estimate: build registers, estimate."""
+    return hll_estimate(hll_registers(df, col, m=m, seed=seed), m=m)

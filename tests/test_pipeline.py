@@ -469,3 +469,80 @@ def test_ivf_kmeans_refinement(spark, vectors):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0 - 0.2  # refinement must not collapse the index
     assert r2 >= 0.5
+
+
+def _py_hll_registers(values, m, seed="hll"):
+    """The documented HLL contract, straight-line Python."""
+    import hashlib
+
+    b = m.bit_length() - 1
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:15], 16)
+        j = h & (m - 1)
+        rem = h >> b
+        rho = 50 if rem == 0 else min((rem & -rem).bit_length(), 50)
+        regs[j] = max(regs.get(j, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_oracle(spark):
+    from gunrock_spark.pipeline.sketches import hll_registers
+
+    vals = [f"item-{i % 70}" for i in range(500)]  # dups collapse
+    df = spark.createDataFrame([(v,) for v in vals], schema="text string")
+    got = {r["j"]: r["rho"] for r in hll_registers(df, "text", m=64).collect()}
+    assert got == _py_hll_registers(vals, 64)
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from gunrock_spark.pipeline.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 2000
+    df = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(n)] * 2, schema="text string"
+    )
+    est = hll_distinct(df, "text", m=256).collect()[0]
+    # m=256 -> sigma ~6.5%; allow 4 sigma
+    assert abs(est["est_distinct"] - n) < 0.26 * n, est
+
+    # merge(max) of shard registers == registers of the union
+    a = df.limit(700)
+    b = df.subtract(a)
+    merged = hll_merge(
+        hll_registers(a, "text", m=256), hll_registers(b, "text", m=256)
+    )
+    whole = {r["j"]: r["rho"] for r in hll_registers(df, "text", m=256).collect()}
+    assert {r["j"]: r["rho"] for r in merged.collect()} == whole
+    assert (
+        hll_estimate(merged, m=256).collect()[0]["est_distinct"]
+        == est["est_distinct"]
+    )
+
+
+def test_hll_small_range_correction_and_determinism(spark):
+    from gunrock_spark.pipeline.sketches import hll_distinct
+
+    df = spark.createDataFrame([(f"x{i % 5}",) for i in range(100)], schema="text string")
+    row = hll_distinct(df, "text", m=64).collect()[0]
+    # 5 distinct, 64 registers: linear-counting branch, near-exact
+    assert row["zero_registers"] > 0
+    assert abs(row["est_distinct"] - 5) <= 1, row
+    again = hll_distinct(df.repartition(7), "text", m=64).collect()[0]
+    assert again == row
+
+
+def test_hll_validation(spark):
+    import pytest as _pytest
+
+    from gunrock_spark.pipeline.sketches import hll_registers
+
+    df = spark.createDataFrame([("a",)], schema="text string")
+    for bad in (8, 48, 0):
+        with _pytest.raises(ValueError):
+            hll_registers(df, "text", m=bad)

@@ -220,3 +220,34 @@ def test_kcore_peel_round_no_python_bounded_exchanges(spark):
     plan = _plan(new)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final on the decrement
+
+
+def test_coreness_round_window_over_aggregated_rows(spark):
+    """The coreness H round's only ordered pass must run over the
+    per-vertex DISTINCT capped-value table (post-aggregation), never
+    the raw |E|-row neighbor gather — the hub-safety property: a
+    10^7-in-degree hub contributes <= c(v)+1 rows to the sort, not
+    10^7. Gate: the Sort feeding the Window has a HashAggregate
+    directly below it (before any join), and no row_number ranking of
+    gathered rows exists anywhere in the plan."""
+    from gunrock_spark.algorithms.kcore import _sym_degrees, h_index_round
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_TOY7, edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    sym = g.symmetrized().edges
+    # state is materialized exactly as core_numbers materializes it
+    state = (
+        _sym_degrees(g)
+        .select("v", F.col("deg").alias("c"), F.col("deg").alias("prev"))
+        .localCheckpoint(eager=True)
+    )
+    plan = _plan(h_index_round(state, sym))
+    assert "row_number" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert win_idx, plan
+    below = lines[win_idx[0] + 1 : win_idx[0] + 6]
+    assert any("HashAggregate" in l for l in below), plan
+    assert not any("Join" in l for l in below), plan

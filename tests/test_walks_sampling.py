@@ -14,6 +14,7 @@ from gunrock_spark.algorithms.walks import (
     HASH_P,
     HASH_STEP,
     HASH_WALK,
+    node2vec_walks,
     random_walks,
 )
 from gunrock_spark.graph.edge_table import EdgeTable
@@ -26,8 +27,7 @@ def _rand_edges(n_v=60, n_e=300, seed=3):
     return sorted((s, d) for s, d in es if s != d)
 
 
-def _py_walks(edges, walk_length, walks_per_vertex, seed):
-    """The documented contract, straight-line Python."""
+def _adj(edges):
     adj: dict[int, list[int]] = {}
     verts = set()
     for s, d in edges:
@@ -35,17 +35,62 @@ def _py_walks(edges, walk_length, walks_per_vertex, seed):
         verts.update((s, d))
     for v in adj:
         adj[v].sort()
+    return adj, verts
+
+
+def _hash(cur, t, wid, seed):
+    return ((cur % HASH_P) * HASH_A + t * HASH_STEP + (wid % HASH_P) * HASH_WALK + seed) % HASH_P
+
+
+def _py_walks(edges, walk_length, walks_per_vertex, seed):
+    """The documented contract, straight-line Python."""
+    adj, verts = _adj(edges)
     out = []
     for v in sorted(verts):
         for w in range(walks_per_vertex):
+            wid = v * walks_per_vertex + w
             cur = v
             out.append((v, w, 0, v))
             for t in range(1, walk_length + 1):
                 nbrs = adj.get(cur)
                 if not nbrs:
                     break
-                h = ((cur % HASH_P) * HASH_A + t * HASH_STEP + w * HASH_WALK + seed) % HASH_P
-                cur = nbrs[h % len(nbrs)]
+                cur = nbrs[_hash(cur, t, wid, seed) % len(nbrs)]
+                out.append((v, w, t, cur))
+    return sorted(out)
+
+
+def _py_node2vec(edges, walk_length, p, q, walks_per_vertex, seed):
+    """node2vec contract: integer weights (q, p*q, p) for
+    (return, distance-1, distance-2) candidates in rnk order,
+    inverse-CDF draw r = hash % total; step 1 is uniform."""
+    adj, verts = _adj(edges)
+    eset = set(edges)
+    out = []
+    for v in sorted(verts):
+        for w in range(walks_per_vertex):
+            wid = v * walks_per_vertex + w
+            out.append((v, w, 0, v))
+            nbrs = adj.get(v)
+            if not nbrs or walk_length < 1:
+                continue
+            prev, cur = v, nbrs[_hash(v, 1, wid, seed) % len(nbrs)]
+            out.append((v, w, 1, cur))
+            for t in range(2, walk_length + 1):
+                cand = adj.get(cur)
+                if not cand:
+                    break
+                ws = [
+                    q if x == prev else (p * q if (prev, x) in eset else p)
+                    for x in cand
+                ]
+                r = _hash(cur, t, wid, seed) % sum(ws)
+                acc = 0
+                for x, wt in zip(cand, ws):
+                    acc += wt
+                    if acc > r:
+                        prev, cur = cur, x
+                        break
                 out.append((v, w, t, cur))
     return sorted(out)
 
@@ -83,6 +128,68 @@ def test_walks_deterministic_and_partition_invariant(spark):
     a = random_walks(EdgeTable.from_df(df), walk_length=3, seed=4).collect()
     b = random_walks(EdgeTable.from_df(df.repartition(7)), walk_length=3, seed=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_walks_same_vertex_same_step_decorrelated(spark):
+    """Two walks meeting at the same vertex at the same step must draw
+    different next hops (the wid term): on the two-chain-into-cycle
+    graph below, starts 0 and 1 both reach vertex 2 at step 1; their
+    step-2 choices must not be forced equal by construction."""
+    # 0->2, 1->2, 2->{3,4,5,6}, and a couple of onward edges
+    g = _graph(spark, [(0, 2), (1, 2), (2, 3), (2, 4), (2, 5), (2, 6)])
+    rows = {
+        (r.start, r.step): r.v
+        for r in random_walks(g, walk_length=2, seed=0).collect()
+    }
+    assert rows[(0, 1)] == 2 and rows[(1, 1)] == 2
+    # with 4 choices and the wid mixed in, seed 0 separates them
+    assert rows[(0, 2)] != rows[(1, 2)]
+
+
+def test_node2vec_matches_python_oracle(spark):
+    edges = _rand_edges(n_v=40, n_e=200, seed=11)
+    got = node2vec_walks(
+        _graph(spark, edges), walk_length=4, p=2, q=3, walks_per_vertex=2, seed=5
+    )
+    rows = sorted((r.start, r.walk, r.step, r.v) for r in got.collect())
+    assert rows == _py_node2vec(edges, 4, 2, 3, 2, 5)
+
+
+def test_node2vec_p1_q1_equals_uniform_walks(spark):
+    edges = _rand_edges(n_v=30, n_e=120, seed=7)
+    g = _graph(spark, edges)
+    a = sorted(map(tuple, node2vec_walks(g, walk_length=3, p=1, q=1, seed=4).collect()))
+    b = sorted(map(tuple, random_walks(g, walk_length=3, seed=4).collect()))
+    assert a == b
+
+
+def test_node2vec_return_bias(spark):
+    """On 0<->1 with p=1,q=1 every step-2 move returns to the previous
+    vertex (only candidate); with a branch 1->{0,2,3,...} a huge p
+    (return penalty) must pick a non-return candidate whenever one
+    exists, for every walk."""
+    g = _graph(spark, [(0, 1), (1, 0), (1, 2), (1, 3), (2, 1), (3, 1)])
+    rows = {
+        (r.start, r.walk, r.step): r.v
+        for r in node2vec_walks(
+            g, walk_length=2, p=1_000_003, q=1, walks_per_vertex=3, seed=2
+        ).collect()
+    }
+    for (start, walk, step), v in rows.items():
+        if step != 2:
+            continue
+        prev = rows[(start, walk, step - 2)]
+        cur = rows[(start, walk, step - 1)]
+        if cur == 1:  # vertex 1 has non-return alternatives {0,2,3}-{prev}
+            assert v != prev, (start, walk, prev, cur, v)
+
+
+def test_node2vec_validation(spark):
+    g = _graph(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        node2vec_walks(g, walk_length=1, p=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(g, walk_length=1, q=0)
 
 
 def test_walks_validation(spark):
