@@ -37,6 +37,7 @@ def connected_components(
     checkpoint_interval: int = 5,
     resume: bool = False,
     init_labels: DataFrame | None = None,
+    skew: object = "auto",
 ) -> IterationResult:
     """Weakly connected components. State: (v long, label long, prev long);
     converged label = min vertex id in the component.
@@ -52,6 +53,28 @@ def connected_components(
     """
     spark = graph.edges.sparkSession
     edges = graph.symmetrized().edges  # undirected view, both directions
+
+    # Hub hardening ("skew": same contract as pagerank — "auto"
+    # gates on the degree histogram, False disables, a list forces
+    # the hot set): hub sources' hash-min edges go through a
+    # broadcast tier so one reducer never receives a mega-hub's whole
+    # adjacency. The undirected hub degree is bounded by out+in of
+    # the directed table, so the cached degree table gates without an
+    # extra |E| pass.
+    hot_ids: list[int] = []
+    hot_edges = cold_edges = None
+    if skew:
+        from gunrock_spark.engine.skew import detect_hot_vertices, split_hot_edges
+
+        if skew == "auto":
+            sym_deg = graph.degrees.select(
+                "v", (F.col("out_degree") + F.col("in_degree")).alias("deg")
+            )
+            hot_ids = detect_hot_vertices(sym_deg, "deg")
+        else:
+            hot_ids = list(skew)
+        if hot_ids:
+            hot_edges, cold_edges = split_hot_edges(edges, hot_ids, "src")
 
     state = graph.vertices.select("v", F.col("v").alias("label"))
     if init_labels is not None:
@@ -96,10 +119,18 @@ def connected_components(
     def step(cur: DataFrame, i: int):
         cur = cur.select("v", "label")
         # 1. hash-min over neighbors (edges symmetric -> both directions)
+        if hot_ids:
+            from gunrock_spark.engine.skew import skewed_state_edge_join
+
+            gathered = skewed_state_edge_join(
+                cur, hot_edges, cold_edges, hot_ids, "v", "src"
+            ).select(F.col("dst").alias("nv"), F.col("label"))
+        else:
+            gathered = cur.join(edges, cur["v"] == edges["src"]).select(
+                edges["dst"].alias("nv"), F.col("label")
+            )
         cand = (
-            cur.join(edges, cur["v"] == edges["src"])
-            .select(edges["dst"].alias("v"), F.col("label"))
-            .groupBy("v")
+            gathered.groupBy(F.col("nv").alias("v"))
             .agg(F.min("label").alias("nbr_min"))
         )
         new = cur.withColumnRenamed("label", "prev").join(cand, "v", "left").select(
@@ -174,6 +205,12 @@ def connected_components(
             mid_state["df"].unpersist()
         except Exception:
             pass
+    for split in (hot_edges, cold_edges):
+        if split is not None:
+            try:
+                split.unpersist()
+            except Exception:
+                pass
     return result
 
 

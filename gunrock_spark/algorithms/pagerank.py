@@ -55,6 +55,7 @@ def pagerank(
     resume: bool = False,
     impl: str = "join",
     init_ranks: DataFrame | None = None,
+    skew: object = "auto",
 ) -> IterationResult:
     """Run PageRank to convergence. Result state schema:
     (v long, out_degree long, rank double, prev double); final ranked
@@ -87,6 +88,15 @@ def pagerank(
     round; few edges changed: a handful) and shrink as the update
     grows — doubling the corpus moves the fixed point enough that the
     stale vector is no better than uniform init.
+
+    ``skew``: power-law hub hardening for the per-iteration
+    state ⋈ edges join (engine/skew.py — the reference's TWC
+    degree-tier analog). "auto" (default) detects hub sources from
+    the cached degree table (max/mean gate) and, when hubs exist,
+    routes their edges through a broadcast tier so no single reducer
+    receives a 10^7-out-degree key; False disables; a list of vertex
+    ids forces that hot set (tests). Results are identical either
+    way — only the physical join strategy changes.
     """
     spark = graph.edges.sparkSession
     edges = graph.edges
@@ -157,6 +167,19 @@ def pagerank(
             if loaded is not None:
                 state, start_iter, prior_metrics = loaded
 
+    hot_ids: list[int] = []
+    hot_edges = cold_edges = None
+    if skew and impl == "join":
+        from gunrock_spark.engine.skew import detect_hot_vertices, split_hot_edges
+
+        hot_ids = (
+            detect_hot_vertices(graph.degrees, "out_degree")
+            if skew == "auto"
+            else list(skew)
+        )
+        if hot_ids:
+            hot_edges, cold_edges = split_hot_edges(edges, hot_ids, "src")
+
     block_store = None
     block_store_cleanup = None
     if impl == "blocks":
@@ -197,6 +220,19 @@ def pagerank(
                 "v", (F.col("rank") / F.col("out_degree")).alias("contrib")
             )
             sums = gather_scatter_sums(block_store, contrib_state, "contrib", num_blocks)
+        elif hot_ids:
+            from gunrock_spark.engine.skew import skewed_state_edge_join
+
+            contribs = skewed_state_edge_join(
+                pushers.select("v", "rank", "out_degree"),
+                hot_edges,
+                cold_edges,
+                hot_ids,
+                "v",
+                "src",
+            ).select(
+                "dst", (F.col("rank") / F.col("out_degree")).alias("contrib")
+            )
         else:
             contribs = (
                 pushers.join(edges, pushers["v"] == edges["src"])
@@ -284,6 +320,12 @@ def pagerank(
         from gunrock_spark.engine.csr_blocks import remove_block_store
 
         remove_block_store(block_store_cleanup)
+    for split in (hot_edges, cold_edges):
+        if split is not None:
+            try:
+                split.unpersist()
+            except Exception:
+                pass
     if has_dangling:
         result.state = result.state.where(F.col("v") != SINK)
     return result

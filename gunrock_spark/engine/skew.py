@@ -66,6 +66,78 @@ def hot_keys(degrees: DataFrame, degree_col: str = "in_degree", threshold: int |
     return degrees.where(F.col(degree_col) >= threshold).select("v")
 
 
+def detect_hot_vertices(
+    degrees: DataFrame,
+    degree_col: str = "out_degree",
+    ratio: float = 64.0,
+    max_hot: int = 1024,
+) -> list[int]:
+    """Driver-side list of the (few) hub vertex ids whose degree
+    exceeds ``ratio`` x the mean — the auto-gate the iterative loops
+    use to decide whether to split the per-iteration state ⋈ edges
+    join into a cold (shuffle) tier and a hot (broadcast) tier. One
+    top-k action over the cached |V|-row degree table, evaluated once
+    per graph (the hot set is static), never per iteration. Returns
+    [] when the graph is not skewed enough to bother — the common
+    case, where the split would only add plan nodes.
+
+    This is the engine's TWC analog: the reference tiers edge
+    expansion by degree class (oprtr/edge_map_forward/cta.cuh:
+    383,499,602); here the hot tier switches physical join strategy
+    instead of kernel, which is the lever Spark actually has.
+    """
+    row = degrees.agg(
+        F.avg(degree_col).alias("mean"), F.max(degree_col).alias("mx")
+    ).collect()[0]
+    mean, mx = row["mean"] or 0.0, row["mx"] or 0
+    if mean <= 0 or mx < ratio * mean:
+        return []
+    return [
+        r["v"]
+        for r in degrees.where(F.col(degree_col) >= ratio * mean)
+        .orderBy(F.col(degree_col).desc(), "v")
+        .limit(max_hot)
+        .collect()
+    ]
+
+
+def split_hot_edges(
+    edges: DataFrame, hot_ids: list[int], key: str = "src"
+) -> tuple[DataFrame, DataFrame]:
+    """(hot_edges, cold_edges) split on ``key`` membership in the hot
+    set. Both persisted — built once per run, read every iteration.
+    Caller owns unpersist."""
+    from pyspark.storagelevel import StorageLevel
+
+    hot = edges.where(F.col(key).isin(hot_ids)).persist(StorageLevel.MEMORY_AND_DISK)
+    cold = edges.where(~F.col(key).isin(hot_ids)).persist(StorageLevel.MEMORY_AND_DISK)
+    return hot, cold
+
+
+def skewed_state_edge_join(
+    state: DataFrame,
+    hot_edges: DataFrame,
+    cold_edges: DataFrame,
+    hot_ids: list[int],
+    state_key: str,
+    edge_key: str,
+) -> DataFrame:
+    """state ⋈ edges on state_key == edge_key, hub-safe: cold keys go
+    through the normal co-partitioned hash join; the hot keys' STATE
+    rows (a handful — |hot_ids| rows) are broadcast against the hot
+    edge tier, so a 10^7-out-degree hub's edges never hash to one
+    reducer — they stay spread over their existing partitions and the
+    join happens map-side. Semantically identical to the plain join
+    (equality-tested in tests/test_engine.py)."""
+    cold = state.where(~F.col(state_key).isin(hot_ids)).join(
+        cold_edges, F.col(state_key) == cold_edges[edge_key]
+    )
+    hot = F.broadcast(state.where(F.col(state_key).isin(hot_ids))).join(
+        hot_edges, F.col(state_key) == hot_edges[edge_key]
+    )
+    return cold.unionByName(hot)
+
+
 def repartition_by_degree(
     edges: DataFrame,
     degrees: DataFrame,

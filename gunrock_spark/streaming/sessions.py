@@ -140,7 +140,20 @@ def sessionize_stream(
     Numbering equals batch time-order numbering whenever events
     arrive no later than the watermark allows; data so late it forms
     a whole session BEFORE an already-emitted one gets the next free
-    id (streaming cannot renumber emitted rows)."""
+    id (streaming cannot renumber emitted rows).
+
+    Late-data caveat (intentional divergence from
+    :func:`sessionize_batch`): sessions closed by an INTRA-batch gap
+    split are emitted as soon as the batch processes — before the
+    watermark has passed their end + gap. An allowed-late event
+    (within ``watermark_delay``) that lands inside the gap of such an
+    already-emitted session starts a NEW session that can overlap the
+    emitted one, where the batch path would have merged them. Holding
+    internally-closed runs in state until their watermark expiry
+    would close the gap at the cost of unbounded in-flight state per
+    key during backfills; this implementation chooses prompt emission
+    + the documented overlap window. Replays of a whole batch are
+    still exactly-once (state advances atomically with the emit)."""
     import numpy as np
     import pandas as pd
 

@@ -30,18 +30,39 @@ PAGES_DDL = (
 )
 
 
-def _marker_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "_LATEST")
+def _resolved(path: str):
+    """(pyarrow FileSystem, fs-local path) — the same resolution the
+    CSR block store uses, so an out_dir on HDFS/S3 gets its marker and
+    version cleanup on THAT filesystem, not silently on the driver's
+    local disk (which would break exactly-once replay detection and
+    load_sketch on a cluster). Unsupported schemes fail loudly."""
+    from gunrock_spark.engine.csr_blocks import _resolve_fs
+
+    return _resolve_fs(path)
 
 
 def _latest(out_dir: str) -> tuple[int, str | None]:
     """(last applied batch_id, committed sketch path)."""
+    fs, root = _resolved(out_dir)
     try:
-        with open(_marker_path(out_dir)) as f:
-            m = json.load(f)
+        with fs.open_input_stream(root.rstrip("/") + "/_LATEST") as f:
+            m = json.loads(f.read().decode("utf-8"))
         return m["batch_id"], m["path"]
     except (OSError, ValueError, KeyError):
         return -1, None
+
+
+def _commit_marker(out_dir: str, batch_id: int, version_path: str) -> None:
+    """Write marker to a temp name, then rename over _LATEST — atomic
+    on local/HDFS (POSIX rename semantics); object stores emulate the
+    move as copy+delete, which is still safe here because the marker
+    is only ever read whole-file and a torn read parses as no-marker."""
+    fs, root = _resolved(out_dir)
+    marker = root.rstrip("/") + "/_LATEST"
+    tmp = marker + ".tmp"
+    with fs.open_output_stream(tmp) as f:
+        f.write(json.dumps({"batch_id": batch_id, "path": version_path}).encode("utf-8"))
+    fs.move(tmp, marker)
 
 
 def load_sketch(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -78,21 +99,18 @@ def apply_batch(
         return False
     if batch.isEmpty():
         return False
-    os.makedirs(out_dir, exist_ok=True)
+    fs, root = _resolved(out_dir)
+    fs.create_dir(root, recursive=True)
     delta = cms_build(batch, text_col=text_col, depth=depth, width=width, seed=seed)
     prior = None if prior_path is None else spark.read.parquet(prior_path)
     merged = delta if prior is None else cms_merge(prior, delta)
-    version = os.path.join(out_dir, f"sketch_v{batch_id}")
+    version = out_dir.rstrip("/") + f"/sketch_v{batch_id}"
     merged.write.mode("overwrite").parquet(version)
-    tmp = _marker_path(out_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id, "path": version}, f)
-    os.replace(tmp, _marker_path(out_dir))
+    _commit_marker(out_dir, batch_id, version)
     if prior_path is not None:  # retire the superseded version
         try:
-            import shutil
-
-            shutil.rmtree(prior_path, ignore_errors=True)
+            pfs, ppath = _resolved(prior_path)
+            pfs.delete_dir(ppath)
         except Exception:
             pass
     return True

@@ -36,7 +36,7 @@ def main() -> int:
     for d in dirs:
         out = subprocess.run(
             [sys.executable, os.path.join(repo, "bench.py"), "--sf-dir", d,
-             "--cpus", str(args.cpus)],
+             "--cpus", str(args.cpus), "--no-sf1"],
             capture_output=True,
             text=True,
             timeout=3600,

@@ -215,3 +215,56 @@ def test_resume_with_zero_steps_does_not_overwrite_snapshot(spark, tmp_path):
         g, threshold=0.0, max_iter=5, checkpoint_dir=ck, checkpoint_interval=2, resume=True
     )
     assert _ranks(r2.state) == _ranks(r1.state)
+
+
+def _hub_graph(spark, n=120, seed=13):
+    """Random sparse graph + vertex 0 as a deliberate hub with an
+    out-edge to every other vertex (max/mean degree ratio >> 64)."""
+    import random
+
+    rng = random.Random(seed)
+    es = {(rng.randrange(1, n), rng.randrange(1, n)) for _ in range(n)}
+    es |= {(0, d) for d in range(1, n)}
+    rows = sorted((s, d) for s, d in es if s != d)
+    return EdgeTable.from_df(spark.createDataFrame(rows, "src long, dst long"))
+
+
+def test_detect_hot_vertices_gates_on_ratio(spark):
+    from gunrock_spark.engine.skew import detect_hot_vertices
+
+    g = _hub_graph(spark)
+    hot = detect_hot_vertices(g.degrees, "out_degree", ratio=16.0)
+    assert 0 in hot
+    # a uniform toy graph has no hubs
+    uni = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    assert detect_hot_vertices(uni.degrees, "out_degree") == []
+
+
+def test_pagerank_skew_split_matches_plain_join(spark):
+    g = _hub_graph(spark)
+    plain = pagerank(g, max_iter=6, threshold=0.0, skew=False)
+    forced = pagerank(g, max_iter=6, threshold=0.0, skew=[0])
+    auto = pagerank(g, max_iter=6, threshold=0.0, skew="auto")
+    base = {r["v"]: r["rank"] for r in plain.state.collect()}
+    for variant in (forced, auto):
+        got = {r["v"]: r["rank"] for r in variant.state.collect()}
+        assert got.keys() == base.keys()
+        # only the physical join strategy changes; FP sum order may
+        # differ at the ULP level
+        assert all(abs(got[v] - base[v]) < 1e-12 for v in base)
+
+
+def test_cc_skew_split_matches_plain_join(spark):
+    from gunrock_spark.algorithms.components import connected_components
+
+    g = _hub_graph(spark)
+    plain = {
+        r["v"]: r["label"]
+        for r in connected_components(g, skew=False).state.collect()
+    }
+    for sk in ([0], "auto"):
+        got = {
+            r["v"]: r["label"]
+            for r in connected_components(g, skew=sk).state.collect()
+        }
+        assert got == plain  # integer min: exact

@@ -93,3 +93,28 @@ def test_triangle_per_vertex_blocks_tiny_cache_budget(spark, monkeypatch):
         for r in triangle_count_per_vertex_blocks(g, num_blocks=8).collect()
     }
     assert via_blocks == via_join
+
+
+def test_tc_auto_dispatch_single_edge_count_action(spark, monkeypatch):
+    """Auto dispatch (triangle_count + triangle_count_df + the jobs
+    CLI manifest) must trigger at most ONE real |E| count action —
+    EdgeTable caches the scalar, so every later num_edges() call is a
+    dict lookup, not a scan. Regression gate: count cache MISSES."""
+    from gunrock_spark.algorithms.triangles import triangle_count, triangle_count_df
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_TOY7, edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    misses = []
+    orig = EdgeTable.num_edges
+
+    def spy(self):
+        if self._num_edges is None:
+            misses.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(EdgeTable, "num_edges", spy)
+    triangle_count(g, impl="auto")
+    triangle_count_df(g, impl="auto").collect()
+    g.num_edges()  # the jobs-CLI manifest call
+    assert sum(misses) == 1
