@@ -70,7 +70,12 @@ def connected_components(
             sym_deg = graph.degrees.select(
                 "v", (F.col("out_degree") + F.col("in_degree")).alias("deg")
             )
-            hot_ids = detect_hot_vertices(sym_deg, "deg")
+            hot_ids = detect_hot_vertices(
+                sym_deg,
+                "deg",
+                n_edges=2 * graph.num_edges(),  # symmetrized upper bound
+                num_partitions=spark.sparkContext.defaultParallelism,
+            )
         else:
             hot_ids = list(skew)
         if hot_ids:

@@ -173,7 +173,12 @@ def pagerank(
         from gunrock_spark.engine.skew import detect_hot_vertices, split_hot_edges
 
         hot_ids = (
-            detect_hot_vertices(graph.degrees, "out_degree")
+            detect_hot_vertices(
+                graph.degrees,
+                "out_degree",
+                n_edges=graph.num_edges(),
+                num_partitions=spark.sparkContext.defaultParallelism,
+            )
             if skew == "auto"
             else list(skew)
         )

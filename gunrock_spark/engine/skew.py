@@ -70,7 +70,10 @@ def detect_hot_vertices(
     degrees: DataFrame,
     degree_col: str = "out_degree",
     ratio: float = 64.0,
-    max_hot: int = 1024,
+    max_hot: int = 64,
+    n_edges: int | None = None,
+    num_partitions: int | None = None,
+    share_factor: float = 8.0,
 ) -> list[int]:
     """Driver-side list of the (few) hub vertex ids whose degree
     exceeds ``ratio`` x the mean — the auto-gate the iterative loops
@@ -85,16 +88,28 @@ def detect_hot_vertices(
     expansion by degree class (oprtr/edge_map_forward/cta.cuh:
     383,499,602); here the hot tier switches physical join strategy
     instead of kernel, which is the lever Spark actually has.
+
+    When ``n_edges``/``num_partitions`` are given, the threshold is
+    additionally floored at ``share_factor`` x the per-partition fair
+    share |E|/P: a vertex only straggles a reducer when its adjacency
+    alone exceeds what one task would process anyway, so an ordinary
+    power-law head (many vertices at 100x the mean but far below a
+    partition's share) correctly yields [] — splitting those only
+    adds split/broadcast overhead (measured 2x wall at rmat19,
+    BENCH.md §3c-r4).
     """
     row = degrees.agg(
         F.avg(degree_col).alias("mean"), F.max(degree_col).alias("mx")
     ).collect()[0]
     mean, mx = row["mean"] or 0.0, row["mx"] or 0
-    if mean <= 0 or mx < ratio * mean:
+    threshold = ratio * mean
+    if n_edges is not None and num_partitions:
+        threshold = max(threshold, share_factor * n_edges / num_partitions)
+    if mean <= 0 or mx < threshold:
         return []
     return [
         r["v"]
-        for r in degrees.where(F.col(degree_col) >= ratio * mean)
+        for r in degrees.where(F.col(degree_col) >= threshold)
         .orderBy(F.col(degree_col).desc(), "v")
         .limit(max_hot)
         .collect()
@@ -105,12 +120,14 @@ def split_hot_edges(
     edges: DataFrame, hot_ids: list[int], key: str = "src"
 ) -> tuple[DataFrame, DataFrame]:
     """(hot_edges, cold_edges) split on ``key`` membership in the hot
-    set. Both persisted — built once per run, read every iteration.
-    Caller owns unpersist."""
-    from pyspark.storagelevel import StorageLevel
-
-    hot = edges.where(F.col(key).isin(hot_ids)).persist(StorageLevel.MEMORY_AND_DISK)
-    cold = edges.where(~F.col(key).isin(hot_ids)).persist(StorageLevel.MEMORY_AND_DISK)
+    set. Deliberately NOT persisted: the parent edge table is already
+    cached, so each side is a predicate over the cached scan (InSet
+    hash lookup per row) — a second materialized copy of a 100 TB
+    edge table would double storage for no win, and filters preserve
+    the parent's hash-partitioning + within-partition order, so the
+    cold side still sort-merge-joins without a shuffle."""
+    hot = edges.where(F.col(key).isin(hot_ids))
+    cold = edges.where(~F.col(key).isin(hot_ids))
     return hot, cold
 
 

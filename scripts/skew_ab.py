@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALE = int(os.environ.get("SKEW_AB_SCALE", 19))
 EDGE_FACTOR = 8
-HUB_FRAC = 0.10
+HUB_FRAC = float(os.environ.get("SKEW_AB_HUB_FRAC", 0.10))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
 
 

@@ -217,7 +217,7 @@ def test_resume_with_zero_steps_does_not_overwrite_snapshot(spark, tmp_path):
     assert _ranks(r2.state) == _ranks(r1.state)
 
 
-def _hub_graph(spark, n=120, seed=13):
+def _hub_graph(spark, n=300, seed=13):
     """Random sparse graph + vertex 0 as a deliberate hub with an
     out-edge to every other vertex (max/mean degree ratio >> 64)."""
     import random
