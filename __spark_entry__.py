@@ -843,9 +843,12 @@ def _minhash_sigs_sql(num_hashes: int = 16) -> str:
     )
 
 
-def _lsh_near_dups_sql(
+def _lsh_pairs_ctes(
     num_hashes: int = 16, bands: int = 4, threshold: float = LSH_JACCARD_THRESHOLD
 ) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — the
+    verified MinHash-LSH near-dup pairs, shared by the pair-listing
+    oracle and the transitive dedup-cluster oracle."""
     rows = num_hashes // bands
     mins = _minhash_mins(num_hashes)
     band_selects = []
@@ -857,8 +860,7 @@ def _lsh_near_dups_sql(
         band_selects.append(f"SELECT id, {b} AS band, {key} AS bucket FROM mh")
     bands_sql = "\nUNION ALL\n".join(band_selects)
     return (
-        "WITH "
-        + _SHINGLE_CTES
+        _SHINGLE_CTES
         + f""",
 mh AS MATERIALIZED (SELECT doc_id AS id,
   {mins}
@@ -876,16 +878,57 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
   GROUP BY c.id_a, c.id_b
-)
-SELECT id_a, id_b, jaccard FROM (
-  SELECT c.id_a, c.id_b,
-         ROUND(COALESCE(i.inter, 0)
-               / (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
-  FROM cand c
-  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-  JOIN sizes za ON za.doc_id = c.id_a
-  JOIN sizes zb ON zb.doc_id = c.id_b
-) t WHERE jaccard >= {threshold}"""
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT c.id_a, c.id_b,
+           ROUND(COALESCE(i.inter, 0)
+                 / (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+  ) t WHERE jaccard >= {threshold}
+)"""
+    )
+
+
+def _lsh_near_dups_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = LSH_JACCARD_THRESHOLD
+) -> str:
+    return (
+        "WITH "
+        + _lsh_pairs_ctes(num_hashes, bands, threshold)
+        + "\nSELECT id_a, id_b, jaccard FROM pairs"
+    )
+
+
+def _dedup_clusters_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = LSH_JACCARD_THRESHOLD
+) -> str:
+    """Transitive closure over the verified pair graph (recursive
+    reachability, min id per component = cluster id), singletons own
+    cluster — the SQL mirror of pipeline.dedup.dedup_clusters."""
+    return (
+        "WITH RECURSIVE "
+        + _lsh_pairs_ctes(num_hashes, bands, threshold)
+        + """,
+pe AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+pv AS MATERIALIZED (SELECT DISTINCT src AS v FROM pe),
+reach(v, label) AS (
+  SELECT v, v AS label FROM pv
+  UNION
+  SELECT pe.dst AS v, r.label FROM reach r JOIN pe ON pe.src = r.v
+),
+lab AS (SELECT v, MIN(label) AS label FROM reach GROUP BY v)
+SELECT d.doc_id,
+       COALESCE(lab.label, d.doc_id) AS cluster_id,
+       (COALESCE(lab.label, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN lab ON lab.v = d.doc_id"""
     )
 
 
@@ -1274,6 +1317,15 @@ def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates(_docs(spark, sf_dir), threshold=LSH_JACCARD_THRESHOLD)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup assignment: LSH near-dup pairs closed into
+    clusters by hash-min CC, canonical = min-id doc per cluster
+    (pipeline/dedup.py dedup_clusters)."""
+    from gunrock_spark.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=LSH_JACCARD_THRESHOLD)
 
 
 def _q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2057,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "minhash_signatures": _q_minhash_sigs,
         "minhash_lsh_near_dups": _q_lsh_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_top5": _q_ann_topk,
@@ -2114,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_signatures": _minhash_sigs_sql(),
         "minhash_lsh_near_dups": _lsh_near_dups_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash": _simhash_sql(),
         "simhash_near_dups": _simhash_near_dups_sql(),
         "ann_cosine_top5": _ann_topk_sql(),

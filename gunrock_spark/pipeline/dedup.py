@@ -193,6 +193,59 @@ def near_duplicates(
     return out
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) — the end-to-end dedup
+    assignment a training-data pipeline actually consumes: near-dup
+    PAIRS (MinHash-LSH + exact-Jaccard verify, :func:`near_duplicates`)
+    are closed into clusters with the engine's hash-min connected
+    components, cluster_id = the minimum doc id in the cluster, and
+    the canonical (kept) document is the one whose id IS the cluster
+    id. Documents in no pair are their own singleton cluster.
+
+    Scale shape: the pair graph is tiny relative to the corpus (only
+    verified near-dups enter it), so the CC fixpoint runs over
+    |pairs| rows, never |docs|; singletons join back with one
+    left join + coalesce. This is the standard transitive-closure
+    dedup used at web scale — pairwise-greedy keeps near-dups when
+    A~B, B~C but A!~C; transitive closure does not.
+    """
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    pairs = near_duplicates(df, id_col, text_col, threshold, n, num_hashes, bands)
+    pair_graph = EdgeTable.from_df(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        symmetrize=True,
+    )
+    if pair_graph.num_edges() == 0:
+        return df.select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    labels = connected_components(pair_graph, max_iter=max_iter, skew=False).state.select(
+        F.col("v"), F.col("label")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(labels, F.col(id_col) == F.col("v"), "left")
+        .select(
+            id_col,
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:

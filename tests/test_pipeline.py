@@ -546,3 +546,37 @@ def test_hll_validation(spark):
     for bad in (8, 48, 0):
         with _pytest.raises(ValueError):
             hll_registers(df, "text", m=bad)
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    """A~B and B~C near-dups must land in ONE cluster even when A and
+    C don't pair directly (transitive closure, not pairwise-greedy);
+    docs in no pair are singleton canonicals."""
+    from gunrock_spark.pipeline.dedup import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " lambda"),          # ~0 strongly
+            (2, base + " lambda mu"),       # ~1 strongly, weaker to 0
+            (3, "totally different words entirely here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(docs, threshold=0.5).collect()
+    }
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)  # transitive via 1 even if 0-2 < thr
+    assert got[3] == (3, True)
+
+    # no pairs at all -> everything is its own canonical singleton
+    loners = spark.createDataFrame(
+        [(i, f"unique text number {i} with tokens {i * 7} {i * 13}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = dedup_clusters(loners, threshold=0.9).collect()
+    assert all(r["is_canonical"] and r["cluster_id"] == r["doc_id"] for r in out)
