@@ -69,13 +69,38 @@ def _closed_wedges(graph: EdgeTable) -> DataFrame:
     return wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
 
 
-# auto-impl threshold: below MIN the wedge join's overhead is trivial
-# anyway; above it the blocks path wins (11.9x at 33M edges, BENCH.md
-# §3a) and — since r3 bounded the worker slice cache (LRU with
-# refetch, engine/csr_blocks.LRUBytesCache) — carries no per-worker
-# residency ceiling: each block-pair task holds only its two slices,
-# so the former AUTO_BLOCKS_MAX_EDGES cap is gone.
+# auto-impl dispatch: the join path's work is the WEDGE SET size
+# (O(Σ deg+²)), not |E| — a uniform 6M-edge graph has ~100x fewer
+# wedges than a power-law graph of the same size and the wedge join
+# beats the blocks path's applyInPandas + block-store-build overhead
+# there (5.7x at sf1-big, BENCH.md §3a-r4b). Below MIN_EDGES the join
+# is trivially cheap; above it the dispatcher estimates wedge work
+# from the ALREADY-CACHED degree table (a |V|-row aggregate, no edge
+# pass): est = Σ C(min(deg_out+deg_in, ceil(sqrt(2m))), 2) — an upper
+# bound on oriented wedges, since orientation caps per-pivot fan-out
+# at O(sqrt(m)) and the undirected degree is ≤ out+in. Overestimating
+# is the safe direction: it prefers blocks on power-law inputs (the
+# regime where the join measured 11.9x slower at 33M edges and
+# disk-exhausted at 132M, §3a) and picks the join only when the wedge
+# set is genuinely small. The blocks path — bounded-LRU slice cache,
+# no residency ceiling since r3 — remains the scale path.
 AUTO_BLOCKS_MIN_EDGES = 2_000_000
+AUTO_BLOCKS_MIN_WEDGES = 1_000_000_000
+
+
+def _estimated_wedges(graph: EdgeTable) -> int:
+    """Upper bound on the oriented wedge count, from cached degrees."""
+    m = graph.num_edges()
+    cap = int((2 * m) ** 0.5) + 1
+    d = F.least(F.col("out_degree") + F.col("in_degree"), F.lit(cap)).cast("double")
+    row = graph.degrees.agg(F.sum(d * (d - 1) / 2.0).alias("w")).collect()[0]["w"]
+    return int(row or 0)
+
+
+def _auto_impl(graph: EdgeTable) -> str:
+    if graph.num_edges() < AUTO_BLOCKS_MIN_EDGES:
+        return "join"
+    return "join" if _estimated_wedges(graph) < AUTO_BLOCKS_MIN_WEDGES else "blocks"
 
 
 def triangle_count(graph: EdgeTable, impl: str = "auto") -> int:
@@ -95,11 +120,12 @@ def triangle_count(graph: EdgeTable, impl: str = "auto") -> int:
         materializes wedges; per-worker memory bounded by the shared
         LRU slice cache (refetch on miss), so there is no upper edge
         limit. See :func:`triangle_count_blocks`.
-      - "auto" (default): blocks from AUTO_BLOCKS_MIN_EDGES up,
-        join below.
+      - "auto" (default): join below AUTO_BLOCKS_MIN_EDGES; above
+        it, join only when the degree-table wedge estimate stays
+        under AUTO_BLOCKS_MIN_WEDGES (uniform graphs), else blocks.
     """
     if impl == "auto":
-        impl = "blocks" if graph.num_edges() >= AUTO_BLOCKS_MIN_EDGES else "join"
+        impl = _auto_impl(graph)
     if impl == "blocks":
         return triangle_count_blocks(graph)
     if impl != "join":
@@ -112,7 +138,7 @@ def triangle_count_df(graph: EdgeTable, impl: str = "auto") -> DataFrame:
     correctness harness). Same ``impl`` semantics as
     :func:`triangle_count`."""
     if impl == "auto":
-        impl = "blocks" if graph.num_edges() >= AUTO_BLOCKS_MIN_EDGES else "join"
+        impl = _auto_impl(graph)
     if impl == "blocks":
         spark = graph.edges.sparkSession
         return spark.createDataFrame(

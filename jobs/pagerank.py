@@ -46,10 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algorithm", default="pagerank",
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
-                             "kcore", "corenums"],
+                             "kcore", "corenums", "walks", "node2vec"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
-                         "plus the engine's k-core/coreness extensions")
+                         "plus the engine's k-core/coreness/walk extensions")
     ap.add_argument("--delta", type=float, default=0.85)
     ap.add_argument("--threshold", type=float, default=0.01)
     ap.add_argument("--max-iter", type=int, default=50)
@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--manifest", default=None,
                     help="run-manifest JSON path (default: stdout)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--walk-length", type=int, default=4,
+                    help="steps per walk (walks/node2vec)")
+    ap.add_argument("--walks-per-vertex", type=int, default=1)
+    ap.add_argument("--p", type=int, default=1,
+                    help="node2vec return penalty (positive integer)")
+    ap.add_argument("--q", type=int, default=1,
+                    help="node2vec in-out penalty (positive integer)")
     ap.add_argument("--source", type=int, default=None,
                     help="source vertex (bfs/sssp/bc/hits/wtf; default: "
                          "smallest vertex id)")
@@ -277,6 +284,28 @@ def main(argv: list[str] | None = None) -> int:
 
         res = core_numbers(graph, max_iter=args.max_iter)
         out_df = res.state.select("v", "c")
+    elif args.algorithm == "walks":
+        from gunrock_spark.algorithms.walks import random_walks
+
+        res = None
+        out_df = random_walks(
+            graph,
+            walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed,
+        )
+    elif args.algorithm == "node2vec":
+        from gunrock_spark.algorithms.walks import node2vec_walks
+
+        res = None
+        out_df = node2vec_walks(
+            graph,
+            walk_length=args.walk_length,
+            p=args.p,
+            q=args.q,
+            walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed,
+        )
     else:  # topk
         from gunrock_spark.algorithms.topk import degree_topk
 

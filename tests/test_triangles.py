@@ -118,3 +118,34 @@ def test_tc_auto_dispatch_single_edge_count_action(spark, monkeypatch):
     triangle_count_df(g, impl="auto").collect()
     g.num_edges()  # the jobs-CLI manifest call
     assert sum(misses) == 1
+
+
+def test_tc_auto_dispatch_on_wedge_estimate(spark, monkeypatch):
+    """auto picks the wedge join for small graphs AND for big-but-
+    uniform graphs (few wedges), blocks only when the wedge estimate
+    is genuinely large — the estimate itself upper-bounds the real
+    oriented wedge count."""
+    from pyspark.sql import functions as F
+
+    from gunrock_spark.algorithms import triangles as T
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_TOY7, edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    assert T._auto_impl(g) == "join"  # below MIN_EDGES
+
+    # the estimate is an upper bound on the true oriented wedge count
+    true_wedges = (
+        T._oriented(g)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("w"))
+        .collect()[0]["w"]
+    )
+    assert T._estimated_wedges(g) >= int(true_wedges or 0)
+
+    monkeypatch.setattr(EdgeTable, "num_edges", lambda self: 10_000_000)
+    monkeypatch.setattr(T, "_estimated_wedges", lambda graph: 10_000)
+    assert T._auto_impl(g) == "join"  # big but uniform
+    monkeypatch.setattr(T, "_estimated_wedges", lambda graph: 2_000_000_000)
+    assert T._auto_impl(g) == "blocks"  # big and wedge-heavy
