@@ -16,7 +16,7 @@ from __future__ import annotations
 import datetime
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # ---------------------------------------------------------------------------
 # R-MAT (reference defaults: gunrock/graphio/rmat.cuh:180-184)
@@ -102,6 +102,46 @@ def rmat_edges_df_distributed(
     return (
         spark.range(parts).repartition(parts, "id")
         .mapInPandas(gen, schema="src long, dst long")
+    )
+
+
+def planted_partition_edges_df(
+    spark: SparkSession,
+    num_vertices: int,
+    num_communities: int,
+    deg_in: int = 8,
+    deg_out: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic planted-partition (stochastic-block-model-like)
+    graph, pure DataFrame ops — the ground-truth-community input for
+    partitioner evaluation (the same role the reference's cluster
+    partitioner tests play, app/cp/cp_partitioner.cuh).
+
+    Vertex v belongs to community ``v // ceil(n/C)`` (contiguous id
+    blocks). Each vertex emits ``deg_in`` intra-community edges and
+    ``deg_out`` uniform edges, destinations chosen by xxhash64 — fully
+    deterministic, no driver materialization, no Python rows; scales
+    to any n as a single projection job.
+    """
+    n, c = num_vertices, num_communities
+    size = -(-n // c)  # ceil
+    v = F.col("id").alias("v")
+    base = (F.col("id") / size).cast("long") * size
+    blk = F.least(F.lit(size), F.lit(n) - base)  # last block may be short
+    intra = F.transform(
+        F.sequence(F.lit(0), F.lit(deg_in - 1)),
+        lambda i: base + F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed)), blk),
+    )
+    inter = F.transform(
+        F.sequence(F.lit(0), F.lit(deg_out - 1)),
+        lambda i: F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed + 1)), F.lit(n)),
+    )
+    return (
+        spark.range(n)
+        .select(v, F.explode(F.concat(intra, inter)).alias("dst"))
+        .select(F.col("v").alias("src"), "dst")
+        .where(F.col("src") != F.col("dst"))
     )
 
 
