@@ -35,6 +35,7 @@ from gunrock_spark.algorithms.triangles import (
     triangle_count_per_vertex_blocks,
 )
 from gunrock_spark.algorithms.wtf import who_to_follow
+from gunrock_spark.graph.partition import edge_cut, partition_layout
 from gunrock_spark.pipeline.dedup import (
     exact_duplicates,
     minhash_signatures,
@@ -556,6 +557,56 @@ q AS (
   JOIN outd kd ON kd.v = same.dst
 )
 SELECT ROUND(q.s / (4.0 * m.m * m.m), 6) AS modularity FROM q, m"""
+    )
+
+
+PARTITION_P = 8
+
+
+def _partition_layout_sql(p: int = PARTITION_P, k: int = LP_MODE_ITERS) -> str:
+    """Community-aware layout (graph/partition.py): k-round mode-LP
+    communities ranked by edge mass (sum of member out-degrees, ties
+    smallest label), snake-packed into p parts, members inherit the
+    community part."""
+    prefix = _lp_mode_sql(k).rsplit("\nSELECT", 1)[0]
+    return (
+        prefix
+        + f""",
+mass AS (
+  SELECT c.label, CAST(SUM(COALESCE(d.outd, 0)) AS BIGINT) AS mass
+  FROM l{k} c LEFT JOIN deg d ON d.v = c.v
+  GROUP BY c.label
+),
+rankt AS (
+  SELECT label,
+         ROW_NUMBER() OVER (ORDER BY mass DESC, label ASC) - 1 AS rnk
+  FROM mass
+),
+layout AS (
+  SELECT label,
+         CASE WHEN (rnk // {p}) % 2 = 0 THEN rnk % {p}
+              ELSE {p} - 1 - (rnk % {p}) END AS part
+  FROM rankt
+)
+SELECT c.v, CAST(l.part AS BIGINT) AS part
+FROM l{k} c JOIN layout l ON l.label = c.label"""
+    )
+
+
+def _partition_edge_cut_sql(p: int = PARTITION_P, k: int = LP_MODE_ITERS) -> str:
+    prefix = _partition_layout_sql(p, k).rsplit("\nSELECT", 1)[0]
+    return (
+        prefix
+        + f""",
+vpart AS (
+  SELECT c.v, l.part FROM l{k} c JOIN layout l ON l.label = c.label
+)
+SELECT CAST(SUM(CASE WHEN sp.part <> dp.part THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+       CAST(COUNT(*) AS BIGINT) AS total_edges,
+       ROUND(AVG(CASE WHEN sp.part <> dp.part THEN 1.0 ELSE 0.0 END), 6) AS cut_frac
+FROM edges e
+JOIN vpart sp ON sp.v = e.src
+JOIN vpart dp ON dp.v = e.dst"""
     )
 
 
@@ -2079,6 +2130,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return ranked(res.state)
 
 
+def _q_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lay = partition_layout(_graph(spark, sf_dir), PARTITION_P, lp_iters=LP_MODE_ITERS)
+    return lay.select("v", F.col("part").cast("long").alias("part"))
+
+
+def _q_partition_edge_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    lay = partition_layout(g, PARTITION_P, lp_iters=LP_MODE_ITERS)
+    return edge_cut(g, lay).select(
+        "cut_edges", "total_edges", F.round("cut_frac", 6).alias("cut_frac")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_fixed10": _q_pagerank_fixed,
@@ -2134,6 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks_k3": _q_node2vec_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
+        "partition_layout_p8": _q_partition_layout,
+        "partition_edge_cut_p8": _q_partition_edge_cut,
     }
 
 
@@ -2196,4 +2262,6 @@ FROM events GROUP BY 1, 2""",
         "node2vec_walks_k3": _node2vec_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),
+        "partition_layout_p8": _partition_layout_sql(),
+        "partition_edge_cut_p8": _partition_edge_cut_sql(),
     }
