@@ -2130,6 +2130,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return ranked(res.state)
 
 
+BM25_QUERY = ("hash", "join", "spark")
+BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
+
+
+def _q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.text import tfidf
+
+    t = tfidf(_docs(spark, sf_dir)).withColumn("tfidf", F.round("tfidf", 6))
+    return t.orderBy(F.col("tfidf").desc(), "doc_id", "term").limit(TERM_TOP)
+
+
+def _tfidf_top_sql(top: int = 100) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+       ROUND(tf.tf * (ln((n.n + 1) / (dfq.df_docs + 1)) + 1), 6) AS tfidf
+FROM tf JOIN dfq USING (term), n
+ORDER BY tfidf DESC, doc_id, term
+LIMIT {top}"""
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.text import bm25
+
+    srt = bm25(
+        _docs(spark, sf_dir), list(BM25_QUERY), k1=BM25_K1, b=BM25_B
+    ).withColumn("score", F.round("score", 6))
+    return srt.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+
+
+def _bm25_sql(top: int = BM25_TOP, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         SUM(ln(1 + (st.n - dfq.df_docs + 0.5) / (dfq.df_docs + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS score FROM s
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT {top}"""
+
+
 def _q_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     lay = partition_layout(_graph(spark, sf_dir), PARTITION_P, lp_iters=LP_MODE_ITERS)
     return lay.select("v", F.col("part").cast("long").alias("part"))
@@ -2198,6 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks_k3": _q_node2vec_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
+        "tfidf_top100": _q_tfidf_top,
+        "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
         "partition_edge_cut_p8": _q_partition_edge_cut,
     }
@@ -2262,6 +2331,8 @@ FROM events GROUP BY 1, 2""",
         "node2vec_walks_k3": _node2vec_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),
+        "tfidf_top100": _tfidf_top_sql(TERM_TOP),
+        "bm25_top10": _bm25_sql(),
         "partition_layout_p8": _partition_layout_sql(),
         "partition_edge_cut_p8": _partition_edge_cut_sql(),
     }

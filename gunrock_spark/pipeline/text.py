@@ -212,3 +212,68 @@ def fingerprint(
     toks = _token_col(text_col)
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.select(F.col(id_col), h60(canon).alias("fp"))
+
+
+def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term, tf, df_docs, tfidf) — smoothed TF-IDF per
+    (document, term): tf = in-doc count, idf = ln((N+1)/(df+1)) + 1
+    (the sklearn smooth-idf convention, always > 0).
+
+    Two partial-agg shuffles ((id, term) counts, then term document
+    frequencies) plus one term join — no windows, no self-joins. The
+    corpus size N is a single metadata count (same scalar class as
+    PageRank's dangling-mass term): one cheap action against a cached
+    table, never a per-row driver loop. At 100 TB the (id, term)
+    aggregation is the dominant exchange and map-side combine absorbs
+    the Zipf head exactly as in term_counts."""
+    pairs = df.select(F.col(id_col).alias("_id"), F.explode(_token_col(text_col)).alias("term"))
+    tf = pairs.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df_docs") + 1.0)) + F.lit(1.0)
+    return tf.join(dfreq, "term").select(
+        F.col("_id").alias(id_col),
+        "term",
+        "tf",
+        "df_docs",
+        (F.col("tf") * idf).alias("tfidf"),
+    )
+
+
+def bm25(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) — Okapi BM25 of each document against the query
+    term bag. idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    The per-term filter runs BEFORE the aggregation (only query-term
+    occurrences survive the explode), the per-term document-frequency
+    table is |Q| rows and broadcast, and document length joins on the
+    (id)-keyed length table — so the whole query is bounded by the
+    matching postings, not the corpus vocabulary."""
+    base = df.select(F.col(id_col).alias("_id"), _token_col(text_col).alias("_toks"))
+    dl = base.select("_id", F.size("_toks").cast("double").alias("dl"))
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = float(row["n"]), float(row["avgdl"] or 0.0)
+    pairs = base.select("_id", F.explode("_toks").alias("term")).where(
+        F.col("term").isin([t.lower() for t in query_terms])
+    )
+    tf = pairs.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+    norm = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "_id")
+        .select("_id", (idf * F.col("tf") * F.lit(k1 + 1.0) / norm).alias("s"))
+        .groupBy("_id")
+        .agg(F.sum("s").alias("score"))
+        .select(F.col("_id").alias(id_col), "score")
+    )

@@ -580,3 +580,61 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     )
     out = dedup_clusters(loners, threshold=0.9).collect()
     assert all(r["is_canonical"] and r["cluster_id"] == r["doc_id"] for r in out)
+
+
+def test_tfidf_matches_python_oracle(spark, docs):
+    from gunrock_spark.pipeline.text import tfidf
+    import math
+    import re
+
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df_docs"], r["tfidf"])
+        for r in tfidf(docs).collect()
+    }
+    rows = docs.collect()
+    n = len(rows)
+    toks = {r["doc_id"]: re.findall(r"[A-Za-z0-9]+", r["text"].lower()) for r in rows}
+    dfreq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            tf = ts.count(t)
+            want[(d, t)] = tf * (math.log((n + 1) / (dfreq[t] + 1)) + 1)
+    assert set(got) == set(want)
+    for k, (tf, dfd, val) in got.items():
+        assert abs(val - want[k]) < 1e-9
+        assert dfd == dfreq[k[1]]
+
+
+def test_bm25_matches_python_oracle_and_ranks_relevant_docs(spark, docs):
+    from gunrock_spark.pipeline.text import bm25
+    import math
+    import re
+
+    q = ["spark", "fox"]
+    got = {r["doc_id"]: r["score"] for r in bm25(docs, q).collect()}
+    rows = docs.collect()
+    toks = {r["doc_id"]: re.findall(r"[A-Za-z0-9]+", r["text"].lower()) for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {t: sum(1 for ts in toks.values() if t in ts) for t in q}
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for t in q:
+            tf = ts.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0:
+            want[d] = s
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-9
+    # doc 3 is the only one containing "spark": it must outrank the fox docs
+    assert got[3] == max(got.values())
