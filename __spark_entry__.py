@@ -2130,6 +2130,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return ranked(res.state)
 
 
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 8  # sf0.01 converges in 5 peel rounds; margin
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.ktruss import k_truss
+
+    return k_truss(_graph(spark, sf_dir), KTRUSS_K, max_iter=KTRUSS_ROUNDS).state.select(
+        "a", "b"
+    )
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    """Unrolled synchronous triangle-support peel: each round
+    enumerates triangles (a<b<c) over the surviving edge set, counts
+    per-edge support, keeps support >= k-2. At the fixpoint extra
+    rounds are no-ops, so a fixed unroll >= the convergence depth is
+    exact."""
+    body = [
+        """t0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body.append(
+            f"""tri{i} AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM t{p} e1
+  JOIN t{p} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN t{p} e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+s{i} AS (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM tri{i}
+    UNION ALL SELECT x AS a, z AS b FROM tri{i}
+    UNION ALL SELECT y AS a, z AS b FROM tri{i}
+  ) GROUP BY a, b
+),
+t{i} AS MATERIALIZED (
+  SELECT t.a, t.b FROM t{p} t
+  JOIN s{i} s ON s.a = t.a AND s.b = t.b AND s.sup >= {k - 2}
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT a, b FROM t{rounds}"
+    )
+
+
 BM25_QUERY = ("hash", "join", "spark")
 BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
 
@@ -2265,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks_k3": _q_node2vec_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
+        "ktruss_k4_edges": _q_ktruss,
         "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
@@ -2331,6 +2386,7 @@ FROM events GROUP BY 1, 2""",
         "node2vec_walks_k3": _node2vec_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),
+        "ktruss_k4_edges": _ktruss_sql(),
         "tfidf_top100": _tfidf_top_sql(TERM_TOP),
         "bm25_top10": _bm25_sql(),
         "partition_layout_p8": _partition_layout_sql(),

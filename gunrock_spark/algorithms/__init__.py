@@ -13,6 +13,7 @@ from gunrock_spark.algorithms.hits import hits
 from gunrock_spark.algorithms.salsa import salsa
 from gunrock_spark.algorithms.wtf import who_to_follow
 from gunrock_spark.algorithms.kcore import core_numbers, k_core, k_core_vertices
+from gunrock_spark.algorithms.ktruss import k_truss
 from gunrock_spark.algorithms.topk import degree_topk
 from gunrock_spark.algorithms.modularity import modularity
 from gunrock_spark.algorithms.walks import random_walks
@@ -41,6 +42,7 @@ __all__ = [
     "who_to_follow",
     "degree_topk",
     "k_core",
+    "k_truss",
     "k_core_vertices",
     "core_numbers",
     "random_walks",

@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algorithm", default="pagerank",
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
-                             "kcore", "corenums", "walks", "node2vec"],
+                             "kcore", "corenums", "ktruss", "walks", "node2vec"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -274,6 +274,11 @@ def main(argv: list[str] | None = None) -> int:
         res = None
         out_df = who_to_follow(graph, src=_default_source(),
                                delta=args.delta, max_iter=args.max_iter)
+    elif args.algorithm == "ktruss":
+        from gunrock_spark.algorithms.ktruss import k_truss
+
+        res = k_truss(graph, k=max(args.k, 3), max_iter=args.max_iter)
+        out_df = res.state
     elif args.algorithm == "kcore":
         from gunrock_spark.algorithms.kcore import k_core
 

@@ -149,3 +149,56 @@ def test_tc_auto_dispatch_on_wedge_estimate(spark, monkeypatch):
     assert T._auto_impl(g) == "join"  # big but uniform
     monkeypatch.setattr(T, "_estimated_wedges", lambda graph: 2_000_000_000)
     assert T._auto_impl(g) == "blocks"  # big and wedge-heavy
+
+
+def test_ktruss_golden_and_python_oracle(spark):
+    from gunrock_spark.algorithms.ktruss import k_truss
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    # two triangles sharing edge (1,2), plus a pendant edge:
+    # 4-truss of this graph is empty; 3-truss is the two triangles.
+    edges = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    g = EdgeTable.from_df(df, num_partitions=2)
+    t3 = k_truss(g, 3)
+    got3 = sorted((r["a"], r["b"]) for r in t3.state.collect())
+    assert got3 == [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    assert t3.converged
+    assert k_truss(g, 4).state.count() == 0
+
+    # k=4: K4 plus a dangling triangle — K4 survives, triangle peels
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 5), (3, 6), (5, 6)]
+    df2 = spark.createDataFrame(k4 + extra, schema="src long, dst long")
+    g2 = EdgeTable.from_df(df2, num_partitions=2)
+    got4 = sorted((r["a"], r["b"]) for r in k_truss(g2, 4).state.collect())
+    assert got4 == sorted(k4)
+
+
+def test_ktruss_rmat_matches_python_peel(spark):
+    from gunrock_spark.algorithms.ktruss import k_truss
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import rmat_edges_df
+
+    g = EdgeTable.from_df(rmat_edges_df(spark, 9, 8, seed=11), num_partitions=4)
+    und = set()
+    for r in g.edges.collect():
+        a, b = r["src"], r["dst"]
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+
+    def peel(es, k):
+        es = set(es)
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {(a, b) for a, b in es if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                return es
+            es -= drop
+
+    for k in (3, 4):
+        got = {(r["a"], r["b"]) for r in k_truss(g, k).state.collect()}
+        assert got == peel(und, k), f"k={k}"
