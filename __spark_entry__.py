@@ -2130,6 +2130,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return ranked(res.state)
 
 
+MIS_ROUNDS = 8  # sf0.01 converges in 4 Luby rounds; margin
+
+
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.mis import maximal_independent_set
+
+    return maximal_independent_set(_graph(spark, sf_dir), max_iter=MIS_ROUNDS).state.select(
+        "v", "in_mis"
+    )
+
+
+def _mis_sql(rounds: int = MIS_ROUNDS) -> str:
+    """Unrolled deterministic Luby rounds: priority = h60(v ':' round);
+    strictly-smallest-priority-among-alive-neighbors joins the MIS,
+    neighbors die. Extra rounds past the fixpoint are no-ops (alive is
+    empty), so a fixed unroll >= the convergence depth is exact."""
+    no_nb = 1 << 62
+    body = [
+        "a0 AS MATERIALIZED (SELECT v FROM verts)",
+        "m0 AS MATERIALIZED (SELECT v FROM verts WHERE 1 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        q = i - 1
+        pri = f"('0x' || substr(md5(CAST(v AS VARCHAR) || ':{q}'), 1, 15))::BIGINT"
+        body.append(
+            f"""p{i} AS (SELECT v, {pri} AS p FROM a{q}),
+e{i} AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN a{q} x ON x.v = s.src
+  JOIN a{q} y ON y.v = s.dst
+),
+nb{i} AS (
+  SELECT e.dst AS v, MIN(pp.p) AS nb
+  FROM e{i} e JOIN p{i} pp ON pp.v = e.src
+  GROUP BY e.dst
+),
+s{i} AS (
+  SELECT p.v FROM p{i} p LEFT JOIN nb{i} n ON n.v = p.v
+  WHERE p.p < COALESCE(n.nb, {no_nb})
+),
+r{i} AS (SELECT DISTINCT e.dst AS v FROM e{i} e JOIN s{i} s ON s.v = e.src),
+a{i} AS MATERIALIZED (
+  SELECT v FROM a{q} EXCEPT SELECT v FROM s{i} EXCEPT SELECT v FROM r{i}
+),
+m{i} AS MATERIALIZED (SELECT v FROM m{q} UNION SELECT v FROM s{i})"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"""
+SELECT vt.v, (m.v IS NOT NULL) AS in_mis
+FROM verts vt LEFT JOIN m{rounds} m ON m.v = vt.v"""
+    )
+
+
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 8  # sf0.01 converges in 5 peel rounds; margin
 
@@ -2319,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks_k3": _q_node2vec_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
+        "mis_labels": _q_mis,
         "ktruss_k4_edges": _q_ktruss,
         "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
@@ -2386,6 +2444,7 @@ FROM events GROUP BY 1, 2""",
         "node2vec_walks_k3": _node2vec_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),
+        "mis_labels": _mis_sql(),
         "ktruss_k4_edges": _ktruss_sql(),
         "tfidf_top100": _tfidf_top_sql(TERM_TOP),
         "bm25_top10": _bm25_sql(),

@@ -14,6 +14,7 @@ from gunrock_spark.algorithms.salsa import salsa
 from gunrock_spark.algorithms.wtf import who_to_follow
 from gunrock_spark.algorithms.kcore import core_numbers, k_core, k_core_vertices
 from gunrock_spark.algorithms.ktruss import k_truss
+from gunrock_spark.algorithms.mis import maximal_independent_set
 from gunrock_spark.algorithms.topk import degree_topk
 from gunrock_spark.algorithms.modularity import modularity
 from gunrock_spark.algorithms.walks import random_walks
@@ -43,6 +44,7 @@ __all__ = [
     "degree_topk",
     "k_core",
     "k_truss",
+    "maximal_independent_set",
     "k_core_vertices",
     "core_numbers",
     "random_walks",

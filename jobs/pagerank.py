@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algorithm", default="pagerank",
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
-                             "kcore", "corenums", "ktruss", "walks", "node2vec"],
+                             "kcore", "corenums", "ktruss", "mis", "walks", "node2vec"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -278,6 +278,11 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.algorithms.ktruss import k_truss
 
         res = k_truss(graph, k=max(args.k, 3), max_iter=args.max_iter)
+        out_df = res.state
+    elif args.algorithm == "mis":
+        from gunrock_spark.algorithms.mis import maximal_independent_set
+
+        res = maximal_independent_set(graph, max_iter=args.max_iter)
         out_df = res.state
     elif args.algorithm == "kcore":
         from gunrock_spark.algorithms.kcore import k_core

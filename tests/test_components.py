@@ -108,3 +108,51 @@ def test_cc_warm_start_after_additive_update(spark):
     got = {(r["v"], r["label"]) for r in warm.state.select("v", "label").collect()}
     assert got == want
     assert warm.iterations <= cold.iterations
+
+
+def test_mis_independent_maximal_and_deterministic(spark):
+    import hashlib
+
+    from gunrock_spark.algorithms.mis import maximal_independent_set
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import rmat_edges_df
+
+    g = EdgeTable.from_df(rmat_edges_df(spark, 9, 8, seed=3), num_partitions=4)
+    res = maximal_independent_set(g)
+    assert res.converged
+    got = {r["v"]: r["in_mis"] for r in res.state.collect()}
+    mis = {v for v, m in got.items() if m}
+
+    edges = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    adj: dict = {}
+    verts = set()
+    for s, d in edges:
+        verts.add(s)
+        verts.add(d)
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # independence + maximality
+    assert all(not (a in mis and b in mis) for a, b in edges)
+    assert all(v in mis or adj.get(v, set()) & mis for v in verts)
+    assert set(got) == verts
+
+    # exact match vs the python Luby oracle with identical h60 draws
+    def h60(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:15], 16)
+
+    alive, want, i = set(verts), set(), 0
+    while alive:
+        p = {v: h60(f"{v}:{i}") for v in alive}
+        sel = {
+            v
+            for v in alive
+            if all(p[v] < p[u] for u in adj.get(v, ()) if u in alive)
+        }
+        want |= sel
+        dead = set()
+        for v in sel:
+            dead |= adj.get(v, set()) & alive
+        alive -= sel | dead
+        i += 1
+    assert mis == want
+    assert res.iterations == i
