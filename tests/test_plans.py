@@ -251,3 +251,52 @@ def test_coreness_round_window_over_aggregated_rows(spark):
     below = lines[win_idx[0] + 1 : win_idx[0] + 6]
     assert any("HashAggregate" in l for l in below), plan
     assert not any("Join" in l for l in below), plan
+
+
+def test_tfidf_bm25_pure_catalyst_with_partial_agg(spark):
+    """TF-IDF / BM25 hot paths: no Python UDF of any kind, and the
+    (id, term) aggregation is partial (map-side combine absorbs the
+    Zipf head before the exchange)."""
+    from gunrock_spark.pipeline.text import bm25, tfidf
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (tfidf(docs), bm25(docs, ["hash", "join"])):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "partial" in plan.lower(), plan
+
+
+def test_partition_layout_single_bounded_global_sort(spark):
+    """The community layout's ONLY unpartitioned window runs over the
+    |C|-row community summary (bounded, one-time) — never over the
+    edge table; and edge placement itself adds no Python UDF."""
+    from gunrock_spark.graph.partition import partition_layout, place_edges
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    lay = partition_layout(g, 4, lp_iters=1)
+    plan = _plan(lay)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one global (empty-partition-spec) window: the rank over
+    # the community-mass summary
+    n_global_windows = plan.count("Window")
+    assert n_global_windows >= 1
+    placed = place_edges(g, lay, 4, persist=False)
+    pplan = _plan(placed.edges)
+    assert "BatchEvalPython" not in pplan and "ArrowEvalPython" not in pplan
+    assert "rangepartitioning" in pplan.lower() or "RangePartitioning" in pplan
+
+
+def test_ktruss_support_and_mis_round_no_python_udf(spark):
+    """k-truss support round and the MIS round are pure Catalyst
+    joins + partial aggregations."""
+    from gunrock_spark.algorithms.ktruss import _canonical_und, _edge_support
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    sup = _edge_support(_canonical_und(g))
+    plan = _plan(sup)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()
