@@ -2241,6 +2241,89 @@ t{i} AS MATERIALIZED (
     )
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC labels of the DIRECTED derived graph (trim + forward
+    coloring + backward sweep, algorithms/scc.py). Label = min vertex
+    id in the SCC — canonical, so the oracle is declarative (DuckDB
+    transitive closure), no round unrolling."""
+    from gunrock_spark.algorithms.scc import strongly_connected_components
+
+    return strongly_connected_components(_graph(spark, sf_dir)).state.select("v", "scc")
+
+
+# NOTE: the recursion is NESTED inside a plain CTE on purpose — a
+# top-level WITH RECURSIVE flips DuckDB's semantics for the shared
+# _EDGES_CTES prologue (its UNIONs stop deduplicating), observed as
+# verts ballooning to 2|E| rows.
+_REACH_CTES = """
+reach AS MATERIALIZED (
+  WITH RECURSIVE rr(s, d) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT rr.s, e.dst FROM rr JOIN edges e ON e.src = rr.d
+  ) SELECT s, d FROM rr
+),
+mutual AS (
+  SELECT r1.s AS u, r1.d AS v
+  FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+),
+sccs AS MATERIALIZED (
+  SELECT vt.v, LEAST(vt.v, COALESCE(MIN(m.u), vt.v)) AS scc
+  FROM verts vt LEFT JOIN mutual m ON m.v = vt.v
+  GROUP BY vt.v
+)"""
+
+
+def _scc_sql() -> str:
+    """scc(v) = min id among vertices mutually reachable with v —
+    label-canonical, algorithm-independent."""
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _REACH_CTES
+        + "\nSELECT v, scc FROM sccs"
+    )
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bowtie partition (core/in/out/other) around the largest
+    SCC — the canonical Common-Crawl-scale web-structure analysis."""
+    from gunrock_spark.algorithms.scc import (
+        bowtie_decomposition,
+        strongly_connected_components,
+    )
+
+    g = _graph(spark, sf_dir)
+    return bowtie_decomposition(g, strongly_connected_components(g).state)
+
+
+def _bowtie_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _REACH_CTES
+        + """,
+core_label AS (
+  SELECT scc FROM (SELECT scc, COUNT(*) AS n FROM sccs GROUP BY scc)
+  ORDER BY n DESC, scc ASC LIMIT 1
+),
+corev AS MATERIALIZED (SELECT v FROM sccs WHERE scc = (SELECT scc FROM core_label)),
+fwd AS (SELECT DISTINCT r.d AS v FROM reach r JOIN corev c ON c.v = r.s),
+bwd AS (SELECT DISTINCT r.s AS v FROM reach r JOIN corev c ON c.v = r.d)
+SELECT vt.v,
+       CASE WHEN c.v IS NOT NULL THEN 'core'
+            WHEN b.v IS NOT NULL THEN 'in'
+            WHEN f.v IS NOT NULL THEN 'out'
+            ELSE 'other' END AS part
+FROM verts vt
+LEFT JOIN corev c ON c.v = vt.v
+LEFT JOIN bwd b ON b.v = vt.v
+LEFT JOIN fwd f ON f.v = vt.v"""
+    )
+
+
 BM25_QUERY = ("hash", "join", "spark")
 BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
 
@@ -2378,6 +2461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified,
         "mis_labels": _q_mis,
         "ktruss_k4_edges": _q_ktruss,
+        "scc_labels": _q_scc,
+        "bowtie_parts": _q_bowtie,
         "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
@@ -2446,6 +2531,8 @@ FROM events GROUP BY 1, 2""",
         "docs_stratified_sample": _docs_stratified_sql(),
         "mis_labels": _mis_sql(),
         "ktruss_k4_edges": _ktruss_sql(),
+        "scc_labels": _scc_sql(),
+        "bowtie_parts": _bowtie_sql(),
         "tfidf_top100": _tfidf_top_sql(TERM_TOP),
         "bm25_top10": _bm25_sql(),
         "partition_layout_p8": _partition_layout_sql(),

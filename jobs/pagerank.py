@@ -46,7 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algorithm", default="pagerank",
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
-                             "kcore", "corenums", "ktruss", "mis", "walks", "node2vec"],
+                             "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
+                             "scc", "bowtie"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -294,6 +295,16 @@ def main(argv: list[str] | None = None) -> int:
 
         res = core_numbers(graph, max_iter=args.max_iter)
         out_df = res.state.select("v", "c")
+    elif args.algorithm == "scc":
+        from gunrock_spark.algorithms.scc import strongly_connected_components
+
+        res = strongly_connected_components(graph, max_inner=args.max_iter)
+        out_df = res.state
+    elif args.algorithm == "bowtie":
+        from gunrock_spark.algorithms.scc import bowtie_decomposition
+
+        res = None
+        out_df = bowtie_decomposition(graph, max_inner=args.max_iter)
     elif args.algorithm == "walks":
         from gunrock_spark.algorithms.walks import random_walks
 
