@@ -2324,6 +2324,110 @@ LEFT JOIN fwd f ON f.v = vt.v"""
     )
 
 
+ANF_M = 16
+ANF_NF_T = 4
+ANF_BALLS_T = 2
+
+
+def _q_anf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function N(t) for t=0..4 (HyperANF,
+    algorithms/anf.py): one HLL counter per vertex, merged along
+    out-edges per round. Deterministic h60 registers + exact-integer
+    harmonic sums make every per-vertex estimate SQL-replayable."""
+    from gunrock_spark.algorithms.anf import neighborhood_function
+
+    return neighborhood_function(
+        _graph(spark, sf_dir), max_radius=ANF_NF_T, m=ANF_M
+    )
+
+
+def _q_anf_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex ball-size estimates |B(v, 2)| (radius-2 out-ball)."""
+    from gunrock_spark.algorithms.anf import anf_registers, ball_estimates
+
+    res = anf_registers(
+        _graph(spark, sf_dir), radius=ANF_BALLS_T, m=ANF_M, early_stop=False
+    )
+    return ball_estimates(res.state, m=ANF_M)
+
+
+def _anf_round_ctes(t_max: int, m: int = ANF_M) -> str:
+    """r0..r{t_max} register CTEs: r0 = every vertex's own-id register,
+    each round max-merges dst registers into src (B(v,t+1) = {v} ∪
+    ⋃_{v->w} B(w,t)) — the unrolled twin of anf_registers."""
+    from gunrock_spark.pipeline.sketches import HLL_RHO_CAP
+
+    b = m.bit_length() - 1
+    h = _H60.format(x="'anf:' || CAST(v AS VARCHAR)")
+    parts = [
+        f"""
+h0 AS (SELECT v, {h} AS h FROM verts),
+r0 AS MATERIALIZED (
+  SELECT v, CAST(h & {m - 1} AS INT) AS j,
+         CAST(CASE WHEN (h >> {b}) = 0 THEN {HLL_RHO_CAP}
+              ELSE LEAST(bit_count(((h >> {b}) & -(h >> {b})) - 1) + 1,
+                         {HLL_RHO_CAP}) END AS INT) AS rho
+  FROM h0
+)"""
+    ]
+    for t in range(1, t_max + 1):
+        parts.append(
+            f"""
+r{t} AS MATERIALIZED (
+  SELECT v, j, MAX(rho) AS rho FROM (
+    SELECT v, j, rho FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS v, r.j, r.rho FROM r{t - 1} r JOIN edges e ON e.dst = r.v
+  ) GROUP BY v, j
+)"""
+        )
+    return ",".join(parts)
+
+
+def _anf_ball_select(reg: str, m: int = ANF_M) -> str:
+    """Per-vertex (v, ball_est) SELECT over register CTE ``reg`` —
+    literal-for-literal the float chain of anf.ball_estimates."""
+    from gunrock_spark.pipeline.sketches import HLL_RHO_CAP, hll_alpha
+
+    alpha = f"CAST({hll_alpha(m)!r} AS DOUBLE)"
+    raw = f"({alpha} * {m} * {m} * CAST({1 << HLL_RHO_CAP} AS DOUBLE) / s_scaled)"
+    return f"""SELECT v,
+       CAST(CASE WHEN zeros > 0 AND {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+            THEN ROUND(CAST({m} AS DOUBLE) * LN(CAST({m} AS DOUBLE) / zeros))
+            ELSE ROUND({raw}) END AS BIGINT) AS ball_est
+FROM (SELECT v, {m} - COUNT(*) AS zeros,
+             SUM((1::BIGINT) << ({HLL_RHO_CAP} - rho))
+               + ({m} - COUNT(*)) * ((1::BIGINT) << {HLL_RHO_CAP}) AS s_scaled
+      FROM {reg} GROUP BY v)"""
+
+
+def _anf_nf_sql(t_max: int = ANF_NF_T, m: int = ANF_M) -> str:
+    levels = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INT) AS t, CAST(SUM(ball_est) AS BIGINT)"
+        f" AS n_pairs_est FROM ({_anf_ball_select(f'r{t}', m)})"
+        for t in range(t_max + 1)
+    )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _anf_round_ctes(t_max, m)
+        + "\n"
+        + levels
+    )
+
+
+def _anf_balls_sql(t: int = ANF_BALLS_T, m: int = ANF_M) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _anf_round_ctes(t, m)
+        + "\n"
+        + _anf_ball_select(f"r{t}", m)
+    )
+
+
 BM25_QUERY = ("hash", "join", "spark")
 BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
 
@@ -2463,6 +2567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_k4_edges": _q_ktruss,
         "scc_labels": _q_scc,
         "bowtie_parts": _q_bowtie,
+        "anf_nf_t4": _q_anf_nf,
+        "anf_balls_t2": _q_anf_balls,
         "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
@@ -2533,6 +2639,8 @@ FROM events GROUP BY 1, 2""",
         "ktruss_k4_edges": _ktruss_sql(),
         "scc_labels": _scc_sql(),
         "bowtie_parts": _bowtie_sql(),
+        "anf_nf_t4": _anf_nf_sql(),
+        "anf_balls_t2": _anf_balls_sql(),
         "tfidf_top100": _tfidf_top_sql(TERM_TOP),
         "bm25_top10": _bm25_sql(),
         "partition_layout_p8": _partition_layout_sql(),

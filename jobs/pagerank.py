@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
-                             "scc", "bowtie"],
+                             "scc", "bowtie", "anf"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -305,6 +305,11 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = bowtie_decomposition(graph, max_inner=args.max_iter)
+    elif args.algorithm == "anf":
+        from gunrock_spark.algorithms.anf import neighborhood_function
+
+        res = None
+        out_df = neighborhood_function(graph, max_radius=args.max_iter)
     elif args.algorithm == "walks":
         from gunrock_spark.algorithms.walks import random_walks
 

@@ -187,6 +187,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("node2vec", ["--walk-length", "3", "--p", "2", "--q", "3"]),
         ("scc", []),
         ("bowtie", []),
+        ("anf", ["--max-iter", "3"]),
     ],
 )
 def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, algo, extra):

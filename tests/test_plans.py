@@ -300,3 +300,29 @@ def test_ktruss_support_and_mis_round_no_python_udf(spark):
     plan = _plan(sup)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial" in plan.lower()
+
+
+def test_anf_round_partial_agg_no_python_no_sort(spark):
+    """One HyperANF merge round = join against the cached CSC layout +
+    groupBy(v, j) max with map-side partial aggregation — no Python,
+    no sort over the |E|-row contribution gather (the register merge
+    is hash-aggregable; a sort there would serialize hub partitions)."""
+    from gunrock_spark.algorithms.anf import vertex_registers
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    rev = g.reversed_layout().edges
+    state = vertex_registers(g.vertices)
+    contrib = state.join(rev, state["v"] == rev["src"]).select(
+        rev["dst"].alias("v"), "j", "rho"
+    )
+    merged = (
+        state.unionByName(contrib)
+        .groupBy("v", "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+    plan = _plan(merged)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()
+    agg_lines = [l for l in plan.splitlines() if "HashAggregate" in l]
+    assert agg_lines, plan
