@@ -2351,14 +2351,21 @@ def _q_anf_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ball_estimates(res.state, m=ANF_M)
 
 
-def _anf_round_ctes(t_max: int, m: int = ANF_M) -> str:
+def _anf_round_ctes(t_max: int, m: int = ANF_M, incoming: bool = False) -> str:
     """r0..r{t_max} register CTEs: r0 = every vertex's own-id register,
-    each round max-merges dst registers into src (B(v,t+1) = {v} ∪
-    ⋃_{v->w} B(w,t)) — the unrolled twin of anf_registers."""
+    each round max-merges dst registers into src (out-balls,
+    B(v,t+1) = {v} ∪ ⋃_{v->w} B(w,t)) — or src into dst when
+    ``incoming`` (HyperBall's reverse direction). The unrolled twin of
+    anf_registers / hyperball_centralities."""
     from gunrock_spark.pipeline.sketches import HLL_RHO_CAP
 
     b = m.bit_length() - 1
     h = _H60.format(x="'anf:' || CAST(v AS VARCHAR)")
+    gather = (
+        "SELECT e.dst AS v, r.j, r.rho FROM r{p} r JOIN edges e ON e.src = r.v"
+        if incoming
+        else "SELECT e.src AS v, r.j, r.rho FROM r{p} r JOIN edges e ON e.dst = r.v"
+    )
     parts = [
         f"""
 h0 AS (SELECT v, {h} AS h FROM verts),
@@ -2377,7 +2384,7 @@ r{t} AS MATERIALIZED (
   SELECT v, j, MAX(rho) AS rho FROM (
     SELECT v, j, rho FROM r{t - 1}
     UNION ALL
-    SELECT e.src AS v, r.j, r.rho FROM r{t - 1} r JOIN edges e ON e.dst = r.v
+    {gather.format(p=t - 1)}
   ) GROUP BY v, j
 )"""
         )
@@ -2425,6 +2432,49 @@ def _anf_balls_sql(t: int = ANF_BALLS_T, m: int = ANF_M) -> str:
         + _anf_round_ctes(t, m)
         + "\n"
         + _anf_ball_select(f"r{t}", m)
+    )
+
+
+HC_T = 4
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality + sum-of-distances from incoming
+    ball-size deltas (algorithms/anf.py): harmonic(v) ≈ Σ 1/d(u,v)."""
+    from gunrock_spark.algorithms.anf import hyperball_centralities
+
+    hc = hyperball_centralities(_graph(spark, sf_dir), radius=HC_T, m=ANF_M)
+    return hc.select("v", F.round("harmonic", 6).alias("harmonic"), "sum_dist")
+
+
+def _harmonic_sql(t_max: int = HC_T, m: int = ANF_M) -> str:
+    balls = ",\n".join(
+        f"b{t} AS MATERIALIZED ({_anf_ball_select(f'r{t}', m)})"
+        for t in range(t_max + 1)
+    )
+    # fixed left-to-right chains, mirroring the Spark accumulation
+    harm = " + ".join(
+        f"CAST(b{t}.ball_est - b{t - 1}.ball_est AS DOUBLE)"
+        f" / CAST({t} AS DOUBLE)"
+        for t in range(1, t_max + 1)
+    )
+    sdist = " + ".join(
+        f"{t} * (b{t}.ball_est - b{t - 1}.ball_est)"
+        for t in range(1, t_max + 1)
+    )
+    joins = "\n".join(f"JOIN b{t} USING (v)" for t in range(1, t_max + 1))
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _anf_round_ctes(t_max, m, incoming=True)
+        + ",\n"
+        + balls
+        + f"""
+SELECT v, ROUND(0.0 + {harm}, 6) AS harmonic,
+       CAST(0 + {sdist} AS BIGINT) AS sum_dist
+FROM b0
+{joins}"""
     )
 
 
@@ -2569,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_parts": _q_bowtie,
         "anf_nf_t4": _q_anf_nf,
         "anf_balls_t2": _q_anf_balls,
+        "harmonic_centrality_t4": _q_harmonic,
         "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
@@ -2641,6 +2692,7 @@ FROM events GROUP BY 1, 2""",
         "bowtie_parts": _bowtie_sql(),
         "anf_nf_t4": _anf_nf_sql(),
         "anf_balls_t2": _anf_balls_sql(),
+        "harmonic_centrality_t4": _harmonic_sql(),
         "tfidf_top100": _tfidf_top_sql(TERM_TOP),
         "bm25_top10": _bm25_sql(),
         "partition_layout_p8": _partition_layout_sql(),

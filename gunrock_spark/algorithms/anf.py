@@ -222,6 +222,78 @@ def neighborhood_function(
     return out
 
 
+def hyperball_centralities(
+    graph: EdgeTable, radius: int = 8, m: int = 16, seed: str = "anf"
+) -> DataFrame:
+    """DataFrame[v, harmonic double, sum_dist long]: HyperBall
+    distance-based centralities (Boldi-Vigna, "In-core computation of
+    geometric centralities with HyperBall", ICDMW 2013) from INCOMING
+    ball sizes — b_t(v) sketches |{u : dist(u, v) <= t}|, grown by
+    max-merging each edge's src counter into its dst (the reverse of
+    the ANF direction, so the FORWARD cached edge layout co-locates
+    the join):
+
+        harmonic(v) = Σ_{t=1..radius} (b_t - b_{t-1}) / t
+                      ≈ Σ_{u != v} 1 / dist(u, v)
+        sum_dist(v) = Σ_{t=1..radius} t · (b_t - b_{t-1})
+                      ≈ Σ_{u reaching v} dist(u, v)
+
+    b_t are the rounded integer HLL estimates, so sum_dist is exact
+    integer arithmetic and harmonic is a fixed left-to-right chain of
+    integer/int divisions — both SQL-replayable. Note b_t is monotone
+    in the REGISTERS but the rounded estimate can dip by one at the
+    linear-counting -> raw branch switch; HyperBall uses the raw
+    differences unchanged (a |1/t| ripple inside the sketch's error
+    bar), and so do we — determinism, not clamping, is the contract.
+
+    Scale: radius rounds of the same |E|-contribution join +
+    partial-max merge as ANF, plus radius |V|-row estimate joins.
+    """
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    spark = graph.edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    edges = graph.edges
+
+    state = (
+        vertex_registers(graph.vertices, m=m, seed=seed)
+        .repartition(n_part, "v")
+        .localCheckpoint(eager=True)
+    )
+    prev = ball_estimates(state, m=m).withColumnRenamed("ball_est", "b_prev")
+    acc = prev.select(
+        "v",
+        F.lit(0.0).alias("harmonic"),
+        F.lit(0).cast("long").alias("sum_dist"),
+        "b_prev",
+    ).localCheckpoint(eager=True)
+    for t in range(1, radius + 1):
+        contrib = state.join(edges, state["v"] == edges["src"]).select(
+            edges["dst"].alias("v"), "j", "rho"
+        )
+        state = (
+            state.unionByName(contrib)
+            .groupBy("v", "j")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        est = ball_estimates(state, m=m)
+        delta = F.col("ball_est") - F.col("b_prev")
+        acc = (
+            acc.join(est, "v")
+            .select(
+                "v",
+                (F.col("harmonic") + delta.cast("double") / F.lit(float(t))).alias(
+                    "harmonic"
+                ),
+                (F.col("sum_dist") + F.lit(t) * delta).cast("long").alias("sum_dist"),
+                F.col("ball_est").alias("b_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return acc.select("v", "harmonic", "sum_dist")
+
+
 def effective_diameter(
     nf: DataFrame | list[tuple[int, int]], alpha: float = 0.9
 ) -> float:

@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
-                             "scc", "bowtie", "anf"],
+                             "scc", "bowtie", "anf", "harmonic"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -310,6 +310,11 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = neighborhood_function(graph, max_radius=args.max_iter)
+    elif args.algorithm == "harmonic":
+        from gunrock_spark.algorithms.anf import hyperball_centralities
+
+        res = None
+        out_df = hyperball_centralities(graph, radius=max(args.max_iter, 1))
     elif args.algorithm == "walks":
         from gunrock_spark.algorithms.walks import random_walks
 

@@ -132,6 +132,47 @@ def test_neighborhood_function_fixed_rows_and_monotone(spark):
         assert n == sum(oracle_ball_ests(G, t).values())
 
 
+def in_balls_py(edge_list, radius):
+    """{v: set of u with dist(u, v) <= radius} — incoming balls."""
+    return balls_py([(d, s) for s, d in edge_list], radius)
+
+
+def hyperball_py(edge_list, radius):
+    """{v: (harmonic, sum_dist)} replicating hyperball_centralities."""
+    verts = {x for e in edge_list for x in e}
+    prev = {v: est_py(registers_py({v})) for v in verts}
+    harm = {v: 0.0 for v in verts}
+    sdist = {v: 0 for v in verts}
+    for t in range(1, radius + 1):
+        cur = {
+            v: est_py(registers_py(ball))
+            for v, ball in in_balls_py(edge_list, t).items()
+        }
+        for v in verts:
+            d = cur[v] - prev[v]
+            harm[v] = harm[v] + float(d) / float(t)
+            sdist[v] = sdist[v] + t * d
+        prev = cur
+    return {v: (harm[v], sdist[v]) for v in verts}
+
+
+def test_hyperball_centralities_match_python_oracle(spark):
+    from gunrock_spark.algorithms.anf import hyperball_centralities
+
+    raw = [(int(s), int(d)) for s, d in rmat_edges(6, 4, seed=21)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    got = {
+        r["v"]: (r["harmonic"], r["sum_dist"])
+        for r in hyperball_centralities(g, radius=3).collect()
+    }
+    want = hyperball_py(edge_list, 3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-12), v
+        assert got[v][1] == want[v][1], v
+
+
 def test_effective_diameter_interpolation():
     # synthetic exact nf: saturates at 100 pairs by t=4
     nf = [(0, 10), (1, 40), (2, 80), (3, 95), (4, 100)]
