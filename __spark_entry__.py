@@ -2478,6 +2478,53 @@ FROM b0
     )
 
 
+AA_TOP = 50
+AA_MAX_CENTER_DEG = 64
+
+
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted links by Adamic-Adar over the symmetrized
+    graph, hub centers pruned at deg > 64 (the cap is part of the
+    contract — the oracle applies it too; algorithms/linkpred.py)."""
+    from gunrock_spark.algorithms.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(
+        _graph(spark, sf_dir), k=AA_TOP, max_center_degree=AA_MAX_CENTER_DEG
+    )
+
+
+def _adamic_adar_sql(k: int = AA_TOP, max_d: int = AA_MAX_CENTER_DEG) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+symdeg AS MATERIALIZED (SELECT src AS w, COUNT(*) AS d FROM sym GROUP BY src),
+centers AS MATERIALIZED (
+  SELECT s.src AS w, s.dst AS u, sd.d
+  FROM sym s JOIN symdeg sd ON sd.w = s.src
+  WHERE sd.d <= {max_d}
+),
+pairs AS (
+  SELECT c1.u AS u, c2.u AS v, c1.d AS d
+  FROM centers c1 JOIN centers c2 ON c2.w = c1.w AND c1.u < c2.u
+),
+scored AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+         SUM(1.0 / LN(CAST(d AS DOUBLE))) AS aa
+  FROM pairs GROUP BY u, v
+),
+nonedges AS (
+  SELECT sc.u, sc.v, sc.cn, sc.aa
+  FROM scored sc LEFT JOIN sym e ON e.src = sc.u AND e.dst = sc.v
+  WHERE e.src IS NULL
+)
+SELECT u, v, cn, ROUND(aa, 6) AS aa
+FROM nonedges
+ORDER BY ROUND(aa, 6) DESC, u, v
+LIMIT {k}"""
+    )
+
+
 BM25_QUERY = ("hash", "join", "spark")
 BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
 
@@ -2620,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_nf_t4": _q_anf_nf,
         "anf_balls_t2": _q_anf_balls,
         "harmonic_centrality_t4": _q_harmonic,
+        "adamic_adar_top50": _q_adamic_adar,
         "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
@@ -2693,6 +2741,7 @@ FROM events GROUP BY 1, 2""",
         "anf_nf_t4": _anf_nf_sql(),
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),
+        "adamic_adar_top50": _adamic_adar_sql(),
         "tfidf_top100": _tfidf_top_sql(TERM_TOP),
         "bm25_top10": _bm25_sql(),
         "partition_layout_p8": _partition_layout_sql(),

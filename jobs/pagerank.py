@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
-                             "scc", "bowtie", "anf", "harmonic"],
+                             "scc", "bowtie", "anf", "harmonic", "linkpred"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -315,6 +315,11 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = hyperball_centralities(graph, radius=max(args.max_iter, 1))
+    elif args.algorithm == "linkpred":
+        from gunrock_spark.algorithms.linkpred import adamic_adar_topk
+
+        res = None
+        out_df = adamic_adar_topk(graph, k=args.k)
     elif args.algorithm == "walks":
         from gunrock_spark.algorithms.walks import random_walks
 
