@@ -2478,6 +2478,63 @@ FROM b0
     )
 
 
+COLOR_ROUNDS = 22  # sf0.01 minmax coloring converges in 18 rounds; margin
+
+
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper graph coloring, min-max parity rounds (fresh h60
+    priority per round; strict local min -> color 2·round, strict
+    local max -> 2·round+1; algorithms/coloring.py)."""
+    from gunrock_spark.algorithms.coloring import minmax_coloring
+
+    res = minmax_coloring(_graph(spark, sf_dir), max_iter=COLOR_ROUNDS)
+    return res.state.select("v", "color")
+
+
+def _coloring_sql(rounds: int = COLOR_ROUNDS) -> str:
+    """Unrolled min-max parity rounds; rounds past the fixpoint are
+    no-ops (alive empty), so a fixed unroll >= convergence is exact."""
+    no_nb = 1 << 62
+    body = [
+        "a0 AS MATERIALIZED (SELECT v FROM verts)",
+        "c0 AS MATERIALIZED (SELECT v, CAST(0 AS INT) AS c FROM verts WHERE 1 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        q = i - 1
+        pri = f"('0x' || substr(md5(CAST(v AS VARCHAR) || ':{q}'), 1, 15))::BIGINT"
+        body.append(
+            f"""p{i} AS (SELECT v, {pri} AS p FROM a{q}),
+e{i} AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN a{q} x ON x.v = s.src
+  JOIN a{q} y ON y.v = s.dst
+),
+nb{i} AS (
+  SELECT e.dst AS v, MIN(pp.p) AS nbmin, MAX(pp.p) AS nbmax
+  FROM e{i} e JOIN p{i} pp ON pp.v = e.src
+  GROUP BY e.dst
+),
+w{i} AS (
+  SELECT p.v,
+         CAST(CASE WHEN p.p < COALESCE(n.nbmin, {no_nb}) THEN {2 * q}
+                   ELSE {2 * q + 1} END AS INT) AS c
+  FROM p{i} p LEFT JOIN nb{i} n ON n.v = p.v
+  WHERE p.p < COALESCE(n.nbmin, {no_nb}) OR p.p > COALESCE(n.nbmax, -1)
+),
+c{i} AS MATERIALIZED (SELECT v, c FROM c{q} UNION ALL SELECT v, c FROM w{i}),
+a{i} AS MATERIALIZED (SELECT v FROM a{q} EXCEPT SELECT v FROM w{i})"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"""
+SELECT vt.v, COALESCE(c.c, -1) AS color
+FROM verts vt LEFT JOIN c{rounds} c ON c.v = vt.v"""
+    )
+
+
 AA_TOP = 50
 AA_MAX_CENTER_DEG = 64
 
@@ -2668,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_balls_t2": _q_anf_balls,
         "harmonic_centrality_t4": _q_harmonic,
         "adamic_adar_top50": _q_adamic_adar,
+        "coloring_minmax": _q_coloring,
         "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
@@ -2742,6 +2800,7 @@ FROM events GROUP BY 1, 2""",
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),
         "adamic_adar_top50": _adamic_adar_sql(),
+        "coloring_minmax": _coloring_sql(),
         "tfidf_top100": _tfidf_top_sql(TERM_TOP),
         "bm25_top10": _bm25_sql(),
         "partition_layout_p8": _partition_layout_sql(),

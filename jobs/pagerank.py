@@ -47,7 +47,8 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
-                             "scc", "bowtie", "anf", "harmonic", "linkpred"],
+                             "scc", "bowtie", "anf", "harmonic", "linkpred",
+                             "color"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -56,7 +57,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--compensate", action="store_true",
                     help="dangling-vertex virtual sink (reference --compensate)")
-    ap.add_argument("--impl", default="join", choices=["join", "blocks"])
+    ap.add_argument("--impl", default="join",
+                    choices=["join", "blocks", "minmax", "jp"],
+                    help="tc: join|blocks; color: minmax|jp (mex)")
     ap.add_argument("--num-partitions", type=int, default=None,
                     help="edge-table partitions (default: defaultParallelism)")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -315,6 +318,12 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = hyperball_centralities(graph, radius=max(args.max_iter, 1))
+    elif args.algorithm == "color":
+        from gunrock_spark.algorithms.coloring import greedy_coloring, minmax_coloring
+
+        fn = minmax_coloring if args.impl == "minmax" else greedy_coloring
+        res = fn(graph, max_iter=args.max_iter)
+        out_df = res.state
     elif args.algorithm == "linkpred":
         from gunrock_spark.algorithms.linkpred import adamic_adar_topk
 
