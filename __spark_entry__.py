@@ -1857,6 +1857,87 @@ FROM agg"""
     )
 
 
+BLOOM_M, BLOOM_K = 4096, 5
+
+
+def _q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter bit set over the corpus vocabulary
+    (pipeline/sketches.py) — the bounded-memory membership guard an
+    incremental-ingest dedup carries; ≤ m_bits rows at any corpus
+    size, bit-reproducible affine h60 positions."""
+    from gunrock_spark.pipeline.sketches import bloom_build
+    from gunrock_spark.pipeline.text import term_counts
+
+    terms = term_counts(_docs(spark, sf_dir)).select("term")
+    return bloom_build(terms, "term", m_bits=BLOOM_M, k=BLOOM_K)
+
+
+def _q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership verdicts: every corpus term (must be maybe=true —
+    zero false negatives) plus one definitely-absent probe per term
+    (term || '#absent'), exercising the false-positive path."""
+    from gunrock_spark.pipeline.sketches import bloom_build, bloom_contains
+    from gunrock_spark.pipeline.text import term_counts
+
+    terms = term_counts(_docs(spark, sf_dir)).select("term")
+    bloom = bloom_build(terms, "term", m_bits=BLOOM_M, k=BLOOM_K)
+    probes = terms.unionByName(
+        terms.select(F.concat(F.col("term"), F.lit("#absent")).alias("term"))
+    )
+    return bloom_contains(bloom, probes, "term", m_bits=BLOOM_M, k=BLOOM_K)
+
+
+def _bloom_cells_sql(m_bits: int, k: int) -> str:
+    from gunrock_spark.pipeline.sketches import CMS_P, _coeffs
+
+    h = _H60.format(x="term")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT term, (({a} * hm + {b}) % {CMS_P}) % {m_bits} AS pos FROM hm"
+        for a, b in _coeffs(k, "bloom")
+    )
+    return f"""
+tok AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+hm AS (SELECT term, {h} % {CMS_P} AS hm FROM tok),
+cells AS ({rows})"""
+
+
+def _bloom_bits_sql(m_bits: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    return (
+        "WITH "
+        + _bloom_cells_sql(m_bits, k)
+        + "\nSELECT DISTINCT CAST(pos AS BIGINT) AS pos FROM cells"
+    )
+
+
+def _bloom_probe_sql(m_bits: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    from gunrock_spark.pipeline.sketches import CMS_P, _coeffs
+
+    h = _H60.format(x="term")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT term, (({a} * phm + {b}) % {CMS_P}) % {m_bits} AS pos FROM phm"
+        for a, b in _coeffs(k, "bloom")
+    )
+    return (
+        "WITH "
+        + _bloom_cells_sql(m_bits, k)
+        + f""",
+bits AS (SELECT DISTINCT pos FROM cells),
+probes AS (
+  SELECT term FROM tok
+  UNION ALL
+  SELECT term || '#absent' AS term FROM tok
+),
+phm AS (SELECT term, {h} % {CMS_P} AS phm FROM probes),
+pcells AS ({rows})
+SELECT p.term, BOOL_AND(b.pos IS NOT NULL) AS maybe
+FROM pcells p LEFT JOIN bits b ON b.pos = p.pos
+GROUP BY p.term"""
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -2662,6 +2743,174 @@ def _q_partition_edge_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz local clustering coefficient per vertex
+    (algorithms/gstats.py; triangle corner counts via the TC path)."""
+    from gunrock_spark.algorithms.gstats import local_clustering
+
+    lc = local_clustering(_graph(spark, sf_dir))
+    return lc.select("v", "n_triangles", "deg", F.round("lcc", 6).alias("lcc"))
+
+
+def _local_clustering_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+ud AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+    UNION ALL SELECT z AS v FROM tri
+  ) GROUP BY v
+)
+SELECT vt.v,
+       COALESCE(c.n_triangles, 0) AS n_triangles,
+       COALESCE(ud.deg, 0) AS deg,
+       ROUND(CASE WHEN COALESCE(ud.deg, 0) >= 2
+                  THEN 2.0 * COALESCE(c.n_triangles, 0)
+                       / (ud.deg * (ud.deg - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM verts vt
+LEFT JOIN corners c ON c.v = vt.v
+LEFT JOIN ud ON ud.v = vt.v"""
+    )
+
+
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity 3T/W over the simple undirected graph."""
+    from gunrock_spark.algorithms.gstats import transitivity
+
+    t = transitivity(_graph(spark, sf_dir))
+    return t.select(
+        "n_triangles", "n_wedges", F.round("transitivity", 6).alias("transitivity")
+    )
+
+
+def _transitivity_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+ud AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+w AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM ud),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT t.n_triangles, w.n_wedges,
+       ROUND(CASE WHEN w.n_wedges > 0
+                  THEN 3.0 * t.n_triangles / w.n_wedges
+                  ELSE 0.0 END, 6) AS transitivity
+FROM t, w"""
+    )
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of distinct directed non-loop edges whose reverse
+    also exists (Newman reciprocity)."""
+    from gunrock_spark.algorithms.gstats import reciprocity
+
+    r = reciprocity(_graph(spark, sf_dir))
+    return r.select(
+        "n_reciprocated", "n_edges", F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+def _reciprocity_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+rc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocated
+  FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT rc.n_reciprocated, tot.n_edges,
+       ROUND(CASE WHEN tot.n_edges > 0
+                  THEN CAST(rc.n_reciprocated AS DOUBLE) / tot.n_edges
+                  ELSE 0.0 END, 6) AS reciprocity
+FROM rc, tot"""
+    )
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity over the symmetrized simple edge
+    list, from exact integer sums (algorithms/gstats.py)."""
+    from gunrock_spark.algorithms.gstats import degree_assortativity
+
+    a = degree_assortativity(_graph(spark, sf_dir))
+    return a.select(
+        "m2",
+        "sum_j",
+        "sum_jk",
+        "sum_j2",
+        F.round("assortativity", 6).alias("assortativity"),
+    )
+
+
+def _assortativity_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+ud AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+both_dir AS (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(dj.deg) AS BIGINT) AS sum_j,
+         CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sum_jk,
+         CAST(SUM(dj.deg * dj.deg) AS BIGINT) AS sum_j2
+  FROM both_dir e
+  JOIN ud dj ON dj.v = e.a
+  JOIN ud dk ON dk.v = e.b
+)
+SELECT m2, sum_j, sum_jk, sum_j2,
+       ROUND(CASE WHEN CAST(m2 AS DOUBLE) * sum_j2
+                       - CAST(sum_j AS DOUBLE) * sum_j <> 0
+                  THEN (CAST(m2 AS DOUBLE) * sum_jk
+                        - CAST(sum_j AS DOUBLE) * sum_j)
+                       / (CAST(m2 AS DOUBLE) * sum_j2
+                          - CAST(sum_j AS DOUBLE) * sum_j)
+                  ELSE 0.0 END, 6) AS assortativity
+FROM sums"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_fixed10": _q_pagerank_fixed,
@@ -2730,6 +2979,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
         "partition_edge_cut_p8": _q_partition_edge_cut,
+        "bloom_bits": _q_bloom_bits,
+        "bloom_probe": _q_bloom_probe,
+        "local_clustering": _q_local_clustering,
+        "transitivity": _q_transitivity,
+        "reciprocity": _q_reciprocity,
+        "assortativity": _q_assortativity,
     }
 
 
@@ -2805,4 +3060,10 @@ FROM events GROUP BY 1, 2""",
         "bm25_top10": _bm25_sql(),
         "partition_layout_p8": _partition_layout_sql(),
         "partition_edge_cut_p8": _partition_edge_cut_sql(),
+        "bloom_bits": _bloom_bits_sql(),
+        "bloom_probe": _bloom_probe_sql(),
+        "local_clustering": _local_clustering_sql(),
+        "transitivity": _transitivity_sql(),
+        "reciprocity": _reciprocity_sql(),
+        "assortativity": _assortativity_sql(),
     }

@@ -1,0 +1,177 @@
+"""Whole-graph structure statistics — local clustering coefficients,
+global transitivity, edge reciprocity, degree assortativity.
+
+The reference reports per-run structural diagnostics next to every
+primitive (search depth / nodes visited in the JSON info blob,
+gunrock/util/info.cuh; TC's per-vertex counts, app/tc/tc_problem.cuh)
+but stops short of the normalized statistics an analyst derives from
+them. These four are the standard link-graph characterization suite
+(Watts-Strogatz clustering, Newman assortativity/reciprocity) and
+each is ONE partial-agg pass over tables the engine already caches —
+no new shuffle shapes.
+
+Determinism contract: every statistic is computed from EXACT integer
+sums (counts, Σd, Σd², Σ d_src·d_dst as BIGINT) with a single float
+expression at the end, so the value is bit-identical across partition
+orders and engines — no float accumulation (Spark's corr/variance
+merge formulas are partition-order-sensitive in the last ulps, which
+would break the value-hash oracle gate).
+
+Scale notes (100 TB link graph): all four are scan + groupBy shapes —
+map-side partial aggregation absorbs power-law skew exactly as in
+degree_histogram; reciprocity's self-join is the symmetrized-edge
+equi-join every CC iteration already runs; local clustering reuses
+the triangle corner counts (join or blocks path), adding one |V|-row
+join against the degree table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gunrock_spark.algorithms.triangles import triangle_count_per_vertex
+from gunrock_spark.graph.edge_table import EdgeTable
+
+
+def _simple_undirected(graph: EdgeTable) -> DataFrame:
+    """Canonical simple undirected edge set DataFrame[a, b], a < b
+    (self-loops dropped, direction and multiplicity collapsed)."""
+    return (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _undirected_degrees(graph: EdgeTable) -> DataFrame:
+    """DataFrame[v, deg] — simple undirected degree (distinct
+    neighbors, self excluded)."""
+    und = _simple_undirected(graph)
+    return (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
+def local_clustering(graph: EdgeTable) -> DataFrame:
+    """DataFrame[v, n_triangles, deg, lcc] — Watts-Strogatz local
+    clustering coefficient per vertex over the simple undirected
+    graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)-1)), 0.0 when deg < 2.
+
+    T(v) comes from the engine's triangle corner counts (wedge join
+    below the auto threshold, CSR blocks above — triangles.py), so the
+    scale path is the blocks kernel; this adds one |V|-row join.
+    """
+    tri = triangle_count_per_vertex(graph)
+    deg = _undirected_degrees(graph)
+    lcc = F.when(
+        F.col("deg") >= 2,
+        2.0 * F.col("n_triangles") / (F.col("deg") * (F.col("deg") - F.lit(1))),
+    ).otherwise(F.lit(0.0))
+    return tri.join(deg, "v", "left").select(
+        "v",
+        "n_triangles",
+        F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+        lcc.cast("double").alias("lcc"),
+    )
+
+
+def transitivity(graph: EdgeTable) -> DataFrame:
+    """One row (n_triangles, n_wedges, transitivity) — global
+    transitivity 3·T / W, W = Σ_v deg(v)·(deg(v)-1)/2 over the simple
+    undirected graph (the "fraction of wedges that close"). Exact
+    integer T and W; one float division."""
+    deg = _undirected_degrees(graph)
+    wedges = deg.agg(
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    tri = triangle_count_per_vertex(graph).agg(
+        (F.sum("n_triangles") / 3).cast("long").alias("n_triangles")
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges")
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("transitivity"),
+    )
+
+
+def reciprocity(graph: EdgeTable) -> DataFrame:
+    """One row (n_reciprocated, n_edges, reciprocity) — the fraction
+    of distinct directed non-loop edges u→v whose reverse v→u also
+    exists (Newman's r). The probe is one equi-join of the distinct
+    edge set against its own transpose — the same shuffle shape as a
+    CC iteration, partial-agg counted."""
+    e = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocated")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return recip.crossJoin(tot).select(
+        "n_reciprocated",
+        "n_edges",
+        F.when(F.col("n_edges") > 0, F.col("n_reciprocated") / F.col("n_edges"))
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("reciprocity"),
+    )
+
+
+def degree_assortativity(graph: EdgeTable) -> DataFrame:
+    """One row (m2, sum_j, sum_jk, sum_j2, assortativity) — Newman's
+    degree assortativity: the Pearson correlation of endpoint degrees
+    over the symmetrized simple edge list (each undirected edge
+    counted in both directions, so the j/k marginals coincide and
+
+        r = (m·Σjk − (Σj)²) / (m·Σj² − (Σj)²)
+
+    with m = 2·|E_und| directed copies). The sums accumulate in
+    decimal(38,0) — EXACT at any graph size (a 10¹²-edge graph with
+    10⁷-degree hubs pushes Σjk past int64; decimal keeps it exact, as
+    DuckDB's HUGEINT sum does on the oracle side) — and one float
+    expression at the end, so the value is partition-order-invariant.
+    The reported sums are cast to long for the result schema."""
+    und = _simple_undirected(graph)
+    deg = _undirected_degrees(graph)
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    dj = deg.select(F.col("v").alias("a"), F.col("deg").alias("j"))
+    dk = deg.select(F.col("v").alias("b"), F.col("deg").alias("k"))
+    dec = "decimal(38,0)"
+    sums = (
+        both.join(dj, "a")
+        .join(dk, "b")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("m2"),
+            F.sum(F.col("j").cast(dec)).alias("sum_j"),
+            F.sum(F.col("j").cast(dec) * F.col("k")).alias("sum_jk"),
+            F.sum(F.col("j").cast(dec) * F.col("j")).alias("sum_j2"),
+        )
+    )
+    # scalar combination on the single aggregated row happens in
+    # double (decimal×decimal at precision 38 would overflow-throw
+    # under ANSI on extreme inputs; the output is a double anyway)
+    m2d, sjd = F.col("m2").cast("double"), F.col("sum_j").cast("double")
+    num = m2d * F.col("sum_jk").cast("double") - sjd * sjd
+    den = m2d * F.col("sum_j2").cast("double") - sjd * sjd
+    return sums.select(
+        F.col("m2").cast("long").alias("m2"),
+        F.col("sum_j").cast("long").alias("sum_j"),
+        F.col("sum_jk").cast("long").alias("sum_jk"),
+        F.col("sum_j2").cast("long").alias("sum_j2"),
+        F.when(den != 0, num / den).otherwise(F.lit(0.0)).alias("assortativity"),
+    )

@@ -243,3 +243,89 @@ def hll_distinct(
 ) -> DataFrame:
     """One-call distinct-count estimate: build registers, estimate."""
     return hll_estimate(hll_registers(df, col, m=m, seed=seed), m=m)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch
+# ---------------------------------------------------------------------------
+# The third sketch every 100 TB dedup pipeline carries (Bloom 1970):
+# CMS answers "how often", HLL answers "how many distinct", Bloom
+# answers "have I seen this key" with zero false negatives — the
+# standard incremental-ingest guard ("skip urls already crawled")
+# where an exact distinct-key join would re-shuffle the full history
+# every batch. Same affine h60 family as CMS, so the WHOLE bit set is
+# bit-reproducible in ANSI SQL.
+
+
+def _bloom_pos(col, a: int, b: int, m_bits: int):
+    hm = h60(col) % F.lit(CMS_P)
+    return ((F.lit(a) * hm + F.lit(b)) % F.lit(CMS_P)) % F.lit(m_bits)
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str = "text",
+    m_bits: int = 8192,
+    k: int = 5,
+    seed: str = "bloom",
+) -> DataFrame:
+    """(pos long) — the SET bit positions of a Bloom filter over the
+    column's values: pos_i(x) = ((a_i·(h60(x) mod P) + b_i) mod P)
+    mod m_bits for i = 0..k-1. At most m_bits rows whatever the input
+    size; unset bits are implicitly absent. One explode + one
+    distinct — the same single-exchange shape as cms_build."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos(c, a, b, m_bits)
+                        for a, b in _coeffs(k, seed)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge shard filters built with identical (m_bits, k, seed):
+    bit sets union — the property that makes Bloom the standard
+    distributed membership guard (idempotent, commutative)."""
+    if not filters:
+        raise ValueError("need at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    col: str = "term",
+    m_bits: int = 8192,
+    k: int = 5,
+    seed: str = "bloom",
+) -> DataFrame:
+    """(<col>, maybe boolean) — membership verdict per probe value:
+    true iff ALL k bit positions are set (possible false positive at
+    rate ≈ (1 - e^(-kn/m))^k, never a false negative). The probe side
+    is a narrow (value, pos) table joined against the filter —
+    broadcast the filter side in production (≤ m_bits rows)."""
+    c = F.col(col) if isinstance(col, str) else col
+    probe_bits = probes.select(
+        c.alias("_key"),
+        F.explode(
+            F.array(*[_bloom_pos(c, a, b, m_bits) for a, b in _coeffs(k, seed)])
+        ).alias("pos"),
+    )
+    marked = probe_bits.join(
+        bloom.withColumn("_hit", F.lit(1)), "pos", "left"
+    )
+    return (
+        marked.groupBy(F.col("_key").alias(col if isinstance(col, str) else "key"))
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce("_hit", F.lit(0)))).alias("maybe"))
+    )
