@@ -2663,6 +2663,63 @@ LIMIT {k}"""
     )
 
 
+def _q_linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 candidate links by Jaccard with all five scores
+    (cn/aa/ra/jaccard/pa) attached — algorithms/linkpred.py; same
+    center-degree cap contract as adamic_adar_top50."""
+    from gunrock_spark.algorithms.linkpred import link_prediction_topk
+
+    return link_prediction_topk(
+        _graph(spark, sf_dir),
+        k=AA_TOP,
+        by="jaccard",
+        max_center_degree=AA_MAX_CENTER_DEG,
+    )
+
+
+def _linkpred_jaccard_sql(k: int = AA_TOP, max_d: int = AA_MAX_CENTER_DEG) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+symdeg AS MATERIALIZED (SELECT src AS w, COUNT(*) AS d FROM sym GROUP BY src),
+centers AS MATERIALIZED (
+  SELECT s.src AS w, s.dst AS u, sd.d
+  FROM sym s JOIN symdeg sd ON sd.w = s.src
+  WHERE sd.d <= {max_d}
+),
+pairs AS (
+  SELECT c1.u AS u, c2.u AS v, c1.d AS d
+  FROM centers c1 JOIN centers c2 ON c2.w = c1.w AND c1.u < c2.u
+),
+scored AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+         SUM(1.0 / LN(CAST(d AS DOUBLE))) AS aa,
+         SUM(1.0 / CAST(d AS DOUBLE)) AS ra
+  FROM pairs GROUP BY u, v
+),
+nonedges AS (
+  SELECT sc.u, sc.v, sc.cn, sc.aa, sc.ra
+  FROM scored sc LEFT JOIN sym e ON e.src = sc.u AND e.dst = sc.v
+  WHERE e.src IS NULL
+),
+full_scores AS (
+  SELECT ne.u, ne.v, ne.cn,
+         ROUND(ne.aa, 6) AS aa,
+         ROUND(ne.ra, 6) AS ra,
+         ROUND(CAST(ne.cn AS DOUBLE) / (du.d + dv.d - ne.cn), 6) AS jaccard,
+         CAST(du.d * dv.d AS BIGINT) AS pa
+  FROM nonedges ne
+  JOIN symdeg du ON du.w = ne.u
+  JOIN symdeg dv ON dv.w = ne.v
+)
+SELECT u, v, cn, aa, ra, jaccard, pa
+FROM full_scores
+ORDER BY jaccard DESC, u, v
+LIMIT {k}"""
+    )
+
+
 BM25_QUERY = ("hash", "join", "spark")
 BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
 
@@ -2974,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_balls_t2": _q_anf_balls,
         "harmonic_centrality_t4": _q_harmonic,
         "adamic_adar_top50": _q_adamic_adar,
+        "linkpred_jaccard_top50": _q_linkpred_jaccard,
         "coloring_minmax": _q_coloring,
         "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
@@ -3055,6 +3113,7 @@ FROM events GROUP BY 1, 2""",
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),
         "adamic_adar_top50": _adamic_adar_sql(),
+        "linkpred_jaccard_top50": _linkpred_jaccard_sql(),
         "coloring_minmax": _coloring_sql(),
         "tfidf_top100": _tfidf_top_sql(TERM_TOP),
         "bm25_top10": _bm25_sql(),

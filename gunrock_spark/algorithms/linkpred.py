@@ -1,15 +1,23 @@
-"""Link prediction: common-neighbor and Adamic-Adar scoring.
+"""Link prediction: common-neighbor, Adamic-Adar, resource-allocation,
+Jaccard, and preferential-attachment scoring.
 
 The reference's wedge machinery (the TC join pattern,
 gunrock/util/join.cuh) stops at counting closed triangles; link
 prediction scores the OPEN wedges — for every non-adjacent pair
 (u, v) with common neighbors, how strongly the graph "wants" the
-edge. Scores (Liben-Nowell & Kleinberg, CIKM 2003):
+edge. Scores (Liben-Nowell & Kleinberg, CIKM 2003; Zhou/Lü/Zhang,
+EPJ B 2009 for RA):
 
-    cn(u, v) = |N(u) ∩ N(v)|
-    aa(u, v) = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))   (Adamic-Adar)
+    cn(u, v)  = |N(u) ∩ N(v)|
+    aa(u, v)  = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))   (Adamic-Adar)
+    ra(u, v)  = Σ_{w ∈ N(u) ∩ N(v)} 1 / deg(w)       (resource alloc.)
+    jac(u, v) = cn / (deg(u) + deg(v) − cn)           (Jaccard)
+    pa(u, v)  = deg(u) · deg(v)                       (pref. attach.)
 
-over the symmetrized (undirected) neighborhood.
+over the symmetrized (undirected) neighborhood. All five come out of
+ONE wedge join + ONE groupBy + two |candidates|-row degree joins —
+pa/jac reuse the degree table the wedge pass already built, so the
+extra scores are marginal-cost.
 
 Shape: one wedge self-join through each common neighbor w (u < v
 canonicalizes the pair), one partial-agg groupBy to fold the per-w
@@ -38,10 +46,12 @@ from gunrock_spark.graph.edge_table import EdgeTable
 def link_prediction_scores(
     graph: EdgeTable, max_center_degree: int = 1024
 ) -> DataFrame:
-    """DataFrame[u, v, cn long, aa double] for every non-adjacent
-    pair (u < v) sharing >= 1 common neighbor of degree <=
-    ``max_center_degree``. ``aa`` uses the center's FULL symmetric
-    degree (the cap only prunes which centers expand)."""
+    """DataFrame[u, v, cn long, aa double, ra double, jaccard double,
+    pa long] for every non-adjacent pair (u < v) sharing >= 1 common
+    neighbor of degree <= ``max_center_degree``. ``aa``/``ra`` use the
+    center's FULL symmetric degree (the cap only prunes which centers
+    expand); ``jaccard``/``pa`` use the endpoints' full degrees, joined
+    from the degree table the wedge pass already built."""
     sym = graph.symmetrized().edges.select("src", "dst")
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     centers = (
@@ -56,13 +66,32 @@ def link_prediction_scores(
     scored = pairs.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("cn"),
         F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("aa"),
+        F.sum(F.lit(1.0) / F.col("d").cast("double")).alias("ra"),
     )
     # drop pairs already linked: sym holds both directions, u < v, so
     # one (u=src, v=dst) anti-join covers the undirected edge.
-    return scored.join(
+    open_pairs = scored.join(
         sym,
         (scored["u"] == sym["src"]) & (scored["v"] == sym["dst"]),
         "left_anti",
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    return (
+        open_pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "aa",
+            "ra",
+            (
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn"))
+            ).alias("jaccard"),
+            (F.col("du") * F.col("dv")).cast("long").alias("pa"),
+        )
     )
 
 
@@ -79,3 +108,28 @@ def adamic_adar_topk(
         .orderBy(F.desc("aa"), "u", "v")
         .limit(k)
     )
+
+
+def link_prediction_topk(
+    graph: EdgeTable,
+    k: int = 50,
+    by: str = "jaccard",
+    max_center_degree: int = 1024,
+) -> DataFrame:
+    """Top-k candidate links by any score column (``cn``/``aa``/``ra``/
+    ``jaccard``/``pa``): DataFrame[u, v, cn, aa, ra, jaccard, pa] with
+    float columns rounded to 6 places and the ROUNDED score as the
+    sort key (reproducible across engines), ties broken (u, v)."""
+    s = link_prediction_scores(graph, max_center_degree=max_center_degree)
+    out = s.select(
+        "u",
+        "v",
+        "cn",
+        F.round("aa", 6).alias("aa"),
+        F.round("ra", 6).alias("ra"),
+        F.round("jaccard", 6).alias("jaccard"),
+        "pa",
+    )
+    if by not in out.columns[2:]:
+        raise ValueError(f"unknown score column {by!r}")
+    return out.orderBy(F.desc(by), "u", "v").limit(k)

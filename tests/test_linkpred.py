@@ -97,3 +97,52 @@ def test_topk_order_deterministic(spark):
     keys = [(-r["aa"], r["u"], r["v"]) for r in top]
     assert keys == sorted(keys)
     assert len(top) <= 3
+
+
+def ext_ref(edge_list):
+    """{(u,v): (ra, jaccard, pa)} for the same candidate pairs as
+    aa_ref (full degrees, no cap)."""
+    nbrs: dict[int, set[int]] = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    out = {}
+    for (u, v), (cn, _) in aa_ref(edge_list).items():
+        common = nbrs[u] & nbrs[v]
+        ra = sum(1.0 / deg[w] for w in common)
+        jac = cn / (deg[u] + deg[v] - cn)
+        out[(u, v)] = (ra, jac, deg[u] * deg[v])
+    return out
+
+
+def test_extended_scores_match_python_oracle(spark):
+    raw = [(int(s), int(d)) for s, d in rmat_edges(6, 4, seed=31)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    got = {
+        (r["u"], r["v"]): (r["ra"], r["jaccard"], r["pa"])
+        for r in link_prediction_scores(g).collect()
+    }
+    want = ext_ref(edge_list)
+    assert set(got) == set(want)
+    for p, (ra, jac, pa) in want.items():
+        assert got[p][0] == pytest.approx(ra, abs=1e-9), p
+        assert got[p][1] == pytest.approx(jac, abs=1e-9), p
+        assert got[p][2] == pa, p
+
+
+def test_linkpred_topk_by_jaccard(spark):
+    from gunrock_spark.algorithms.linkpred import link_prediction_topk
+
+    g = EdgeTable.from_df(edges_df(spark, G))
+    top = link_prediction_topk(g, k=4, by="jaccard").collect()
+    keys = [(-r["jaccard"], r["u"], r["v"]) for r in top]
+    assert keys == sorted(keys)
+    assert {c for c in top[0].asDict()} == {
+        "u", "v", "cn", "aa", "ra", "jaccard", "pa",
+    }
+    with pytest.raises(ValueError):
+        link_prediction_topk(g, by="nope")
