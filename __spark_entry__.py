@@ -1724,6 +1724,132 @@ SELECT doc_id, {count_cols},
 FROM d"""
 
 
+# --- Corpus hygiene (pipeline/decontamination.py) --------------------------
+
+LINE_W = 5  # synthetic-docs lineation: 5 tokens per line
+DECON_N = 3  # contamination n-gram order
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic documents have no newlines, so re-chunk tokens
+    into LINE_W-word lines deterministically — same transform on the
+    oracle side — to give line_dedup real line structure."""
+    from gunrock_spark.functions.hashing import tokens
+
+    toks = tokens(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size(toks) - 1) / LINE_W).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * LINE_W + 1, LINE_W)
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .where(F.length("text") > 0)
+    )
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup (pipeline/decontamination.py)
+    over the token-lined documents corpus."""
+    from gunrock_spark.pipeline.decontamination import line_dedup
+
+    return line_dedup(_lined_docs(spark, sf_dir))
+
+
+def _line_dedup_sql(w: int = LINE_W) -> str:
+    return f"""
+WITH tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(floor((len(t) - 1) / {w}) AS BIGINT) + 1),
+                        i -> array_to_string(t[i * {w} + 1 : i * {w} + {w}], ' ')) AS ls
+  FROM tk WHERE len(t) > 0
+),
+ln AS (
+  SELECT doc_id, unnest(ls) AS line,
+         CAST(generate_subscripts(ls, 1) - 1 AS BIGINT) AS line_no
+  FROM lined
+),
+ln2 AS (SELECT * FROM ln WHERE length(line) > 0),
+rk AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM ln2
+),
+kept AS (SELECT doc_id, line_no, line FROM rk WHERE rn = 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS _text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM ln2 GROUP BY doc_id
+)
+SELECT l.doc_id,
+       COALESCE(r._text, '') AS text,
+       COALESCE(t.n_lines, 0) AS n_lines,
+       COALESCE(r.n_lines_kept, 0) AS n_lines_kept
+FROM (SELECT DISTINCT doc_id FROM lined) l
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination flags (pipeline/decontamination.py):
+    eval set = every 50th document, n=3 token n-gram overlap."""
+    from gunrock_spark.pipeline.decontamination import contamination_flags
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_flags(docs, ev, n=DECON_N)
+
+
+def _contamination_sql(n: int = DECON_N) -> str:
+    return f"""
+WITH tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+  FROM documents
+),
+dg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {n}
+              THEN list_distinct(list_transform(range(1, len(t) - {n} + 2),
+                                 i -> array_to_string(t[i : i + {n} - 1], ' ')))
+              ELSE [] END AS gs
+  FROM tk
+),
+ev AS (
+  SELECT DISTINCT unnest(gs) AS g FROM dg WHERE doc_id % 50 = 0
+),
+hits AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, unnest(gs) AS g FROM dg) d
+  JOIN ev USING (g)
+  GROUP BY d.doc_id
+)
+SELECT k.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM tk k LEFT JOIN hits h USING (doc_id)"""
+
+
 # --- Count-Min sketch (pipeline/sketches.py) -------------------------------
 
 CMS_DEPTH, CMS_WIDTH = 4, 1024
@@ -3015,6 +3141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_counts_top100": _q_term_counts,
         "bigram_counts_top100": _q_bigram_counts,
         "pii_flags": _q_pii_flags,
+        "line_dedup": _q_line_dedup,
+        "contamination_flags": _q_contamination,
         "cms_sketch": _q_cms_sketch,
         "hll_registers": _q_hll_registers,
         "hll_distinct": _q_hll_distinct,
@@ -3097,6 +3225,8 @@ FROM events GROUP BY 1, 2""",
         "term_counts_top100": _term_counts_sql(),
         "bigram_counts_top100": _bigram_counts_sql(),
         "pii_flags": _pii_flags_sql(),
+        "line_dedup": _line_dedup_sql(),
+        "contamination_flags": _contamination_sql(),
         "cms_sketch": _cms_sketch_sql(),
         "hll_registers": _hll_registers_sql(),
         "hll_distinct": _hll_distinct_sql(),
