@@ -1850,6 +1850,118 @@ SELECT k.doc_id,
 FROM tk k LEFT JOIN hits h USING (doc_id)"""
 
 
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 10)
+
+
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics (pipeline/repetition.py) over the
+    token-lined documents corpus; doubles rounded for hash compare."""
+    from gunrock_spark.pipeline.repetition import gopher_repetition
+
+    m = gopher_repetition(
+        _lined_docs(spark, sf_dir), top_ns=GOPHER_TOP_NS, dup_ns=GOPHER_DUP_NS
+    )
+    frac_cols = [c for c in m.columns if c.endswith("_frac")]
+    return m.select(
+        "doc_id",
+        "n_chars",
+        *[F.round(F.col(c), 6).alias(c) for c in frac_cols],
+    )
+
+
+def _gopher_repetition_sql(
+    w: int = LINE_W,
+    top_ns: tuple[int, ...] = GOPHER_TOP_NS,
+    dup_ns: tuple[int, ...] = GOPHER_DUP_NS,
+) -> str:
+    ns = tuple(sorted(set(top_ns) | set(dup_ns)))
+    gram_branches = "\nUNION ALL\n".join(
+        f"""  SELECT doc_id, {n} AS n,
+         CASE WHEN len(lt) >= {n}
+              THEN list_transform(range(1, len(lt) - {n} + 2),
+                                  i -> array_to_string(lt[i : i + {n} - 1], ' '))
+              ELSE [] END AS gs
+  FROM ltk"""
+        for n in ns
+    )
+    top_cases = ",\n       ".join(
+        f"MAX(CASE WHEN n = {n} THEN top_chars END) AS t{n}" for n in top_ns
+    )
+    dup_cases = ",\n       ".join(
+        f"MAX(CASE WHEN n = {n} THEN dup_chars END) AS d{n}" for n in dup_ns
+    )
+    top_out = ",\n       ".join(
+        f"ROUND(COALESCE(g.t{n} / b.n_chars, 0), 6) AS top_{n}gram_char_frac"
+        for n in top_ns
+    )
+    dup_out = ",\n       ".join(
+        f"ROUND(COALESCE(g.d{n} / b.n_chars, 0), 6) AS dup_{n}gram_char_frac"
+        for n in dup_ns
+    )
+    return f"""
+WITH tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS t,
+         regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS lt
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(floor((len(t) - 1) / {w}) AS BIGINT) + 1),
+                        i -> array_to_string(t[i * {w} + 1 : i * {w} + {w}], ' ')) AS ls
+  FROM tk WHERE len(t) > 0
+),
+base AS (
+  SELECT doc_id, CAST(LENGTH(array_to_string(ls, chr(10))) AS BIGINT) AS n_chars
+  FROM lined
+),
+ln AS (SELECT doc_id, unnest(ls) AS line FROM lined),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS cnt, LENGTH(line) AS len
+  FROM ln WHERE LENGTH(line) > 0 GROUP BY 1, 2
+),
+lm AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) / SUM(cnt) AS dlf,
+         SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * len ELSE 0 END)
+           / SUM(cnt * len) AS dlcf
+  FROM lc GROUP BY 1
+),
+ltk AS (SELECT doc_id, lt FROM tk WHERE len(t) > 0),
+gr AS (
+  SELECT doc_id, n, unnest(gs) AS g FROM (
+{gram_branches}
+  )
+),
+gc AS (SELECT doc_id, n, g, COUNT(*) AS cnt FROM gr GROUP BY 1, 2, 3),
+pn AS (
+  SELECT doc_id, n, cnt, g,
+         row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g) AS rn,
+         SUM(CASE WHEN cnt >= 2 THEN cnt * LENGTH(g) ELSE 0 END)
+           OVER (PARTITION BY doc_id, n) AS dup_chars
+  FROM gc
+),
+topd AS (
+  SELECT doc_id, n, cnt * LENGTH(g) AS top_chars, dup_chars
+  FROM pn WHERE rn = 1
+),
+gm AS (
+  SELECT doc_id,
+       {top_cases},
+       {dup_cases}
+  FROM topd GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_chars,
+       ROUND(COALESCE(lm.dlf, 0), 6) AS dup_line_frac,
+       ROUND(COALESCE(lm.dlcf, 0), 6) AS dup_line_char_frac,
+       {top_out},
+       {dup_out}
+FROM base b
+LEFT JOIN lm USING (doc_id)
+LEFT JOIN gm g USING (doc_id)"""
+
+
 # --- Count-Min sketch (pipeline/sketches.py) -------------------------------
 
 CMS_DEPTH, CMS_WIDTH = 4, 1024
@@ -3143,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_flags": _q_pii_flags,
         "line_dedup": _q_line_dedup,
         "contamination_flags": _q_contamination,
+        "gopher_repetition": _q_gopher_repetition,
         "cms_sketch": _q_cms_sketch,
         "hll_registers": _q_hll_registers,
         "hll_distinct": _q_hll_distinct,
@@ -3227,6 +3340,7 @@ FROM events GROUP BY 1, 2""",
         "pii_flags": _pii_flags_sql(),
         "line_dedup": _line_dedup_sql(),
         "contamination_flags": _contamination_sql(),
+        "gopher_repetition": _gopher_repetition_sql(),
         "cms_sketch": _cms_sketch_sql(),
         "hll_registers": _hll_registers_sql(),
         "hll_distinct": _hll_distinct_sql(),
