@@ -1328,6 +1328,72 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOUVAIN_ITERS = 3
+
+
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous Louvain phase-1 moves (algorithms/louvain.py,
+    gate="all" — the SQL-replayable dynamics), LOUVAIN_ITERS rounds,
+    deterministic smallest-community tie-break."""
+    from gunrock_spark.algorithms.louvain import louvain_communities
+
+    return louvain_communities(
+        _graph(spark, sf_dir), max_iter=LOUVAIN_ITERS, gate="all"
+    )
+
+
+def _louvain_sql(k: int = LOUVAIN_ITERS) -> str:
+    """k unrolled rounds of the synchronous modularity-gain dynamics —
+    identical comparator, identical double-op order (kvc - (kv *
+    (tot - own)) / 2m), identical smallest-community tie-break."""
+    body = [
+        "kvd AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS kv FROM sym GROUP BY src)",
+        "m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM sym)",
+        "c0 AS (SELECT v, v AS c FROM kvd)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        body.append(
+            f"""tot{i} AS (
+  SELECT s.c AS nc, SUM(d.kv) AS tot
+  FROM c{p} s JOIN kvd d ON d.v = s.v GROUP BY s.c
+),
+cand{i} AS (
+  SELECT v, nc, SUM(kvc) AS kvc FROM (
+    SELECT s.dst AS v, p.c AS nc, CAST(COUNT(*) AS BIGINT) AS kvc
+    FROM sym s JOIN c{p} p ON p.v = s.src GROUP BY 1, 2
+    UNION ALL
+    SELECT v, c AS nc, CAST(0 AS BIGINT) AS kvc FROM c{p}
+  ) GROUP BY 1, 2
+),
+c{i} AS MATERIALIZED (
+  SELECT v, nc AS c FROM (
+    SELECT cd.v, cd.nc,
+           ROW_NUMBER() OVER (
+             PARTITION BY cd.v
+             ORDER BY CAST(cd.kvc AS DOUBLE)
+                      - (CAST(d.kv AS DOUBLE)
+                         * CAST(t.tot - CASE WHEN cd.nc = cur.c THEN d.kv
+                                             ELSE 0 END AS DOUBLE))
+                        / (SELECT m2 FROM m2) DESC,
+                      cd.nc ASC
+           ) AS rn
+    FROM cand{i} cd
+    JOIN c{p} cur ON cur.v = cd.v
+    JOIN kvd d ON d.v = cd.v
+    JOIN tot{i} t ON t.nc = cd.nc
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, c AS community FROM c{k}"
+    )
+
+
 def _q_sm_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     emb = subgraph_match(g, SM_PATTERN)
@@ -3213,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels": _q_cc,
         "component_sizes": _q_component_sizes,
         "lp_mode3": _q_lp_mode,
+        "louvain_k3": _q_louvain,
         "triangles_total": _q_triangles_total,
         "triangles_blocks": _q_triangles_blocks,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -3294,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels": _cc_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_mode3": _lp_mode_sql(),
+        "louvain_k3": _louvain_sql(),
         "triangles_total": _triangles_total_sql(),
         "triangles_blocks": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),

@@ -16,6 +16,7 @@ from gunrock_spark.algorithms.kcore import core_numbers, k_core, k_core_vertices
 from gunrock_spark.algorithms.ktruss import k_truss
 from gunrock_spark.algorithms.mis import maximal_independent_set
 from gunrock_spark.algorithms.topk import degree_topk
+from gunrock_spark.algorithms.louvain import louvain, louvain_communities
 from gunrock_spark.algorithms.modularity import modularity
 from gunrock_spark.algorithms.walks import random_walks
 from gunrock_spark.algorithms.subgraph_match import (
@@ -30,6 +31,8 @@ __all__ = [
     "connected_components",
     "component_sizes",
     "label_propagation",
+    "louvain",
+    "louvain_communities",
     "triangle_count",
     "triangle_count_df",
     "triangle_count_per_vertex",

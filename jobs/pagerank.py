@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--pages-generate", type=int, metavar="N",
                      help="generate a deterministic N-page table (power of two)")
     ap.add_argument("--algorithm", default="pagerank",
-                    choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp",
+                    choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
                              "scc", "bowtie", "anf", "harmonic", "linkpred",
@@ -235,6 +235,13 @@ def main(argv: list[str] | None = None) -> int:
 
         res = label_propagation(graph, mode="mode", max_iter=args.max_iter)
         out_df = res.state.select("v", "label")
+    elif args.algorithm == "louvain":
+        from pyspark.sql import functions as F
+
+        from gunrock_spark.algorithms.louvain import louvain
+
+        res = louvain(graph, max_iter=args.max_iter)
+        out_df = res.state.select("v", F.col("c").alias("community"))
     elif args.algorithm == "tc":
         from gunrock_spark.algorithms.triangles import triangle_count_per_vertex
 
