@@ -1916,6 +1916,140 @@ SELECT k.doc_id,
 FROM tk k LEFT JOIN hits h USING (doc_id)"""
 
 
+# --- Crawl snapshots (ingest/recrawl.py) -----------------------------------
+
+CRAWL_EPOCH = 1704067200  # 2024-01-01 UTC
+
+
+def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-crawl history synthesized from documents:
+    url per doc, 1..3 crawls, even docs change text on recrawls."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    d = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))).alias(
+            "crawl"
+        ),
+    )
+    return d.select(
+        F.concat(F.lit("https://example.com/d/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(CRAWL_EPOCH) + F.col("crawl") * 86400 + F.col("doc_id")
+        ).alias("warc_ts"),
+        F.when(
+            (F.col("crawl") > 0) & (F.col("doc_id") % 2 == 0),
+            F.concat(F.col("text"), F.lit(" rev"), F.col("crawl")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "doc_id",
+        "crawl",
+    )
+
+
+_CRAWL_CTES = f"""
+cr AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         unnest(range(0, doc_id % 3 + 1)) AS crawl
+  FROM documents
+),
+pages AS (
+  SELECT 'https://example.com/d/' || doc_id AS url,
+         to_timestamp({CRAWL_EPOCH} + crawl * 86400 + doc_id)::TIMESTAMP AS warc_ts,
+         CASE WHEN crawl > 0 AND doc_id % 2 = 0
+              THEN text || ' rev' || crawl ELSE text END AS text,
+         doc_id, crawl
+  FROM cr
+)"""
+
+
+def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-crawl-wins snapshot dedup (ingest/recrawl.py) over the
+    synthesized multi-crawl history."""
+    from gunrock_spark.ingest.recrawl import latest_snapshot
+
+    pages = _crawl_pages(spark, sf_dir).select("url", "warc_ts", "text")
+    return latest_snapshot(pages)
+
+
+def _latest_crawl_sql() -> str:
+    return (
+        "WITH "
+        + _CRAWL_CTES
+        + """
+SELECT url, warc_ts, text FROM (
+  SELECT url, warc_ts, text,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM pages
+) WHERE rn = 1"""
+    )
+
+
+def _q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.ingest.recrawl import crawl_stats
+
+    return crawl_stats(_crawl_pages(spark, sf_dir))
+
+
+def _crawl_stats_sql() -> str:
+    return (
+        "WITH "
+        + _CRAWL_CTES
+        + """
+SELECT url,
+       CAST(COUNT(*) AS BIGINT) AS n_crawls,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+       MIN(warc_ts) AS first_ts,
+       MAX(warc_ts) AS last_ts
+FROM pages GROUP BY url"""
+    )
+
+
+def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (added/removed/changed/unchanged counts): old =
+    first crawl of docs not divisible by 5; new = latest crawl of
+    docs not divisible by 7."""
+    from gunrock_spark.ingest.recrawl import crawl_delta, latest_snapshot
+
+    pages = _crawl_pages(spark, sf_dir)
+    old = pages.where((F.col("crawl") == 0) & (F.col("doc_id") % 5 != 0))
+    new = latest_snapshot(
+        pages.where(F.col("doc_id") % 7 != 0).select("url", "warc_ts", "text")
+    )
+    return (
+        crawl_delta(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+
+
+def _crawl_delta_sql() -> str:
+    return (
+        "WITH "
+        + _CRAWL_CTES
+        + """,
+old AS (SELECT url, text FROM pages WHERE crawl = 0 AND doc_id % 5 <> 0),
+new_s AS (
+  SELECT url, text FROM (
+    SELECT url, text, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM pages WHERE doc_id % 7 <> 0
+  ) WHERE rn = 1
+),
+delta AS (
+  SELECT COALESCE(o.url, n.url) AS url,
+         CASE WHEN o.url IS NULL THEN 'added'
+              WHEN n.url IS NULL THEN 'removed'
+              WHEN o.text = n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new_s n ON n.url = o.url
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_urls FROM delta GROUP BY status"""
+    )
+
+
 GOPHER_TOP_NS = (2, 3, 4)
 GOPHER_DUP_NS = (5, 10)
 
@@ -3323,6 +3457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "contamination_flags": _q_contamination,
         "gopher_repetition": _q_gopher_repetition,
+        "latest_crawl": _q_latest_crawl,
+        "crawl_stats": _q_crawl_stats,
+        "crawl_delta_counts": _q_crawl_delta,
         "cms_sketch": _q_cms_sketch,
         "hll_registers": _q_hll_registers,
         "hll_distinct": _q_hll_distinct,
@@ -3409,6 +3546,9 @@ FROM events GROUP BY 1, 2""",
         "line_dedup": _line_dedup_sql(),
         "contamination_flags": _contamination_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
+        "latest_crawl": _latest_crawl_sql(),
+        "crawl_stats": _crawl_stats_sql(),
+        "crawl_delta_counts": _crawl_delta_sql(),
         "cms_sketch": _cms_sketch_sql(),
         "hll_registers": _hll_registers_sql(),
         "hll_distinct": _hll_distinct_sql(),

@@ -1,0 +1,86 @@
+"""Crawl-snapshot operations over the pages table shape
+``(url, warc_ts, html, text, lang)`` — the ingest passes a
+Common-Crawl-style corpus runs BEFORE any graph or dedup work.
+
+* **latest_snapshot** — collapse N crawls of the same url to the
+  newest one ("latest-crawl-wins"). ONE map-side-combinable
+  ``max_by(struct(cols), key)`` groupBy — no window, no sort; the
+  billion-row recrawl history costs one candidate row per url per map
+  task before the exchange. Ties on ``warc_ts`` (two fetches in the
+  same second) break deterministically by text hash, so the result is
+  stable under any partitioning.
+* **crawl_delta** — classify urls between two snapshots:
+  ``added | removed | changed | unchanged`` (changed = extracted text
+  differs, compared via h60, so the 100 TB html/text columns never
+  ride the shuffle — only (url, hash) pairs do).
+* **crawl_stats** — per-url crawl history profile: crawl count,
+  distinct-text count (content-change signal for crawl scheduling),
+  first/last fetch timestamps. One groupBy.
+
+Reference analog: none (the reference starts from an edge list); this
+is the ingest layer the north rule's Iceberg pages table implies,
+sitting in front of ``ingest/links.pages_to_edges``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gunrock_spark.functions.hashing import h60
+
+
+def latest_snapshot(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Newest crawl per url (all original columns, one row per url).
+    Deterministic under same-timestamp recrawls: ties break by the
+    larger text hash."""
+    others = [c for c in pages.columns if c != url_col]
+    key = F.struct(F.col(ts_col), h60(F.col("text")))
+    return (
+        pages.groupBy(url_col)
+        .agg(
+            F.max_by(F.struct(*[F.col(c) for c in others]), key).alias("_r")
+        )
+        .select(url_col, *[F.col(f"_r.{c}").alias(c) for c in others])
+    )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(url, status) with status in added|removed|changed|unchanged,
+    comparing one snapshot to the next by extracted text. Only
+    (url, h60(text)) pairs are shuffled — never the text itself."""
+    o = old.select(F.col(url_col).alias("url"), h60(F.col(text_col)).alias("oh"))
+    n = new.select(F.col(url_col).alias("url"), h60(F.col(text_col)).alias("nh"))
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        F.when(F.col("oh").isNull(), F.lit("added"))
+        .when(F.col("nh").isNull(), F.lit("removed"))
+        .when(F.col("oh") == F.col("nh"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def crawl_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """(url, n_crawls, n_distinct_texts, first_ts, last_ts) — the
+    per-url recrawl profile (change frequency drives crawl
+    scheduling). Distinct texts counted on h60, one groupBy."""
+    return pages.groupBy(url_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_crawls"),
+        F.count_distinct(h60(F.col(text_col))).cast("long").alias(
+            "n_distinct_texts"
+        ),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
