@@ -1916,6 +1916,86 @@ SELECT k.doc_id,
 FROM tk k LEFT JOIN hits h USING (doc_id)"""
 
 
+# --- Unigram LM quality scoring + mixture sampling (pipeline/lm.py) --------
+
+LM_K = 0.5
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src17": 0.8}
+MIX_SEED = 42
+
+
+def _q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped perplexity filter: unigram add-k model trained on
+    the corpus, every document scored (pipeline/lm.py)."""
+    from gunrock_spark.pipeline.lm import lm_score, unigram_lm
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    model = unigram_lm(docs, k=LM_K)
+    out = lm_score(docs, model)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+def _lm_ppl_sql(k: float = LM_K) -> str:
+    return f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+consts AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) + {k} * (CAST(COUNT(*) AS DOUBLE) + 1) AS denom
+  FROM counts
+),
+model AS (
+  SELECT term, ln((cnt + {k}) / (SELECT denom FROM consts)) AS logp FROM counts
+),
+agg AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, AVG(m.logp) AS avg_logp
+  FROM tok t JOIN model m USING (term) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       ROUND(COALESCE(a.avg_logp, 0.0), 6) AS avg_logp,
+       ROUND(exp(-COALESCE(a.avg_logp, 0.0)), 6) AS ppl
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)"""
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.lm import mixture_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    return mixture_sample(docs, MIX_FRACTIONS, seed=MIX_SEED)
+
+
+def _mixture_sample_sql(
+    fractions: dict[str, float] = MIX_FRACTIONS, seed: int = MIX_SEED
+) -> str:
+    h = _H60.format(
+        x=f"CAST(doc_id AS BIGINT) || ':mix:{seed}:' || source"
+    )
+    pred = " OR ".join(
+        f"(source = '{src}' AND u < {float(frac)!r})"
+        for src, frac in sorted(fractions.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST({h} AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, source FROM d WHERE {pred}"""
+
+
 # --- Crawl snapshots (ingest/recrawl.py) -----------------------------------
 
 CRAWL_EPOCH = 1704067200  # 2024-01-01 UTC
@@ -3457,6 +3537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "contamination_flags": _q_contamination,
         "gopher_repetition": _q_gopher_repetition,
+        "lm_ppl": _q_lm_ppl,
+        "docs_mixture_sample": _q_mixture_sample,
         "latest_crawl": _q_latest_crawl,
         "crawl_stats": _q_crawl_stats,
         "crawl_delta_counts": _q_crawl_delta,
@@ -3546,6 +3628,8 @@ FROM events GROUP BY 1, 2""",
         "line_dedup": _line_dedup_sql(),
         "contamination_flags": _contamination_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
+        "lm_ppl": _lm_ppl_sql(),
+        "docs_mixture_sample": _mixture_sample_sql(),
         "latest_crawl": _latest_crawl_sql(),
         "crawl_stats": _crawl_stats_sql(),
         "crawl_delta_counts": _crawl_delta_sql(),
