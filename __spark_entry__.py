@@ -1916,6 +1916,93 @@ SELECT k.doc_id,
 FROM tk k LEFT JOIN hits h USING (doc_id)"""
 
 
+# --- URL canonicalization (ingest/urls.py) ---------------------------------
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-url synth from documents (upper-case
+    scheme/host, default + explicit ports, tracking params, fragments,
+    unsorted query strings)."""
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    tail = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(":80/p/"), F.col("doc_id"), F.lit("?utm_source=x&b=2&a=1#frag")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("/p/"), F.col("doc_id"), F.lit("?z=9&y=8&fbclid=q")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.concat(F.lit(":8080/p/"), F.col("doc_id"), F.lit("?a=1#x")))
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Example"),
+            F.col("doc_id") % 7,
+            F.lit(".COM"),
+            tail,
+        ).alias("url"),
+    )
+
+
+def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.ingest.urls import canonicalize
+
+    return canonicalize(_messy_urls(spark, sf_dir)).select("doc_id", "url_canon")
+
+
+def _url_canon_sql() -> str:
+    return r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'HTTP://Example' || (doc_id % 7) || '.COM' ||
+         CASE doc_id % 4
+           WHEN 0 THEN ':80/p/' || doc_id || '?utm_source=x&b=2&a=1#frag'
+           WHEN 1 THEN '/p/' || doc_id || '?z=9&y=8&fbclid=q'
+           WHEN 2 THEN ''
+           ELSE ':8080/p/' || doc_id || '?a=1#x' END AS url
+  FROM documents
+),
+c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM d),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(u, '^[^:]+://[^/?#]*([^#]*)', 1) AS tail
+  FROM c1
+),
+norm AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+              THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' AND hostport LIKE '%:443'
+              THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+         CASE WHEN contains(tail, '?')
+              THEN regexp_replace(tail, '^[^?]*\?', '')
+              ELSE '' END AS query
+  FROM parts
+),
+q AS (
+  SELECT doc_id, scheme, host, path,
+         array_to_string(
+           list_sort(list_filter(str_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
+           '&') AS qcanon
+  FROM norm
+)
+SELECT doc_id,
+       scheme || '://' || host || path ||
+       CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END AS url_canon
+FROM q"""
+
+
 # --- Unigram LM quality scoring + mixture sampling (pipeline/lm.py) --------
 
 LM_K = 0.5
@@ -3537,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "contamination_flags": _q_contamination,
         "gopher_repetition": _q_gopher_repetition,
+        "url_canonical": _q_url_canon,
         "lm_ppl": _q_lm_ppl,
         "docs_mixture_sample": _q_mixture_sample,
         "latest_crawl": _q_latest_crawl,
@@ -3628,6 +3716,7 @@ FROM events GROUP BY 1, 2""",
         "line_dedup": _line_dedup_sql(),
         "contamination_flags": _contamination_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
+        "url_canonical": _url_canon_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "docs_mixture_sample": _mixture_sample_sql(),
         "latest_crawl": _latest_crawl_sql(),
