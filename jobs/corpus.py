@@ -1,0 +1,163 @@
+"""spark-submit corpus-curation driver — the pipeline family's
+cluster entry point (companion to jobs/pagerank.py for graphs).
+
+One op per invocation over a documents parquet (``doc_id`` +
+``text`` [+ ``source``] — extra columns ride along untouched where
+the op allows), writing result parquet plus a one-line JSON manifest
+on stdout (rows in/out, elapsed — the same Info contract as the graph
+driver).
+
+Usage (cluster):
+  python scripts/make_pyfiles.py                 # -> dist/gunrock_spark.zip
+  spark-submit --py-files dist/gunrock_spark.zip \
+      jobs/corpus.py --input s3://bucket/docs.parquet \
+      --op minhash-dedup --out s3://bucket/clean
+
+Ops:
+  exact-dedup     keep one representative per exact text
+  minhash-dedup   drop near-duplicates (MinHash-LSH, banded)
+  line-dedup      corpus-wide line-level dedup (CCNet-style rebuild)
+  decontaminate   drop docs overlapping --eval-input n-grams
+  gopher          append Gopher repetition metrics + keep flag
+  lm-ppl          append unigram-LM perplexity columns
+  quality         append quality-score columns
+  langid          append language-ID columns
+  pii             append PII counts + has_pii flag
+  canonicalize    append url_canon (needs a url column)
+  latest-crawl    latest-crawl-wins snapshot dedup (needs url, warc_ts)
+  mixture-sample  per-source hash sampling (--fractions JSON)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet")
+    ap.add_argument("--out", required=True, help="output parquet dir")
+    ap.add_argument(
+        "--op",
+        required=True,
+        choices=[
+            "exact-dedup", "minhash-dedup", "line-dedup", "decontaminate",
+            "gopher", "lm-ppl", "quality", "langid", "pii",
+            "canonicalize", "latest-crawl", "mixture-sample",
+        ],
+    )
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--eval-input", help="eval/benchmark parquet (decontaminate)")
+    ap.add_argument("--ngram", type=int, default=3, help="decontaminate n-gram order")
+    ap.add_argument("--threshold", type=float, default=0.8,
+                    help="minhash-dedup Jaccard threshold")
+    ap.add_argument("--fractions", help='mixture-sample JSON, e.g. {"web":0.5}')
+    ap.add_argument("--lm-k", type=float, default=0.5, help="lm-ppl smoothing")
+    args = ap.parse_args(argv)
+
+    if args.op == "decontaminate" and not args.eval_input:
+        ap.error("--op decontaminate requires --eval-input")
+    if args.op == "mixture-sample" and not args.fractions:
+        ap.error("--op mixture-sample requires --fractions")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from gunrock_spark.session import build_session
+
+    spark = SparkSession.getActiveSession() or build_session("gunrock-corpus-job")
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.input)
+    idc, txc = args.id_col, args.text_col
+    n_in = docs.count()
+
+    if args.op == "exact-dedup":
+        from gunrock_spark.pipeline.dedup import exact_duplicates
+
+        keep = exact_duplicates(docs, id_col=idc, text_col=txc).select(
+            F.col("keep_id").alias(idc)
+        )
+        out = docs.join(keep, idc, "left_semi")
+    elif args.op == "minhash-dedup":
+        from gunrock_spark.pipeline.dedup import near_duplicates
+
+        pairs = near_duplicates(
+            docs, id_col=idc, text_col=txc, threshold=args.threshold
+        )
+        # drop the larger id of every near-dup pair (canonical keeper rule)
+        drop = pairs.select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias(idc)
+        ).distinct()
+        out = docs.join(drop, idc, "left_anti")
+    elif args.op == "line-dedup":
+        from gunrock_spark.pipeline.decontamination import line_dedup
+
+        out = line_dedup(docs, id_col=idc, text_col=txc)
+    elif args.op == "decontaminate":
+        from gunrock_spark.pipeline.decontamination import contamination_flags
+
+        ev = spark.read.parquet(args.eval_input)
+        flags = contamination_flags(
+            docs, ev, n=args.ngram, id_col=idc, text_col=txc
+        )
+        out = docs.join(
+            flags.where(~F.col("contaminated")).select(idc), idc, "left_semi"
+        )
+    elif args.op == "gopher":
+        from gunrock_spark.pipeline.repetition import gopher_repetition_flags
+
+        out = docs.join(
+            gopher_repetition_flags(docs, id_col=idc, text_col=txc), idc
+        )
+    elif args.op == "lm-ppl":
+        from gunrock_spark.pipeline.lm import lm_score, unigram_lm
+
+        model = unigram_lm(docs, text_col=txc, k=args.lm_k)
+        out = docs.join(lm_score(docs, model, id_col=idc, text_col=txc), idc)
+    elif args.op == "quality":
+        from gunrock_spark.pipeline.text import quality_score
+
+        out = quality_score(docs, id_col=idc, text_col=txc)
+    elif args.op == "langid":
+        from gunrock_spark.pipeline.text import language_id
+
+        out = language_id(docs, id_col=idc, text_col=txc)
+    elif args.op == "pii":
+        from gunrock_spark.pipeline.text import pii_flags
+
+        out = pii_flags(docs, id_col=idc, text_col=txc)
+    elif args.op == "canonicalize":
+        from gunrock_spark.ingest.urls import canonicalize
+
+        out = canonicalize(docs)
+    elif args.op == "latest-crawl":
+        from gunrock_spark.ingest.recrawl import latest_snapshot
+
+        out = latest_snapshot(docs)
+    else:  # mixture-sample
+        from gunrock_spark.pipeline.lm import mixture_sample
+
+        out = mixture_sample(docs, json.loads(args.fractions), id_col=idc)
+
+    out.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "op": args.op,
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "out": args.out,
+                "elapsed_sec": round(time.monotonic() - t0, 3),
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

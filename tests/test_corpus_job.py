@@ -1,0 +1,97 @@
+"""The corpus-curation job driver (jobs/corpus.py) driven in-process."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "web"),
+        (1, "the quick brown fox jumps over the lazy dog", "web"),  # exact dup
+        (2, "a completely different document about spark shuffles", "web"),
+        (3, "der hund und die katze sind nicht auf der couch heute", "books"),
+        (4, "short text", "books"),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, source string"
+    ).write.parquet(path)
+    return path
+
+
+def _run(args):
+    import importlib
+
+    mod = importlib.import_module("corpus")
+    return mod.main(args)
+
+
+def _manifest(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_exact_dedup_keeps_one_representative(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    assert _run(["--input", docs_parquet, "--op", "exact-dedup", "--out", out]) == 0
+    m = _manifest(capsys)
+    assert m["rows_in"] == 5 and m["rows_out"] == 4
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids == {0, 2, 3, 4}  # min-id keeper rule drops doc 1
+
+
+def test_decontaminate_drops_overlapping_docs(spark, docs_parquet, tmp_path, capsys):
+    ev = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(100, "quick brown fox")], schema="doc_id long, text string"
+    ).write.parquet(ev)
+    out = str(tmp_path / "out")
+    assert (
+        _run(
+            [
+                "--input", docs_parquet, "--op", "decontaminate",
+                "--eval-input", ev, "--out", out,
+            ]
+        )
+        == 0
+    )
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids == {2, 3, 4}  # docs 0/1 contain the eval trigram
+
+
+def test_gopher_and_lm_append_columns(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "g")
+    assert _run(["--input", docs_parquet, "--op", "gopher", "--out", out]) == 0
+    cols = set(spark.read.parquet(out).columns)
+    assert {"text", "keep", "top_2gram_char_frac"} <= cols
+    out2 = str(tmp_path / "l")
+    assert _run(["--input", docs_parquet, "--op", "lm-ppl", "--out", out2]) == 0
+    cols2 = set(spark.read.parquet(out2).columns)
+    assert {"text", "avg_logp", "ppl"} <= cols2
+
+
+def test_mixture_sample_filters_sources(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    assert (
+        _run(
+            [
+                "--input", docs_parquet, "--op", "mixture-sample",
+                "--fractions", '{"web": 1.0}', "--out", out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out).collect()
+    assert {r.source for r in rows} == {"web"} and len(rows) == 3
+
+
+def test_flag_validation(spark, docs_parquet, tmp_path):
+    with pytest.raises(SystemExit):
+        _run(["--input", docs_parquet, "--op", "decontaminate", "--out", "x"])
+    with pytest.raises(SystemExit):
+        _run(["--input", docs_parquet, "--op", "mixture-sample", "--out", "x"])
