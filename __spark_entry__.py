@@ -3520,6 +3520,38 @@ FROM rc, tot"""
     )
 
 
+PLAW_XMIN = 2
+
+
+def _q_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset-style degree power-law exponent (algorithms/gstats.py)."""
+    from gunrock_spark.algorithms.gstats import powerlaw_alpha
+
+    a = powerlaw_alpha(_graph(spark, sf_dir), x_min=PLAW_XMIN)
+    return a.select("n_tail", "x_min", F.round("alpha", 6).alias("alpha"))
+
+
+def _powerlaw_sql(x_min: int = PLAW_XMIN) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+ud AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       CAST({x_min} AS BIGINT) AS x_min,
+       ROUND(1.0 + COUNT(*) / SUM(ln(deg / {float(x_min - 0.5)!r})), 6) AS alpha
+FROM ud WHERE deg >= {x_min}"""
+    )
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity over the symmetrized simple edge
     list, from exact integer sums (algorithms/gstats.py)."""
@@ -3658,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": _q_transitivity,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
+        "powerlaw_alpha": _q_powerlaw,
     }
 
 
@@ -3750,4 +3783,5 @@ FROM events GROUP BY 1, 2""",
         "transitivity": _transitivity_sql(),
         "reciprocity": _reciprocity_sql(),
         "assortativity": _assortativity_sql(),
+        "powerlaw_alpha": _powerlaw_sql(),
     }

@@ -175,3 +175,28 @@ def degree_assortativity(graph: EdgeTable) -> DataFrame:
         F.col("sum_j2").cast("long").alias("sum_j2"),
         F.when(den != 0, num / den).otherwise(F.lit(0.0)).alias("assortativity"),
     )
+
+
+def powerlaw_alpha(graph: EdgeTable, x_min: int = 2) -> DataFrame:
+    """One row (n_tail, x_min, alpha) — the discrete power-law
+    exponent of the undirected degree distribution by the
+    Clauset-Shalizi-Newman MLE approximation
+
+        alpha ~= 1 + n / SUM_{d >= x_min} ln(d / (x_min - 0.5))
+
+    the standard one-pass check that a crawl's link graph kept its
+    expected heavy tail (alpha ~2.1 for the web). One partial-agg
+    aggregate over the cached degree table; the log-sum is a double
+    reduction (order-sensitive in the last ulp — the driver query
+    rounds; every other gstats output is exact-integer-derived).
+    """
+    deg = _undirected_degrees(graph).where(F.col("deg") >= x_min)
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.lit(x_min).cast("long").alias("x_min"),
+        (
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("deg") / F.lit(x_min - 0.5)))
+        ).alias("alpha"),
+    )

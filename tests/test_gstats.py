@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gunrock_spark.algorithms.gstats import (
+    powerlaw_alpha,
     degree_assortativity,
     local_clustering,
     reciprocity,
@@ -177,3 +178,21 @@ def test_bloom_merge_is_union(spark):
     assert {r["pos"] for r in merged.collect()} == {
         r["pos"] for r in whole.collect()
     }
+
+
+def test_powerlaw_alpha_matches_python(spark):
+    edges = clean_edges(rmat_edges(8, 8, seed=5))
+    g = EdgeTable.from_df(edges_df(spark, edges))
+    row = powerlaw_alpha(g, x_min=2).collect()[0]
+    # python replica over the same undirected simple degrees
+    und = {tuple(sorted(e)) for e in edges}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tail = [d for d in deg.values() if d >= 2]
+    want = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert row.n_tail == len(tail)
+    assert row.alpha == pytest.approx(want, rel=1e-9)
+    # R-MAT is heavy-tailed: exponent lands in the plausible band
+    assert 1.3 < row.alpha < 4.0
