@@ -17,7 +17,9 @@ standard modularity gain comparator
 
     score(v -> c) = k_{v,c} - k_v * (tot(c) - [c = c(v)] * k_v) / 2m
 
-where k_{v,c} = edges from v into c, k_v = v's undirected degree,
+where k_{v,c} = edge weight from v into c, k_v = v's undirected
+(weighted) degree — on an ``EdgeTable`` built with ``weight=`` the
+comparator runs on edge weights, e.g. the host-graph link counts —
 tot(c) = sum of degrees in c, and the [.] term removes v's own
 contribution when scoring its current community (standard ΔQ up to
 the constant 1/m factor). The vertex adopts the argmax; ties break to
@@ -78,13 +80,20 @@ def louvain(
     spark = graph.edges.sparkSession
     sym = graph.symmetrized()
     edges = sym.edges
-    # 2m = directed size of the symmetrized view (each undirected edge
-    # counted once per direction) — one count action, cached on the table
-    two_m = float(sym.num_edges())
-
-    kv = edges.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("kv")
-    )
+    w = F.col("weight") if graph.weighted else F.lit(1.0)
+    # 2m = total directed weight of the symmetrized view — one action
+    if graph.weighted:
+        two_m = float(
+            edges.agg(F.sum("weight").alias("s")).collect()[0]["s"]
+        )
+        kv = edges.groupBy(F.col("src").alias("v")).agg(
+            F.sum("weight").alias("kv")
+        )
+    else:
+        two_m = float(sym.num_edges())
+        kv = edges.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("kv")
+        )
     state = kv.select("v", F.col("v").alias("c"), "kv")
 
     n_colors = 1
@@ -107,11 +116,19 @@ def louvain(
         )
         nbrc = edges.join(
             cur.select(F.col("v").alias("src"), F.col("c").alias("nc")), "src"
-        ).select(F.col("dst").alias("v"), "nc")
-        kvc = nbrc.groupBy("v", "nc").agg(
-            F.count(F.lit(1)).cast("long").alias("kvc")
+        ).select(F.col("dst").alias("v"), "nc", w.alias("w"))
+        kvc = (
+            nbrc.groupBy("v", "nc").agg(F.sum("w").alias("kvc"))
+            if graph.weighted
+            else nbrc.groupBy("v", "nc").agg(
+                F.count(F.lit(1)).cast("long").alias("kvc")
+            )
         )
-        own = cur.select("v", F.col("c").alias("nc"), F.lit(0).cast("long").alias("kvc"))
+        own = cur.select(
+            "v",
+            F.col("c").alias("nc"),
+            (F.lit(0.0) if graph.weighted else F.lit(0).cast("long")).alias("kvc"),
+        )
         cand = (
             kvc.unionByName(own).groupBy("v", "nc").agg(F.sum("kvc").alias("kvc"))
         )

@@ -111,3 +111,55 @@ def test_converges_and_reports_metrics(spark):
     assert res.converged
     assert res.metrics[-1]["changed"] == 0
     assert res.iterations <= 10
+
+
+def _python_louvain_weighted(edges_w, k):
+    sym = {}
+    for s_, d, w in edges_w:
+        if s_ != d:
+            sym[(s_, d)] = min(w, sym.get((s_, d), w))
+            sym[(d, s_)] = min(w, sym.get((d, s_), w))
+    adj = {}
+    for (s_, d), w in sym.items():
+        adj.setdefault(s_, []).append((d, w))
+    kv = {v: float(sum(w for _, w in ns)) for v, ns in adj.items()}
+    two_m = float(sum(sym.values()))
+    c = {v: v for v in adj}
+    for _ in range(k):
+        tot = {}
+        for v in adj:
+            tot[c[v]] = tot.get(c[v], 0.0) + kv[v]
+        new = {}
+        for v in adj:
+            kvc = {c[v]: 0.0}
+            for u, w in adj[v]:
+                kvc[c[u]] = kvc.get(c[u], 0.0) + w
+            best = None
+            for nc, kk in kvc.items():
+                own = kv[v] if nc == c[v] else 0.0
+                score = kk - (kv[v] * (tot[nc] - own)) / two_m
+                key = (score, -nc)
+                if best is None or key > best[0]:
+                    best = (key, nc)
+            new[v] = best[1]
+        c = new
+    return c
+
+
+def test_weighted_matches_python_replica(spark):
+    edges = sorted(
+        {((i * 7) % 19, (i * 5 + 2) % 19) for i in range(60)}
+        - {(v, v) for v in range(19)}
+    )
+    rows = [(s, d, float((s * 3 + d) % 5 + 1)) for s, d in edges]
+    g = EdgeTable.from_df(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        weight="weight",
+    )
+    for k in (1, 2):
+        got = {
+            r.v: r.community
+            for r in louvain_communities(g, max_iter=k, gate="all").collect()
+        }
+        want = _python_louvain_weighted(rows, k)
+        assert got == want, f"weighted round {k} diverged"
