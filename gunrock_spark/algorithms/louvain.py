@@ -24,7 +24,10 @@ tot(c) = sum of degrees in c, and the [.] term removes v's own
 contribution when scoring its current community (standard ΔQ up to
 the constant 1/m factor). The vertex adopts the argmax; ties break to
 the SMALLEST community id, so the dynamics are fully deterministic
-and SQL-replayable round by round. A fixed ``max_iter`` bounds the
+and SQL-replayable round by round. (With integer-valued weights the
+weighted comparator is exactly reproducible too; with arbitrary float
+weights the partial-sum order can perturb exact ties by an ulp —
+the standard caveat for any float-weighted reduction.) A fixed ``max_iter`` bounds the
 synchronous oscillation risk (same contract as mode-label
 propagation); the loop stops early when no vertex moves.
 
