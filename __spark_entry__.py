@@ -191,6 +191,67 @@ SELECT v, ROUND(rank, 6) AS rank FROM all_r WHERE i = (SELECT s FROM stop)"""
     )
 
 
+KATZ_ITERS = 8
+KATZ_ALPHA = 0.05
+KATZ_BETA = 1.0
+EIGEN_ITERS = 10
+
+
+def _katz_sql(k: int = KATZ_ITERS, alpha: float = KATZ_ALPHA, beta: float = KATZ_BETA) -> str:
+    """k synchronous Katz iterations — exactly the engine's rule
+    (algorithms/katz.py): x_{t+1}(v) = beta + alpha * sum_{u->v} x_t(u),
+    x_0 = beta."""
+    body = [f"k0 AS (SELECT v, {beta} AS score FROM verts)"]
+    for i in range(1, k + 1):
+        body.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT verts.v, {beta} + {alpha} * COALESCE(s.msg, 0.0) AS score
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(r.score) AS msg
+    FROM edges e JOIN k{i - 1} r ON r.v = e.src GROUP BY e.dst
+  ) s ON s.v = verts.v
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, ROUND(score, 6) AS score FROM k{k}"
+    )
+
+
+def _eigenvector_sql(k: int = EIGEN_ITERS) -> str:
+    """k rounds of L1-normalized power iteration on A^T — exactly the
+    engine's rule (algorithms/katz.py): y = A^T x; x = y / sum(y)
+    (zero vector once the in-mass dies)."""
+    body = ["e0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM verts) AS score FROM verts)"]
+    for i in range(1, k + 1):
+        body.append(
+            f"""raw{i} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(s.msg, 0.0) AS raw
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(r.score) AS msg
+    FROM edges e JOIN e{i - 1} r ON r.v = e.src GROUP BY e.dst
+  ) s ON s.v = verts.v
+)"""
+        )
+        body.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT v, CASE WHEN (SELECT SUM(raw) FROM raw{i}) <= 0 THEN 0.0
+                 ELSE raw / (SELECT SUM(raw) FROM raw{i}) END AS score
+  FROM raw{i}
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, ROUND(score, 6) AS score FROM e{k}"
+    )
+
+
 WTF_ALPHA = 0.2
 
 
@@ -1205,6 +1266,22 @@ def _q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         _graph(spark, sf_dir), threshold=PR_CONV_THRESHOLD, max_iter=PR_CONV_MAX_ITER
     )
     return ranked(res.state).select("v", F.round("rank", 6).alias("rank"))
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.katz import katz_centrality
+
+    res = katz_centrality(
+        _graph(spark, sf_dir), alpha=KATZ_ALPHA, beta=KATZ_BETA, max_iter=KATZ_ITERS
+    )
+    return res.state.select("v", F.round("score", 6).alias("score"))
+
+
+def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.katz import eigenvector_centrality
+
+    res = eigenvector_centrality(_graph(spark, sf_dir), max_iter=EIGEN_ITERS)
+    return res.state.select("v", F.round("score", 6).alias("score"))
 
 
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3609,6 +3686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_fixed10": _q_pagerank_fixed,
         "pagerank_converged": _q_pagerank_converged,
+        "katz_k8": _q_katz,
+        "eigenvector_k10": _q_eigenvector,
         "cc_labels": _q_cc,
         "component_sizes": _q_component_sizes,
         "lp_mode3": _q_lp_mode,
@@ -3698,6 +3777,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_fixed10": _pagerank_fixed_sql(),
         "pagerank_converged": _pagerank_converged_sql(),
+        "katz_k8": _katz_sql(),
+        "eigenvector_k10": _eigenvector_sql(),
         "cc_labels": _cc_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_mode3": _lp_mode_sql(),

@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
                              "scc", "bowtie", "anf", "harmonic", "linkpred",
-                             "color"],
+                             "color", "katz", "eigenvector"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -285,6 +285,16 @@ def main(argv: list[str] | None = None) -> int:
         res = None
         out_df = who_to_follow(graph, src=_default_source(),
                                delta=args.delta, max_iter=args.max_iter)
+    elif args.algorithm == "katz":
+        from gunrock_spark.algorithms.katz import katz_centrality
+
+        res = katz_centrality(graph, alpha=0.05, beta=1.0, max_iter=args.max_iter)
+        out_df = res.state
+    elif args.algorithm == "eigenvector":
+        from gunrock_spark.algorithms.katz import eigenvector_centrality
+
+        res = eigenvector_centrality(graph, max_iter=args.max_iter)
+        out_df = res.state
     elif args.algorithm == "ktruss":
         from gunrock_spark.algorithms.ktruss import k_truss
 

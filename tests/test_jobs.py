@@ -191,6 +191,8 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("harmonic", ["--max-iter", "3"]),
         ("linkpred", ["--k", "10"]),
         ("color", ["--impl", "minmax"]),
+        ("katz", ["--max-iter", "4"]),
+        ("eigenvector", ["--max-iter", "4"]),
     ],
 )
 def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, algo, extra):

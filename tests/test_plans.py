@@ -326,3 +326,21 @@ def test_anf_round_partial_agg_no_python_no_sort(spark):
     assert "partial" in plan.lower()
     agg_lines = [l for l in plan.splitlines() if "HashAggregate" in l]
     assert agg_lines, plan
+
+
+def test_katz_iteration_partial_agg_no_python(spark):
+    """One Katz/eigenvector gather = state ⋈ edges + partial-agg sum on
+    dst (HashAggregate above and below the exchange), no Python UDF —
+    the same plan contract as the PR step it mirrors."""
+    from gunrock_spark.algorithms.katz import _gather
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_TOY7, edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    state = g.vertices.select("v", F.lit(1.0).alias("score")).localCheckpoint(
+        eager=True
+    )
+    sums = _gather(state, g, ([], None, None), "score")
+    plan = _plan(sums)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
