@@ -591,6 +591,119 @@ FROM (SELECT DISTINCT v FROM verts) uverts LEFT JOIN (
     )
 
 
+BC_SAMPLE_K = 4
+
+
+def _bc_sampled_sql(k: int = BFS_DEPTH_CAP, nsrc: int = BC_SAMPLE_K) -> str:
+    """Approximate BC summed over the engine's DETERMINISTIC source
+    sample (bc.sample_sources: the nsrc vertices with smallest
+    h60('0:' || v), ties by v) — the multi-source generalization of
+    _bc_sql: one recursive walk carrying a source column, then the
+    same unrolled sigma/delta fixpoints keyed by (source, v)."""
+    body = [
+        "d AS MATERIALIZED (SELECT source, v, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY source, v)",
+        "s0 AS (SELECT source, v, depth, CASE WHEN depth = 0 THEN 1.0 ELSE 0.0 END AS sigma FROM d)",
+    ]
+    for i in range(1, k + 1):
+        body.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT c.source, c.v, c.depth,
+         CASE WHEN c.depth = 0 THEN 1.0 ELSE COALESCE(m.s, 0.0) END AS sigma
+  FROM s{i - 1} c LEFT JOIN (
+    SELECT p.source, e.dst AS v, SUM(p.sigma) AS s
+    FROM edges e
+    JOIN s{i - 1} p ON p.v = e.src
+    JOIN s{i - 1} q ON q.source = p.source AND q.v = e.dst AND q.depth = p.depth + 1
+    GROUP BY p.source, e.dst
+  ) m ON m.source = c.source AND m.v = c.v
+)"""
+        )
+    body.append(f"t0 AS (SELECT source, v, depth, sigma, 0.0 AS delta FROM s{k})")
+    for i in range(1, k + 1):
+        body.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT c.source, c.v, c.depth, c.sigma, c.sigma * COALESCE(m.r, 0.0) AS delta
+  FROM t{i - 1} c LEFT JOIN (
+    SELECT ch.source, e.src AS v, SUM((1.0 + ch.delta) / ch.sigma) AS r
+    FROM edges e
+    JOIN t{i - 1} ch ON ch.v = e.dst
+    JOIN t{i - 1} par ON par.source = ch.source AND par.v = e.src AND par.depth = ch.depth - 1
+    GROUP BY ch.source, e.src
+  ) m ON m.source = c.source AND m.v = c.v
+)"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + f""",
+srcs AS MATERIALIZED (
+  SELECT v AS s FROM (SELECT DISTINCT v FROM verts)
+  ORDER BY ('0x' || substr(md5('0:' || v::VARCHAR), 1, 15))::BIGINT, v
+  LIMIT {nsrc}
+),
+walk(source, v, depth) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT w.source, e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.depth < {k}
+),
+"""
+        + ",\n".join(body)
+        + f"""
+SELECT uverts.v, ROUND(COALESCE(t.bc, 0.0), 6) AS bc
+FROM (SELECT DISTINCT v FROM verts) uverts LEFT JOIN (
+  SELECT v, SUM(delta) AS bc FROM t{k} WHERE v <> source GROUP BY v
+) t ON t.v = uverts.v"""
+    )
+
+
+MM_ROUNDS = 10  # sf0.01 converges in 6 locally-dominant rounds; margin
+
+
+def _matching_sql(rounds: int = MM_ROUNDS) -> str:
+    """Unrolled locally-dominant maximal matching — exactly
+    algorithms/matching.py: per round, an edge is matched iff its
+    (h60, a, b) key is the minimum among alive edges at BOTH
+    endpoints; matched endpoints kill their incident edges."""
+    pri = "('0x' || substr(md5(a::VARCHAR || ':' || b::VARCHAR), 1, 15))::BIGINT"
+    body = [
+        f"""e0 AS MATERIALIZED (
+  SELECT a, b, {pri} AS p FROM (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+  )
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        body.append(
+            f"""vmin{r} AS (
+  SELECT vtx, MIN(struct_pack(p := p, a := a, b := b)) AS mk FROM (
+    SELECT a AS vtx, p, a, b FROM e{r - 1}
+    UNION ALL
+    SELECT b AS vtx, p, a, b FROM e{r - 1}
+  ) GROUP BY vtx
+)"""
+        )
+        body.append(
+            f"""mm{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN vmin{r} va ON va.vtx = e.a
+    AND va.mk = struct_pack(p := e.p, a := e.a, b := e.b)
+  JOIN vmin{r} vb ON vb.vtx = e.b
+    AND vb.mk = struct_pack(p := e.p, a := e.a, b := e.b)
+)"""
+        )
+        body.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT * FROM e{r - 1} e
+  WHERE e.a NOT IN (SELECT a FROM mm{r} UNION SELECT b FROM mm{r})
+    AND e.b NOT IN (SELECT a FROM mm{r} UNION SELECT b FROM mm{r})
+)"""
+        )
+    allm = "\nUNION ALL\n".join(f"SELECT a, b FROM mm{r}" for r in range(1, rounds + 1))
+    return "WITH " + _EDGES_CTES + ",\n" + ",\n".join(body) + f"\n{allm}"
+
+
 def _modularity_sql(k: int = LP_MODE_ITERS) -> str:
     """Modularity of the k-round mode-LP community assignment —
     Q = sum over same-community edges (2m - k_src*k_dst) / (4 m^2),
@@ -1395,6 +1508,23 @@ def _q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     res = bc_single_source(g, source=_min_vertex(g))
     return res.select("v", F.round("bc", 6).alias("bc"))
+
+
+def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.matching import maximal_matching
+
+    res = maximal_matching(_graph(spark, sf_dir))
+    return res.state.select("a", "b")
+
+
+def _q_bc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate BC over the deterministic 4-source sample — the
+    scale path for betweenness (exact all-sources BC is O(V*E))."""
+    from gunrock_spark.algorithms.bc import betweenness_centrality, sample_sources
+
+    g = _graph(spark, sf_dir)
+    out = betweenness_centrality(g, sources=sample_sources(g, BC_SAMPLE_K))
+    return out.select("v", F.round("bc", 6).alias("bc"))
 
 
 def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3706,6 +3836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_k4": _q_salsa,
         "wtf_refscores": _q_wtf,
         "bc_single_source": _q_bc,
+        "bc_sampled4": _q_bc_sampled,
+        "matching_edges": _q_matching,
         "modularity_lp3": _q_modularity,
         "sm_diamond": _q_sm_diamond,
         "dedup_exact": _q_dedup_exact,
@@ -3797,6 +3929,8 @@ def oracle_sql() -> dict[str, str]:
         "salsa_k4": _salsa_sql(),
         "wtf_refscores": _wtf_sql(),
         "bc_single_source": _bc_sql(),
+        "bc_sampled4": _bc_sampled_sql(),
+        "matching_edges": _matching_sql(),
         "modularity_lp3": _modularity_sql(),
         "sm_diamond": _sm_diamond_sql(),
         "dedup_exact": _dedup_exact_sql(),

@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
                              "scc", "bowtie", "anf", "harmonic", "linkpred",
-                             "color", "katz", "eigenvector"],
+                             "color", "katz", "eigenvector", "matching"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -285,6 +285,11 @@ def main(argv: list[str] | None = None) -> int:
         res = None
         out_df = who_to_follow(graph, src=_default_source(),
                                delta=args.delta, max_iter=args.max_iter)
+    elif args.algorithm == "matching":
+        from gunrock_spark.algorithms.matching import maximal_matching
+
+        res = maximal_matching(graph, max_iter=args.max_iter)
+        out_df = res.state
     elif args.algorithm == "katz":
         from gunrock_spark.algorithms.katz import katz_centrality
 

@@ -193,6 +193,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("color", ["--impl", "minmax"]),
         ("katz", ["--max-iter", "4"]),
         ("eigenvector", ["--max-iter", "4"]),
+        ("matching", []),
     ],
 )
 def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, algo, extra):

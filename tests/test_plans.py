@@ -344,3 +344,26 @@ def test_katz_iteration_partial_agg_no_python(spark):
     plan = _plan(sums)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_matching_round_partial_agg_no_python_no_window(spark):
+    """One matching round = explode -> partial-agg min (HashAggregate
+    above and below the exchange) + joins; no Window, no Python."""
+    from gunrock_spark.algorithms.matching import _canonical_edges
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_TOY7, edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    alive = _canonical_edges(g).localCheckpoint(eager=True)
+    ek = F.struct(F.col("p"), F.col("a"), F.col("b"))
+    incident = alive.select(F.explode(F.array("a", "b")).alias("vtx"), ek.alias("k"))
+    vmin = incident.groupBy("vtx").agg(F.min("k").alias("mk"))
+    plan = _plan(vmin)
+    # min(struct) compiles to SortAggregate (struct keys aren't
+    # hash-aggregable) — the property that matters at scale is the
+    # MAP-SIDE partial_min below the single exchange
+    assert "partial_min" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
