@@ -383,6 +383,33 @@ SELECT v, MIN(label) AS label FROM reach GROUP BY v"""
     )
 
 
+def _giant_component_sql() -> str:
+    """Largest weakly connected component (ties by smallest label) +
+    its induced DIRECTED edge count — replays
+    components.giant_component_summary."""
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + """,
+reach(v, label) AS (
+  SELECT v, v AS label FROM verts
+  UNION
+  SELECT s.dst AS v, r.label FROM reach r JOIN sym s ON s.src = r.v
+),
+labels AS MATERIALIZED (SELECT v, MIN(label) AS label FROM reach GROUP BY v),
+gc AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM labels
+  GROUP BY label ORDER BY COUNT(*) DESC, label LIMIT 1
+)
+SELECT gc.label, gc.n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
+        JOIN labels ls ON ls.v = e.src
+        JOIN labels ld ON ld.v = e.dst
+        WHERE ls.label = gc.label AND ld.label = gc.label) AS n_edges
+FROM gc"""
+    )
+
+
 def _component_sizes_sql() -> str:
     return (
         "WITH RECURSIVE "
@@ -1508,6 +1535,12 @@ def _q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     res = bc_single_source(g, source=_min_vertex(g))
     return res.select("v", F.round("bc", 6).alias("bc"))
+
+
+def _q_giant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.components import giant_component_summary
+
+    return giant_component_summary(_graph(spark, sf_dir))
 
 
 def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3838,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bc_single_source": _q_bc,
         "bc_sampled4": _q_bc_sampled,
         "matching_edges": _q_matching,
+        "giant_component": _q_giant_component,
         "modularity_lp3": _q_modularity,
         "sm_diamond": _q_sm_diamond,
         "dedup_exact": _q_dedup_exact,
@@ -3931,6 +3965,7 @@ def oracle_sql() -> dict[str, str]:
         "bc_single_source": _bc_sql(),
         "bc_sampled4": _bc_sampled_sql(),
         "matching_edges": _matching_sql(),
+        "giant_component": _giant_component_sql(),
         "modularity_lp3": _modularity_sql(),
         "sm_diamond": _sm_diamond_sql(),
         "dedup_exact": _dedup_exact_sql(),

@@ -223,3 +223,53 @@ def component_sizes(labels: DataFrame) -> DataFrame:
     """(label, n_vertices) per component — the reference's component
     count diagnostic (num components = distinct roots)."""
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def induced_subgraph(graph: EdgeTable, vertices: DataFrame) -> EdgeTable:
+    """Edge table induced by a vertex set: edges with BOTH endpoints
+    in ``vertices`` (DataFrame whose first column is the vertex id).
+    Two semi-joins against the edge table — the vertex side shuffles,
+    the (100 TB) edge side streams through its existing partitioning;
+    AQE broadcasts the vertex set when it is small."""
+    vs = vertices.select(F.col(vertices.columns[0]).cast("long").alias("v"))
+    e = (
+        graph.edges.join(vs.withColumnRenamed("v", "src"), "src", "left_semi")
+        .join(vs.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    return EdgeTable.from_df(e)
+
+
+def giant_component(
+    graph: EdgeTable, labels: DataFrame | None = None
+) -> tuple[int, DataFrame]:
+    """(label, vertices) of the largest weakly connected component
+    (ties broken by smallest label — deterministic). ``labels`` lets
+    callers reuse an existing connected_components run. The argmax is
+    a bounded min(struct) over the |components|-row size table — never
+    a global sort of the vertex table."""
+    if labels is None:
+        labels = connected_components(graph).state
+    sizes = component_sizes(labels)
+    top = sizes.agg(
+        F.min(F.struct((-F.col("n_vertices")).alias("neg"), F.col("label"))).alias("t")
+    ).collect()[0]["t"]
+    label = int(top["label"])
+    return label, labels.where(F.col("label") == label).select("v")
+
+
+def giant_component_summary(
+    graph: EdgeTable, labels: DataFrame | None = None
+) -> DataFrame:
+    """One row (label, n_vertices, n_edges): the largest component and
+    the directed edge count of its induced subgraph — the standard
+    web-graph "how big is the core blob" diagnostic (the WCC half of
+    the Broder bowtie, algorithms/scc.py)."""
+    spark = graph.edges.sparkSession
+    label, verts = giant_component(graph, labels)
+    n_vertices = verts.count()
+    n_edges = induced_subgraph(graph, verts).edges.count()
+    return spark.createDataFrame(
+        [(label, n_vertices, n_edges)],
+        schema="label long, n_vertices long, n_edges long",
+    )

@@ -156,3 +156,35 @@ def test_mis_independent_maximal_and_deterministic(spark):
         i += 1
     assert mis == want
     assert res.iterations == i
+
+
+def test_induced_subgraph_filters_both_endpoints(spark):
+    from gunrock_spark.algorithms.components import induced_subgraph
+    from gunrock_spark.graph.generators import edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (1, 9)]))
+    verts = spark.createDataFrame([(0,), (1,), (2,)], schema="v long")
+    sub = induced_subgraph(g, verts)
+    got = sorted((r.src, r.dst) for r in sub.edges.collect())
+    assert got == [(0, 1), (1, 2)]
+
+
+def test_giant_component_summary_two_blobs(spark):
+    from gunrock_spark.algorithms.components import giant_component_summary
+    from gunrock_spark.graph.generators import edges_df
+
+    # blob A: 4 vertices / 4 directed edges; blob B: 3 vertices / 2
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12)]
+    g = EdgeTable.from_df(edges_df(spark, edges))
+    row = giant_component_summary(g).collect()[0]
+    assert (row.label, row.n_vertices, row.n_edges) == (0, 4, 4)
+
+
+def test_giant_component_tie_breaks_smallest_label(spark):
+    from gunrock_spark.algorithms.components import giant_component
+    from gunrock_spark.graph.generators import edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, [(5, 6), (1, 2)]))
+    label, verts = giant_component(g)
+    assert label == 1
+    assert sorted(r.v for r in verts.collect()) == [1, 2]
