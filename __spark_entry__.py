@@ -2636,6 +2636,91 @@ GROUP BY term"""
 HLL_M = 64
 
 
+LOGHIST_BPO = 8
+LOGHIST_QS = [0.5, 0.9, 0.99]
+
+
+def _q_log_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned quantile sketch over per-document token counts."""
+    from gunrock_spark.pipeline.sketches import log_histogram
+    from gunrock_spark.pipeline.text import token_stats
+
+    stats = token_stats(_docs(spark, sf_dir)).select("n_tokens")
+    return log_histogram(stats, "n_tokens", LOGHIST_BPO)
+
+
+def _q_log_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.sketches import log_histogram, quantile_estimates
+    from gunrock_spark.pipeline.text import token_stats
+
+    stats = token_stats(_docs(spark, sf_dir)).select("n_tokens")
+    hist = log_histogram(stats, "n_tokens", LOGHIST_BPO)
+    return quantile_estimates(hist, LOGHIST_QS, LOGHIST_BPO)
+
+
+def _loghist_bin_sql(x: str, bpo: int = LOGHIST_BPO) -> str:
+    """DuckDB text for pipeline/sketches._bin_sql (>>/<< operators)."""
+    lb = bpo.bit_length() - 1
+    o = f"(length(bin({x})) - 1)"
+    p2 = f"(CAST(1 AS BIGINT) << {o})"
+    frac = f"(CAST({x} AS BIGINT) - {p2})"
+    sub = (
+        f"(CASE WHEN {o} >= {lb} THEN {frac} >> ({o} - {lb}) "
+        f"ELSE {frac} << ({lb} - {o}) END)"
+    )
+    return (
+        f"CASE WHEN {x} <= 0 THEN CAST(-1 AS BIGINT) "
+        f"ELSE CAST({o} AS BIGINT) * {bpo} + CAST({sub} AS BIGINT) END"
+    )
+
+
+def _loghist_lo_sql(b: str, bpo: int = LOGHIST_BPO) -> str:
+    lb = bpo.bit_length() - 1
+    o = f"CAST({b} // {bpo} AS INT)"
+    s = f"({b} % {bpo})"
+    p2 = f"(CAST(1 AS BIGINT) << {o})"
+    off = (
+        f"(CASE WHEN {o} >= {lb} THEN {s} * (CAST(1 AS BIGINT) << ({o} - {lb})) "
+        f"ELSE ({s} << {o}) >> {lb} END)"
+    )
+    return f"CASE WHEN {b} < 0 THEN CAST(0 AS BIGINT) ELSE {p2} + {off} END"
+
+
+def _log_hist_ctes() -> str:
+    return (
+        "WITH "
+        + _DOCS_CTES
+        + f""",
+vals AS (SELECT CAST(len(t) AS BIGINT) AS x FROM toks),
+hist AS MATERIALIZED (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT {_loghist_bin_sql("x")} AS bin FROM vals
+  ) GROUP BY bin
+),
+hist_lo AS MATERIALIZED (
+  SELECT bin, {_loghist_lo_sql("bin")} AS lo, n FROM hist
+)"""
+    )
+
+
+def _log_hist_sql() -> str:
+    return _log_hist_ctes() + "\nSELECT bin, lo, n FROM hist_lo"
+
+
+def _log_hist_quantiles_sql() -> str:
+    qvals = ", ".join(f"({q})" for q in LOGHIST_QS)
+    return (
+        _log_hist_ctes()
+        + f""",
+cum AS (SELECT bin, lo, SUM(n) OVER (ORDER BY bin) AS cum FROM hist_lo),
+total AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM hist_lo),
+qs(q) AS (VALUES {qvals})
+SELECT qs.q, MIN(cum.lo) AS est
+FROM qs JOIN cum ON cum.cum >= qs.q * (SELECT t FROM total)
+GROUP BY qs.q"""
+    )
+
+
 def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL register table over distinct document texts
     (pipeline/sketches.py) — bounded-memory distinct counting; the
@@ -2700,6 +2785,48 @@ SELECT CAST(CASE WHEN zero_registers > 0 AND {raw} <= CAST({2.5 * m!r} AS DOUBLE
        CAST(s_scaled AS BIGINT) AS s_scaled
 FROM agg"""
     )
+
+
+def _q_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL: distinct-text estimate per source — m rows of
+    sketch state per group, no m-row join (absent registers counted
+    arithmetically; pipeline/sketches.hll_estimate_by)."""
+    from gunrock_spark.pipeline.sketches import hll_distinct_by
+
+    return hll_distinct_by(_docs(spark, sf_dir), ["source"], "text", m=HLL_M)
+
+
+def _hll_by_source_sql(m: int = HLL_M) -> str:
+    from gunrock_spark.pipeline.sketches import HLL_RHO_CAP, hll_alpha
+
+    b = m.bit_length() - 1
+    h = _H60.format(x="'hll:' || text")
+    alpha = f"CAST({hll_alpha(m)!r} AS DOUBLE)"
+    raw = f"({alpha} * {m} * {m} * CAST({1 << HLL_RHO_CAP} AS DOUBLE) / s_scaled)"
+    return f"""
+WITH hh AS (SELECT source, {h} AS h FROM documents),
+bits AS (SELECT source, h & {m - 1} AS j, h >> {b} AS rem FROM hh),
+rr AS (
+  SELECT source, j, CASE WHEN rem = 0 THEN {HLL_RHO_CAP}
+                 ELSE LEAST(bit_count((rem & -rem) - 1) + 1, {HLL_RHO_CAP}) END AS rho
+  FROM bits
+),
+regs AS (SELECT source, CAST(j AS INT) AS j, CAST(MAX(rho) AS INT) AS rho
+         FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT source,
+         SUM((1::BIGINT) << ({HLL_RHO_CAP} - rho))
+           + ({m} - COUNT(*)) * ((1::BIGINT) << {HLL_RHO_CAP}) AS s_scaled,
+         {m} - COUNT(*) AS zero_registers
+  FROM regs GROUP BY source
+)
+SELECT source,
+       CAST(CASE WHEN zero_registers > 0 AND {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+            THEN ROUND(CAST({m} AS DOUBLE) * LN(CAST({m} AS DOUBLE) / zero_registers))
+            ELSE ROUND({raw}) END AS BIGINT) AS est_distinct,
+       CAST(zero_registers AS BIGINT) AS zero_registers,
+       CAST(s_scaled AS BIGINT) AS s_scaled
+FROM agg"""
 
 
 BLOOM_M, BLOOM_K = 4096, 5
@@ -3909,6 +4036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta_counts": _q_crawl_delta,
         "cms_sketch": _q_cms_sketch,
         "hll_registers": _q_hll_registers,
+        "log_hist_tokens": _q_log_hist,
+        "hll_by_source": _q_hll_by_source,
+        "log_hist_quantiles": _q_log_hist_quantiles,
         "hll_distinct": _q_hll_distinct,
         "cms_estimates": _q_cms_estimates,
         "random_walks_k3": _q_random_walks,
@@ -4007,6 +4137,9 @@ FROM events GROUP BY 1, 2""",
         "crawl_delta_counts": _crawl_delta_sql(),
         "cms_sketch": _cms_sketch_sql(),
         "hll_registers": _hll_registers_sql(),
+        "log_hist_tokens": _log_hist_sql(),
+        "hll_by_source": _hll_by_source_sql(),
+        "log_hist_quantiles": _log_hist_quantiles_sql(),
         "hll_distinct": _hll_distinct_sql(),
         "cms_estimates": _cms_estimates_sql(),
         "random_walks_k3": _walks_sql(),

@@ -245,6 +245,82 @@ def hll_distinct(
     return hll_estimate(hll_registers(df, col, m=m, seed=seed), m=m)
 
 
+def hll_registers_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str = "text",
+    m: int = 64,
+    seed: str = "hll",
+) -> DataFrame:
+    """Grouped register tables: (group_cols..., j, rho) with at most
+    m rows PER GROUP — the per-key distinct-count sketch (distinct
+    terms per source, distinct urls per host). Same hash family and
+    register encoding as hll_registers, so per-group tables merge
+    with hll_merge-style max and estimate with hll_estimate_by."""
+    b = _check_m(m)
+    c = F.col(col) if isinstance(col, str) else col
+    h = h60(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    rem = F.shiftright(h, b)
+    lowbit = rem.bitwiseAND(-rem)
+    rho = (
+        F.when(rem == 0, F.lit(HLL_RHO_CAP))
+        .otherwise(F.least(F.bit_count(lowbit - 1) + 1, F.lit(HLL_RHO_CAP)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("j"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], m: int = 64
+) -> DataFrame:
+    """(group_cols..., est_distinct, zero_registers, s_scaled) per
+    group. Needs NO m-row join: present registers always carry
+    rho >= 1, so absent registers per group are m - count(*) and
+    contribute 2^HLL_RHO_CAP each to the exact integer harmonic sum —
+    one partial-agg groupBy over the sketch rows."""
+    _check_m(m)
+    two_cap = 1 << HLL_RHO_CAP
+    agg = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - rho)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(two_cap)
+        ).alias("s_scaled"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("zero_registers"),
+    )
+    raw = F.lit(hll_alpha(m)) * m * m * F.lit(float(two_cap)) / F.col("s_scaled")
+    est = F.when(
+        (F.col("zero_registers") > 0) & (raw <= F.lit(2.5 * m)),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers"))),
+    ).otherwise(F.round(raw))
+    return agg.select(
+        *group_cols,
+        est.cast("long").alias("est_distinct"),
+        F.col("zero_registers"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+    )
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str = "text",
+    m: int = 64,
+    seed: str = "hll",
+) -> DataFrame:
+    """One-call per-group distinct estimate."""
+    return hll_estimate_by(
+        hll_registers_by(df, group_cols, col, m=m, seed=seed), group_cols, m=m
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter — mergeable set-membership sketch
 # ---------------------------------------------------------------------------
@@ -329,3 +405,115 @@ def bloom_contains(
         marked.groupBy(F.col("_key").alias(col if isinstance(col, str) else "key"))
         .agg((F.count(F.lit(1)) == F.sum(F.coalesce("_hit", F.lit(0)))).alias("maybe"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-binned histogram / quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The fourth bounded-memory sketch (CMS = frequency, HLL = distinct,
+# Bloom = membership, this = QUANTILES): a deterministic base-2
+# log-binned histogram over a non-negative integer measure (token
+# counts, degrees, byte sizes). Bin geometry is PURE INTEGER math —
+# octave o = floor(log2(x)) computed as len(bin(x)) - 1 and a linear
+# sub-bin within the octave — so the sketch is bit-identical in any
+# engine (no float log at bin boundaries, the classic cross-engine
+# divergence). State is <= 63 * bins_per_octave rows regardless of
+# data size; shards merge by summing counts per bin; relative value
+# error of a quantile estimate is bounded by the octave subdivision
+# (~1/bins_per_octave).
+
+
+def _log2_int(bpo: int) -> int:
+    lb = bpo.bit_length() - 1
+    if bpo <= 0 or (1 << lb) != bpo:
+        raise ValueError(f"bins_per_octave must be a power of two, got {bpo}")
+    return lb
+
+
+def _bin_sql(x: str, bpo: int) -> str:
+    """Spark-SQL text for the bin id of integer column ``x``: -1 for
+    x <= 0, else o*bpo + sub with o = floor(log2(x))
+    (= len(bin(x)) - 1, integer-exact) and
+    sub = floor((x - 2^o) * bpo / 2^o) — pure shifts, so the formula
+    replays bit-identically in any engine (no float log at bin
+    edges). PySpark's shiftleft() helper only takes a literal shift,
+    hence SQL text (the SQL function accepts column shifts)."""
+    lb = _log2_int(bpo)
+    o = f"(length(bin({x})) - 1)"
+    p2 = f"shiftleft(CAST(1 AS BIGINT), {o})"
+    frac = f"(CAST({x} AS BIGINT) - {p2})"
+    sub = (
+        f"(CASE WHEN {o} >= {lb} THEN shiftright({frac}, {o} - {lb}) "
+        f"ELSE shiftleft({frac}, {lb} - {o}) END)"
+    )
+    return (
+        f"CASE WHEN {x} <= 0 THEN CAST(-1 AS BIGINT) "
+        f"ELSE CAST({o} AS BIGINT) * {bpo} + CAST({sub} AS BIGINT) END"
+    )
+
+
+def _bin_lo_sql(b: str, bpo: int) -> str:
+    """Spark-SQL text for the inclusive lower edge of bin id ``b``:
+    0 for bin -1, else 2^o + floor(s * 2^o / bpo) — again pure
+    shifts."""
+    lb = _log2_int(bpo)
+    o = f"CAST({b} DIV {bpo} AS INT)"
+    s = f"({b} % {bpo})"
+    p2 = f"shiftleft(CAST(1 AS BIGINT), {o})"
+    off = (
+        f"(CASE WHEN {o} >= {lb} "
+        f"THEN {s} * shiftleft(CAST(1 AS BIGINT), {o} - {lb}) "
+        f"ELSE shiftright(shiftleft({s}, {o}), {lb}) END)"
+    )
+    return f"CASE WHEN {b} < 0 THEN CAST(0 AS BIGINT) ELSE {p2} + {off} END"
+
+
+def log_histogram(
+    df: DataFrame, value_col: str, bins_per_octave: int = 8
+) -> DataFrame:
+    """DataFrame[bin, lo, n]: deterministic log-binned histogram of a
+    non-negative integer column. One partial-agg groupBy over <= 63 *
+    bins_per_octave distinct bins — the map-side combine means each
+    task emits at most |bins| rows no matter how many values it saw."""
+    return (
+        df.select(F.expr(_bin_sql(value_col, bins_per_octave)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bin",
+            F.expr(_bin_lo_sql("bin", bins_per_octave)).alias("lo"),
+            "n",
+        )
+    )
+
+
+def log_hist_merge(*hists: DataFrame) -> DataFrame:
+    """Merge shard histograms: sum counts per bin."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin", "lo").agg(F.sum("n").cast("long").alias("n"))
+
+
+def quantile_estimates(
+    hist: DataFrame, qs: list[float], bins_per_octave: int = 8
+) -> DataFrame:
+    """DataFrame[q, est]: for each quantile q, the lower edge of the
+    first bin whose cumulative count reaches q * N — the conservative
+    (never-overshooting) estimator whose relative error is one octave
+    subdivision. The cumulative window runs over the SKETCH (<= 63 *
+    bins_per_octave rows), never the data."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    total = hist.agg(F.sum("n")).collect()[0][0] or 0
+    qdf = spark.createDataFrame([(float(q),) for q in qs], schema="q double")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "lo", F.sum("n").over(w).alias("cum"))
+    hit = (
+        qdf.join(cum, cum["cum"] >= qdf["q"] * F.lit(float(total)))
+        .groupBy("q")
+        .agg(F.min(F.struct("bin", "lo")).alias("t"))
+    )
+    return hit.select("q", F.col("t.lo").alias("est")).orderBy("q")

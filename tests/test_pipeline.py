@@ -638,3 +638,99 @@ def test_bm25_matches_python_oracle_and_ranks_relevant_docs(spark, docs):
         assert abs(got[d] - want[d]) < 1e-9
     # doc 3 is the only one containing "spark": it must outrank the fox docs
     assert got[3] == max(got.values())
+
+
+def _py_log_bin(x: int, bpo: int = 8) -> int:
+    if x <= 0:
+        return -1
+    o = x.bit_length() - 1
+    return o * bpo + ((x - (1 << o)) * bpo) // (1 << o)
+
+
+def _py_bin_lo(b: int, bpo: int = 8) -> int:
+    if b < 0:
+        return 0
+    o, s = divmod(b, bpo)
+    return (1 << o) + (s << o) // bpo
+
+
+def test_log_histogram_matches_python(spark):
+    from gunrock_spark.pipeline.sketches import log_histogram
+
+    vals = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 15, 16, 17, 100, 1000, 65535,
+            1 << 20, (1 << 40) + 12345]
+    df = spark.createDataFrame([(v,) for v in vals], schema="x long")
+    got = {r.bin: (r.lo, r.n) for r in log_histogram(df, "x", 8).collect()}
+    import collections
+
+    want = collections.Counter(_py_log_bin(v) for v in vals)
+    assert set(got) == set(want)
+    for b, cnt in want.items():
+        assert got[b] == (_py_bin_lo(b), cnt)
+
+
+def test_log_histogram_bin_lower_edge_contract(spark):
+    # every value lands in a bin whose lo <= value, within the right
+    # octave (low octaves have sub-integer bin resolution, so
+    # adjacent bin ids may share a lower edge — the octave bound is
+    # the real containment contract there)
+    for v in [1, 2, 3, 7, 8, 9, 127, 128, 129, 12345]:
+        b = _py_log_bin(v)
+        assert _py_bin_lo(b) <= v
+        assert v < (1 << (b // 8 + 1))
+        # at >= bpo-resolution octaves the next-edge bound is strict
+        if b // 8 >= 3:
+            assert v < _py_bin_lo(b + 1)
+
+
+def test_log_hist_merge_and_quantiles(spark):
+    from gunrock_spark.pipeline.sketches import (
+        log_hist_merge,
+        log_histogram,
+        quantile_estimates,
+    )
+
+    a = spark.createDataFrame([(v,) for v in range(1, 101)], schema="x long")
+    b = spark.createDataFrame([(v,) for v in range(101, 201)], schema="x long")
+    merged = log_hist_merge(log_histogram(a, "x"), log_histogram(b, "x"))
+    assert merged.agg({"n": "sum"}).collect()[0][0] == 200
+    qs = {r.q: r.est for r in quantile_estimates(merged, [0.5, 0.99]).collect()}
+    # conservative estimator: lower bin edge of the quantile's bin;
+    # one-octave-subdivision relative error
+    assert 80 <= qs[0.5] <= 100
+    assert 160 <= qs[0.99] <= 198
+
+
+def test_log_histogram_rejects_non_power_of_two(spark):
+    import pytest as _pytest
+
+    from gunrock_spark.pipeline.sketches import log_histogram
+
+    df = spark.createDataFrame([(1,)], schema="x long")
+    with _pytest.raises(ValueError):
+        log_histogram(df, "x", 6)
+
+
+def test_hll_grouped_matches_ungrouped_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from gunrock_spark.pipeline.sketches import hll_distinct, hll_distinct_by
+
+    rows = [("a", f"t{i % 50}") for i in range(500)] + [
+        ("b", f"u{i}") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, schema="g string, x string")
+    grouped = {
+        r.g: (r.est_distinct, r.zero_registers, r.s_scaled)
+        for r in hll_distinct_by(df, ["g"], "x").collect()
+    }
+    for g in ("a", "b"):
+        single = hll_distinct(df.where(F.col("g") == g), "x").collect()[0]
+        assert grouped[g] == (
+            single.est_distinct,
+            single.zero_registers,
+            single.s_scaled,
+        )
+    # order-of-magnitude sanity: 50 vs 1000 true distincts
+    assert 40 <= grouped["a"][0] <= 60
+    assert 800 <= grouped["b"][0] <= 1200
