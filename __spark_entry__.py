@@ -1537,6 +1537,55 @@ def _q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("v", F.round("bc", 6).alias("bc"))
 
 
+def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text rollup: html pages are synthesized IN CATALYST from
+    the derived edge table (anchor text 'site dst%7 page src%5'),
+    then the REAL Arrow-batched extraction UDF + rollup run over the
+    html bytes — the oracle recomputes the expected counts straight
+    from the edge list, an independent path that cross-checks the
+    extraction."""
+    from gunrock_spark.ingest.links import anchor_text_rollup
+
+    edges = _graph(spark, sf_dir).edges
+    anchor = F.concat(
+        F.lit("site "),
+        (F.col("dst") % 7).cast("string"),
+        F.lit(" page "),
+        (F.col("src") % 5).cast("string"),
+    )
+    snippet = F.concat(
+        F.lit('<a href="u'), F.col("dst").cast("string"), F.lit('">'),
+        anchor, F.lit("</a>"),
+    )
+    pages = (
+        edges.groupBy("src")
+        .agg(
+            F.concat(
+                F.lit("<html><body>"),
+                F.concat_ws("", F.collect_list(snippet)),
+                F.lit("</body></html>"),
+            ).alias("html_s")
+        )
+        .select(F.encode("html_s", "UTF-8").alias("html"))
+    )
+    return anchor_text_rollup(pages)
+
+
+def _anchor_texts_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+pairs AS (
+  SELECT 'u' || dst AS url,
+         unnest(['site', (dst % 7)::VARCHAR, 'page', (src % 5)::VARCHAR]) AS term
+  FROM edges
+)
+SELECT url, term, CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM pairs GROUP BY url, term"""
+    )
+
+
 def _q_giant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gunrock_spark.algorithms.components import giant_component_summary
 
@@ -3999,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bc_sampled4": _q_bc_sampled,
         "matching_edges": _q_matching,
         "giant_component": _q_giant_component,
+        "anchor_texts": _q_anchor_texts,
         "modularity_lp3": _q_modularity,
         "sm_diamond": _q_sm_diamond,
         "dedup_exact": _q_dedup_exact,
@@ -4096,6 +4146,7 @@ def oracle_sql() -> dict[str, str]:
         "bc_sampled4": _bc_sampled_sql(),
         "matching_edges": _matching_sql(),
         "giant_component": _giant_component_sql(),
+        "anchor_texts": _anchor_texts_sql(),
         "modularity_lp3": _modularity_sql(),
         "sm_diamond": _sm_diamond_sql(),
         "dedup_exact": _dedup_exact_sql(),

@@ -28,7 +28,7 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _TITLE_RE = re.compile(rb"<title>(.*?)</title>", re.S)
 _ANCHOR_RE = re.compile(rb'<a\s+href="([^"]*)"[^>]*>(.*?)</a>', re.S)
@@ -108,3 +108,47 @@ def verify_extraction(pages: DataFrame) -> int:
     """Count rows whose stored ``text`` differs from ``extract_text(html)``
     — the north rule's byte-identical invariant; must be 0."""
     return pages.where(extract_text("html") != F.col("text")).count()
+
+
+def _extract_anchors_one(html: bytes) -> list[tuple[str, str]]:
+    return [
+        (u.decode("utf-8", errors="replace"),
+         _TAG_RE.sub(b"", t).decode("utf-8", errors="replace"))
+        for u, t in _ANCHOR_RE.findall(html)
+    ]
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("href", StringType()),
+    StructField("anchor", StringType()),
+])))
+def extract_anchors(html: pd.Series) -> pd.Series:
+    """array<struct<href, anchor>> — every <a href> with its
+    tag-stripped anchor text (the same regex pass extract_text uses,
+    so the two stay byte-consistent)."""
+    return html.map(
+        lambda b: _extract_anchors_one(bytes(b)) if b is not None else None
+    )
+
+
+def anchor_text_rollup(pages: DataFrame) -> DataFrame:
+    """DataFrame[url, term, n_anchors]: per TARGET url, how often each
+    token appears across all anchor texts pointing at it — the
+    classic search-engine anchor-text signal (inbound anchors describe
+    a page better than its own body).
+
+    Scale shape: one Arrow-batched extraction pass over the (100 TB)
+    html column, an explode to (target, term) pairs whose volume is
+    the link count x anchor words (never |pages|^2), and ONE
+    map-side-combined groupBy. Zipf-heavy terms ('click', 'here')
+    partial-aggregate away per task before the shuffle."""
+    from gunrock_spark.functions.hashing import tokens
+
+    anchors = pages.select(
+        F.explode(extract_anchors("html")).alias("a")
+    ).select(F.col("a.href").alias("url"), F.col("a.anchor").alias("anchor"))
+    return (
+        anchors.select("url", F.explode(tokens(F.lower("anchor"))).alias("term"))
+        .groupBy("url", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_anchors"))
+    )

@@ -120,3 +120,25 @@ def test_read_pages_bare_relative_dir_is_parquet(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(ValueError, match="fmt='parquet'"):
         read_pages(spark, "no_such_table_anywhere")
+
+
+def test_anchor_text_rollup_matches_generator(spark):
+    from collections import Counter
+
+    from gunrock_spark.graph.generators import pages_table, url_for
+    from gunrock_spark.ingest.links import anchor_text_rollup
+
+    pages, true_edges = pages_table(spark, 32, seed=13)
+    got = {
+        (r.url, r.term): r.n_anchors for r in anchor_text_rollup(pages).collect()
+    }
+    # generator anchors are "anchor {k}" where k is the link's index
+    # within its page — replicate driver-side
+    want = Counter()
+    per_src = {}
+    for s, d in true_edges:
+        k = per_src.setdefault(s, 0)
+        per_src[s] += 1
+        want[(url_for(d), "anchor")] += 1
+        want[(url_for(d), str(k))] += 1
+    assert got == dict(want)
