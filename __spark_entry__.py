@@ -191,6 +191,49 @@ SELECT v, ROUND(rank, 6) AS rank FROM all_r WHERE i = (SELECT s FROM stop)"""
     )
 
 
+TRUST_ITERS = 8
+TRUST_SEEDS = 4
+
+
+def _trustrank_sql(
+    k: int = TRUST_ITERS, delta: float = 0.85, nseeds: int = TRUST_SEEDS
+) -> str:
+    """k synchronous TrustRank iterations over the engine's
+    deterministic seed sample (the nseeds smallest-h60('0:'||v)
+    vertices — bc.sample_sources): uniform init, teleport mass split
+    evenly over the seeds."""
+    body = [
+        f"""srcs AS MATERIALIZED (
+  SELECT v AS s FROM (SELECT DISTINCT v FROM verts)
+  ORDER BY ('0x' || substr(md5('0:' || v::VARCHAR), 1, 15))::BIGINT, v
+  LIMIT {nseeds}
+)""",
+        "t0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts)",
+    ]
+    reset = (
+        f"CASE WHEN verts.v IN (SELECT s FROM srcs) "
+        f"THEN (1.0 - {delta}) / {nseeds} ELSE 0.0 END"
+    )
+    for i in range(1, k + 1):
+        body.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT verts.v, {reset} + {delta} * COALESCE(m.s, 0.0) AS rank
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.rank / d.outd) AS s
+    FROM edges e JOIN t{i - 1} p ON p.v = e.src JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = verts.v
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, ROUND(rank, 9) AS rank FROM t{k}"
+    )
+
+
 KATZ_ITERS = 8
 KATZ_ALPHA = 0.05
 KATZ_BETA = 1.0
@@ -1406,6 +1449,16 @@ def _q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         _graph(spark, sf_dir), threshold=PR_CONV_THRESHOLD, max_iter=PR_CONV_MAX_ITER
     )
     return ranked(res.state).select("v", F.round("rank", 6).alias("rank"))
+
+
+def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.bc import sample_sources
+    from gunrock_spark.algorithms.pagerank import trustrank
+
+    g = _graph(spark, sf_dir)
+    seeds = [r["source"] for r in sample_sources(g, TRUST_SEEDS).collect()]
+    res = trustrank(g, seeds, threshold=0.0, max_iter=TRUST_ITERS)
+    return res.state.select("v", F.round("rank", 9).alias("rank"))
 
 
 def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4026,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10": _q_pagerank_fixed,
         "pagerank_converged": _q_pagerank_converged,
         "katz_k8": _q_katz,
+        "trustrank_k8": _q_trustrank,
         "eigenvector_k10": _q_eigenvector,
         "cc_labels": _q_cc,
         "component_sizes": _q_component_sizes,
@@ -4124,6 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed10": _pagerank_fixed_sql(),
         "pagerank_converged": _pagerank_converged_sql(),
         "katz_k8": _katz_sql(),
+        "trustrank_k8": _trustrank_sql(),
         "eigenvector_k10": _eigenvector_sql(),
         "cc_labels": _cc_sql(),
         "component_sizes": _component_sizes_sql(),

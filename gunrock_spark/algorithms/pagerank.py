@@ -50,6 +50,7 @@ def pagerank(
     normalized: bool = True,
     compensate: bool = False,
     src: int | None = None,
+    seed_set: list[int] | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
@@ -98,6 +99,10 @@ def pagerank(
     ids forces that hot set (tests). Results are identical either
     way — only the physical join strategy changes.
     """
+    if src is not None and seed_set is not None:
+        raise ValueError("pass src OR seed_set, not both")
+    if seed_set is not None and len(seed_set) == 0:
+        raise ValueError("seed_set must be non-empty")
     spark = graph.edges.sparkSession
     edges = graph.edges
     n_real = graph.num_vertices()
@@ -291,11 +296,21 @@ def pagerank(
         # personalized mode (src set): the whole (1-delta) reset mass
         # lands on src — wtf_functor.cuh:119's
         # (1-delta) * [src_node == node || src_node == -1] term.
-        reset_col = (
-            F.lit(reset)
-            if src is None
-            else F.when(F.col("v") == src, F.lit(1.0 - delta)).otherwise(F.lit(0.0))
-        )
+        # seed_set generalizes it to a SEED SET with the mass split
+        # evenly (TrustRank, Gyongyi et al. VLDB 2004 — the biased
+        # PageRank d * T * t + (1-d) * τ with τ uniform over seeds).
+        if seed_set is not None:
+            share = (1.0 - delta) / len(seed_set)
+            reset_col = (
+                F.when(F.col("v").isin([int(s) for s in seed_set]), F.lit(share))
+                .otherwise(F.lit(0.0))
+            )
+        elif src is not None:
+            reset_col = (
+                F.when(F.col("v") == src, F.lit(1.0 - delta)).otherwise(F.lit(0.0))
+            )
+        else:
+            reset_col = F.lit(reset)
         new = new.select(
             "v",
             "out_degree",
@@ -334,6 +349,32 @@ def pagerank(
     if has_dangling:
         result.state = result.state.where(F.col("v") != SINK)
     return result
+
+
+def trustrank(
+    graph: EdgeTable,
+    seeds: list[int],
+    delta: float = 0.85,
+    threshold: float = 0.01,
+    max_iter: int = 50,
+    **kw,
+) -> IterationResult:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004): the
+    biased PageRank whose (1-delta) teleport mass is split evenly over
+    a trusted SEED SET instead of all pages — trust flows out of the
+    seeds along links and decays with distance, the standard web-spam
+    demotion signal. Same per-iteration plan as pagerank (one
+    co-partitioned join + partial-agg sum); the seed test compiles to
+    an InSet literal filter, no extra join, because real trust seed
+    sets are driver-sized (hundreds of hand-audited sites)."""
+    return pagerank(
+        graph,
+        delta=delta,
+        threshold=threshold,
+        max_iter=max_iter,
+        seed_set=[int(s) for s in seeds],
+        **kw,
+    )
 
 
 def weighted_pagerank(

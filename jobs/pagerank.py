@@ -48,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
                              "scc", "bowtie", "anf", "harmonic", "linkpred",
-                             "color", "katz", "eigenvector", "matching"],
+                             "color", "katz", "eigenvector", "matching",
+                             "trustrank"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -285,6 +286,14 @@ def main(argv: list[str] | None = None) -> int:
         res = None
         out_df = who_to_follow(graph, src=_default_source(),
                                delta=args.delta, max_iter=args.max_iter)
+    elif args.algorithm == "trustrank":
+        from gunrock_spark.algorithms.bc import sample_sources
+        from gunrock_spark.algorithms.pagerank import trustrank
+
+        seeds = [r["source"] for r in sample_sources(graph, args.num_sources).collect()]
+        res = trustrank(graph, seeds, delta=args.delta,
+                        threshold=args.threshold, max_iter=args.max_iter)
+        out_df = res.state
     elif args.algorithm == "matching":
         from gunrock_spark.algorithms.matching import maximal_matching
 

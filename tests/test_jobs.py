@@ -194,6 +194,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("katz", ["--max-iter", "4"]),
         ("eigenvector", ["--max-iter", "4"]),
         ("matching", []),
+        ("trustrank", ["--num-sources", "2", "--max-iter", "4"]),
     ],
 )
 def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, algo, extra):

@@ -174,3 +174,54 @@ def test_block_store_unsupported_scheme_fails_fast():
 
     with pytest.raises(RuntimeError, match="URI scheme"):
         _resolve_fs("alluxio://nope/store")
+
+
+def _py_trustrank(edges, seeds, d, iters):
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    outd = {v: 0 for v in verts}
+    clean = sorted({(s, t) for s, t in edges if s != t})
+    for s, _ in clean:
+        outd[s] += 1
+    x = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        msg = {v: 0.0 for v in verts}
+        for s, t in clean:
+            msg[t] += x[s] / outd[s]
+        x = {
+            v: ((1.0 - d) / len(seeds) if v in seeds else 0.0) + d * msg[v]
+            for v in verts
+        }
+    return x
+
+
+def test_trustrank_matches_python(spark):
+    from gunrock_spark.algorithms.pagerank import trustrank
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    seeds = [0, 2]
+    res = trustrank(g, seeds, delta=0.85, threshold=0.0, max_iter=6)
+    got = {r["v"]: r["rank"] for r in res.state.collect()}
+    want = _py_trustrank(G_TOY7, set(seeds), 0.85, 6)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_trustrank_mass_concentrates_at_seeds(spark):
+    from gunrock_spark.algorithms.pagerank import trustrank
+
+    # star out of seed 0: non-seed leaves only get flow-through trust
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1), (0, 2), (1, 0), (2, 0)]))
+    res = trustrank(g, [0], threshold=0.0, max_iter=20)
+    got = {r["v"]: r["rank"] for r in res.state.collect()}
+    assert got[0] > got[1] == got[2] > 0
+
+
+def test_trustrank_validation(spark):
+    from gunrock_spark.algorithms.pagerank import pagerank, trustrank
+
+    g = EdgeTable.from_df(edges_df(spark, G_PR4))
+    with pytest.raises(ValueError):
+        trustrank(g, [])
+    with pytest.raises(ValueError):
+        pagerank(g, src=0, seed_set=[1])
