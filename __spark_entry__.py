@@ -1639,6 +1639,41 @@ FROM pairs GROUP BY url, term"""
     )
 
 
+def _q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.gstats import diameter_double_sweep
+
+    return diameter_double_sweep(_graph(spark, sf_dir))
+
+
+def _diameter_sql(cap: int = BFS_DEPTH_CAP) -> str:
+    """Double-sweep diameter lower bound — two recursive undirected
+    BFS passes (gstats.diameter_double_sweep)."""
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + f""",
+srcv AS (SELECT MIN(v) AS s FROM verts),
+walk1(v, depth) AS (
+  SELECT s, 0 FROM srcv
+  UNION
+  SELECT e.dst, w.depth + 1 FROM walk1 w JOIN sym e ON e.src = w.v
+  WHERE w.depth < {cap}
+),
+d1 AS (SELECT v, MIN(depth) AS depth FROM walk1 GROUP BY v),
+far AS (SELECT v FROM d1 ORDER BY depth DESC, v LIMIT 1),
+walk2(v, depth) AS (
+  SELECT v, 0 FROM far
+  UNION
+  SELECT e.dst, w.depth + 1 FROM walk2 w JOIN sym e ON e.src = w.v
+  WHERE w.depth < {cap}
+),
+d2 AS (SELECT v, MIN(depth) AS depth FROM walk2 GROUP BY v)
+SELECT (SELECT s FROM srcv) AS start_v,
+       (SELECT v FROM far) AS far_v,
+       (SELECT CAST(MAX(depth) AS BIGINT) FROM d2) AS diameter_lb"""
+    )
+
+
 def _q_giant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gunrock_spark.algorithms.components import giant_component_summary
 
@@ -4103,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_edges": _q_matching,
         "giant_component": _q_giant_component,
         "anchor_texts": _q_anchor_texts,
+        "diameter_lb": _q_diameter,
         "modularity_lp3": _q_modularity,
         "sm_diamond": _q_sm_diamond,
         "dedup_exact": _q_dedup_exact,
@@ -4202,6 +4238,7 @@ def oracle_sql() -> dict[str, str]:
         "matching_edges": _matching_sql(),
         "giant_component": _giant_component_sql(),
         "anchor_texts": _anchor_texts_sql(),
+        "diameter_lb": _diameter_sql(),
         "modularity_lp3": _modularity_sql(),
         "sm_diamond": _sm_diamond_sql(),
         "dedup_exact": _dedup_exact_sql(),

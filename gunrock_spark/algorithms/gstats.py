@@ -200,3 +200,32 @@ def powerlaw_alpha(graph: EdgeTable, x_min: int = 2) -> DataFrame:
             / F.sum(F.log(F.col("deg") / F.lit(x_min - 0.5)))
         ).alias("alpha"),
     )
+
+
+def diameter_double_sweep(graph: EdgeTable, source: int | None = None) -> DataFrame:
+    """One row (start_v, far_v, diameter_lb): the standard double-sweep
+    diameter LOWER BOUND (Magnien-Latapy-Habib 2009) over the
+    UNDIRECTED graph — BFS from a start vertex, hop to the farthest
+    reached vertex (ties: smallest id), BFS again; the second
+    eccentricity lower-bounds the diameter and is usually tight on
+    web/power-law graphs. Two level-synchronous BFS runs = ~2·diameter
+    PR-iteration-class shuffles; for the full distance distribution
+    use HyperANF (algorithms/anf.py), which bounds work independent
+    of source choice."""
+    from gunrock_spark.algorithms.bfs import bfs
+
+    sym = graph.symmetrized()
+    if source is None:
+        source = sym.vertices.agg(F.min("v")).collect()[0][0]
+    first = bfs(sym, int(source)).state
+    far = first.agg(
+        F.max(F.struct(F.col("depth"), (-F.col("v")).alias("nv"))).alias("t")
+    ).collect()[0]["t"]
+    far_v = -int(far["nv"])
+    second = bfs(sym, far_v).state
+    ecc = second.agg(F.max("depth")).collect()[0][0]
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(int(source), far_v, int(ecc))],
+        schema="start_v long, far_v long, diameter_lb long",
+    )

@@ -196,3 +196,24 @@ def test_powerlaw_alpha_matches_python(spark):
     assert row.alpha == pytest.approx(want, rel=1e-9)
     # R-MAT is heavy-tailed: exponent lands in the plausible band
     assert 1.3 < row.alpha < 4.0
+
+
+def test_diameter_double_sweep_path_graph(spark):
+    from gunrock_spark.algorithms.gstats import diameter_double_sweep
+    from gunrock_spark.graph.generators import edges_df
+
+    # directed path 0->1->2->3->4: undirected diameter 4; the first
+    # sweep from 0 finds 4, the second sweep from 4 measures 4
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4)]))
+    row = diameter_double_sweep(g).collect()[0]
+    assert (row.start_v, row.far_v, row.diameter_lb) == (0, 4, 4)
+
+
+def test_diameter_double_sweep_cycle_and_tie(spark):
+    from gunrock_spark.algorithms.gstats import diameter_double_sweep
+    from gunrock_spark.graph.generators import edges_df
+
+    # 4-cycle: ecc 2 everywhere; farthest from 0 is {2} at depth 2
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]))
+    row = diameter_double_sweep(g).collect()[0]
+    assert (row.start_v, row.far_v, row.diameter_lb) == (0, 2, 2)
