@@ -1492,6 +1492,65 @@ def _q_lp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("v", "label")
 
 
+SEEDED_LP_ITERS = 6
+
+
+def _q_seeded_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading from the deterministic 4-seed
+    sample (each seed labeled with its own id); unlabeled -> -1."""
+    from gunrock_spark.algorithms.bc import sample_sources
+    from gunrock_spark.algorithms.label_propagation import seeded_label_propagation
+
+    g = _graph(spark, sf_dir)
+    seeds = sample_sources(g, TRUST_SEEDS).select(
+        F.col("source").alias("v"), F.col("source").alias("label")
+    )
+    res = seeded_label_propagation(g, seeds, max_iter=SEEDED_LP_ITERS)
+    return res.state.select("v", F.coalesce("label", F.lit(-1)).alias("label"))
+
+
+def _seeded_lp_sql(k: int = SEEDED_LP_ITERS, nseeds: int = TRUST_SEEDS) -> str:
+    """k rounds of hard-clamped seeded label spreading — exactly
+    label_propagation.seeded_label_propagation over sym edges."""
+    body = [
+        f"""srcs AS MATERIALIZED (
+  SELECT v AS s FROM (SELECT DISTINCT v FROM verts)
+  ORDER BY ('0x' || substr(md5('0:' || v::VARCHAR), 1, 15))::BIGINT, v
+  LIMIT {nseeds}
+)""",
+        """s0 AS (SELECT v, CASE WHEN v IN (SELECT s FROM srcs) THEN v END AS label
+FROM verts)""",
+    ]
+    for i in range(1, k + 1):
+        body.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT c.v,
+         CASE WHEN c.v IN (SELECT s FROM srcs) THEN c.label
+              ELSE COALESCE(nb.new_label, c.label) END AS label
+  FROM s{i - 1} c
+  LEFT JOIN (
+    SELECT v, new_label FROM (
+      SELECT s.dst AS v, p.label AS new_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.dst
+               ORDER BY COUNT(*) DESC, p.label ASC
+             ) AS rn
+      FROM sym s JOIN s{i - 1} p ON p.v = s.src
+      WHERE p.label IS NOT NULL
+      GROUP BY s.dst, p.label
+    ) t WHERE rn = 1
+  ) nb ON nb.v = c.v
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, COALESCE(label, -1) AS label FROM s{k}"
+    )
+
+
 def _q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_df(_graph(spark, sf_dir))
 
@@ -4115,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": _q_pagerank_converged,
         "katz_k8": _q_katz,
         "trustrank_k8": _q_trustrank,
+        "seeded_lp": _q_seeded_lp,
         "eigenvector_k10": _q_eigenvector,
         "cc_labels": _q_cc,
         "component_sizes": _q_component_sizes,
@@ -4215,6 +4275,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": _pagerank_converged_sql(),
         "katz_k8": _katz_sql(),
         "trustrank_k8": _trustrank_sql(),
+        "seeded_lp": _seeded_lp_sql(),
         "eigenvector_k10": _eigenvector_sql(),
         "cc_labels": _cc_sql(),
         "component_sizes": _component_sizes_sql(),

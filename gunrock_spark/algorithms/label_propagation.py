@@ -84,3 +84,73 @@ def label_propagation(
         return new, metrics
 
     return iterate(state, step, stop=lambda m: m["changed"] == 0, max_iter=max_iter)
+
+
+def seeded_label_propagation(
+    graph: EdgeTable,
+    seeds: DataFrame,
+    max_iter: int = 10,
+    directed: bool = False,
+) -> IterationResult:
+    """Semi-supervised label spreading (Zhu-Ghahramani 2002 family,
+    hard-clamped): ``seeds`` is DataFrame[v, label]; seed labels are
+    CLAMPED, every other vertex synchronously takes the most frequent
+    label among its LABELED neighbors (ties -> smallest label) each
+    round, starting unlabeled. Stops when no label changes. Result
+    state: (v, label) with label NULL for vertices no seed can reach.
+
+    Same per-round plan as mode-LP (one count shuffle + one max_by
+    aggregate — no window); the unlabeled frontier shrinks as labels
+    spread, and the join against the (100 TB) edge table only carries
+    currently-labeled rows."""
+    spark = graph.edges.sparkSession
+    edges = graph.edges if directed else graph.symmetrized().edges
+    seed_rows = seeds.select(
+        F.col("v").cast("long").alias("v"), F.col("label").cast("long").alias("slabel")
+    )
+    state = (
+        graph.vertices.join(seed_rows, "v", "left")
+        .select(
+            "v",
+            F.col("slabel").alias("label"),
+            F.col("slabel").isNotNull().alias("seed"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "v")
+        .localCheckpoint(eager=True)
+    )
+
+    def step(cur: DataFrame, i: int):
+        labeled = cur.where(F.col("label").isNotNull()).select("v", "label")
+        nbr = labeled.join(edges, labeled["v"] == edges["src"]).select(
+            edges["dst"].alias("v"), F.col("label").alias("nbr_label")
+        )
+        counts = nbr.groupBy("v", "nbr_label").agg(F.count(F.lit(1)).alias("cnt"))
+        agg = counts.groupBy("v").agg(
+            F.max_by(
+                "nbr_label", F.struct(F.col("cnt"), F.negative("nbr_label"))
+            ).alias("new_label")
+        )
+        new = (
+            cur.select("v", F.col("label").alias("prev"), "seed")
+            .join(agg, "v", "left")
+            .select(
+                "v",
+                F.when(F.col("seed"), F.col("prev"))
+                .otherwise(F.coalesce("new_label", F.col("prev")))
+                .alias("label"),
+                "prev",
+                "seed",
+            )
+        )
+
+        def metrics(materialized: DataFrame) -> dict:
+            changed = materialized.where(
+                ~(F.col("label").eqNullSafe(F.col("prev")))
+            ).count()
+            return {"changed": changed, "edges_traversed": graph.num_edges()}
+
+        return new, metrics
+
+    result = iterate(state, step, stop=lambda m: m["changed"] == 0, max_iter=max_iter)
+    result.state = result.state.select("v", "label")
+    return result

@@ -175,3 +175,66 @@ def test_bc_forward_one_job_per_level(spark):
     # (levels 1 .. max_depth+1, the last one returning 0)
     assert len(jobs) <= max_depth + 2, (len(jobs), max_depth)
     assert max_depth > 2  # non-trivial BFS: the bound actually binds
+
+
+def _py_seeded_lp(edges, seeds, iters, directed=False):
+    verts = sorted({v for e in edges for v in e})
+    adj = {}
+    clean = {(s, d) for s, d in edges if s != d}
+    if not directed:
+        clean |= {(d, s) for s, d in clean}
+    lab = {v: seeds.get(v) for v in verts}
+    for _ in range(iters):
+        from collections import Counter
+
+        incoming = {v: Counter() for v in verts}
+        for s, d in clean:
+            if lab[s] is not None:
+                incoming[d][lab[s]] += 1
+        new = {}
+        changed = False
+        for v in verts:
+            if v in seeds:
+                new[v] = seeds[v]
+            elif incoming[v]:
+                best = sorted(incoming[v].items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[v] = best
+            else:
+                new[v] = lab[v]
+            if new[v] != lab[v]:
+                changed = True
+        lab = new
+        if not changed:
+            break
+    return lab
+
+
+def test_seeded_lp_matches_python(spark):
+    from gunrock_spark.algorithms.label_propagation import seeded_label_propagation
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import G_TOY7, edges_df
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    seeds = {0: 100, 5: 200}
+    sdf = spark.createDataFrame(list(seeds.items()), schema="v long, label long")
+    res = seeded_label_propagation(g, sdf, max_iter=10)
+    got = {r.v: r.label for r in res.state.collect()}
+    want = _py_seeded_lp(G_TOY7, seeds, 10)
+    assert got == want
+    # seeds stayed clamped
+    assert got[0] == 100 and got[5] == 200
+
+
+def test_seeded_lp_unreachable_stays_null(spark):
+    from gunrock_spark.algorithms.label_propagation import seeded_label_propagation
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import edges_df
+
+    # two components; seed only in the first
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2), (10, 11)]))
+    sdf = spark.createDataFrame([(0, 7)], schema="v long, label long")
+    res = seeded_label_propagation(g, sdf, max_iter=10)
+    got = {r.v: r.label for r in res.state.collect()}
+    assert got[0] == got[1] == got[2] == 7
+    assert got[10] is None and got[11] is None
+    assert res.converged
