@@ -1,6 +1,20 @@
-from gunrock_spark.algorithms.pagerank import pagerank, ranked, weighted_pagerank
-from gunrock_spark.algorithms.components import component_sizes, connected_components
-from gunrock_spark.algorithms.label_propagation import label_propagation
+from gunrock_spark.algorithms.pagerank import (
+    pagerank,
+    ranked,
+    trustrank,
+    weighted_pagerank,
+)
+from gunrock_spark.algorithms.components import (
+    component_sizes,
+    connected_components,
+    giant_component,
+    giant_component_summary,
+    induced_subgraph,
+)
+from gunrock_spark.algorithms.label_propagation import (
+    label_propagation,
+    seeded_label_propagation,
+)
 from gunrock_spark.algorithms.triangles import (
     triangle_count,
     triangle_count_df,
@@ -15,6 +29,8 @@ from gunrock_spark.algorithms.wtf import who_to_follow
 from gunrock_spark.algorithms.kcore import core_numbers, k_core, k_core_vertices
 from gunrock_spark.algorithms.ktruss import k_truss
 from gunrock_spark.algorithms.mis import maximal_independent_set
+from gunrock_spark.algorithms.matching import maximal_matching
+from gunrock_spark.algorithms.katz import eigenvector_centrality, katz_centrality
 from gunrock_spark.algorithms.topk import degree_topk
 from gunrock_spark.algorithms.louvain import louvain, louvain_communities
 from gunrock_spark.algorithms.modularity import modularity
@@ -27,7 +43,15 @@ from gunrock_spark.algorithms.subgraph_match import (
 __all__ = [
     "pagerank",
     "ranked",
+    "trustrank",
     "weighted_pagerank",
+    "katz_centrality",
+    "eigenvector_centrality",
+    "maximal_matching",
+    "giant_component",
+    "giant_component_summary",
+    "induced_subgraph",
+    "seeded_label_propagation",
     "connected_components",
     "component_sizes",
     "label_propagation",
