@@ -87,6 +87,9 @@ def katz_centrality(
     max_iter: int = 8,
     tol: float = 0.0,
     skew: str | list[int] = "auto",
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> IterationResult:
     """Katz centrality: IterationResult with state DataFrame[v, score].
 
@@ -94,6 +97,11 @@ def katz_centrality(
     converge; with fixed ``max_iter`` any alpha yields the truncated
     series (the oracle contract). ``tol=0`` disables early stop so the
     iteration count — and therefore the SQL replay — is exact.
+
+    ``checkpoint_dir``/``resume`` give the same kill/resume contract
+    as pagerank (engine/checkpoint.py): per-partition state snapshots
+    + metrics every ``checkpoint_interval`` iterations; a resumed run
+    continues mid-series and reaches the identical truncated sum.
     """
     spark = graph.edges.sparkSession
     state = (
@@ -101,6 +109,25 @@ def katz_centrality(
         .repartition(spark.sparkContext.defaultParallelism, "v")
         .localCheckpoint(eager=True)
     )
+    checkpointer = None
+    start_iter, prior_metrics = 0, None
+    if checkpoint_dir is not None:
+        from gunrock_spark.engine.checkpoint import CheckpointManager
+
+        checkpointer = CheckpointManager(
+            checkpoint_dir,
+            config={
+                "algorithm": "katz",
+                "alpha": alpha,
+                "beta": beta,
+                "tol": tol,
+                "m": graph.num_edges(),
+            },
+        )
+        if resume:
+            loaded = checkpointer.load_latest(spark)
+            if loaded is not None:
+                state, start_iter, prior_metrics = loaded
     hot = _hot_split(graph, skew)
 
     def step(cur: DataFrame, i: int):
@@ -134,6 +161,10 @@ def katz_centrality(
         step,
         stop=(lambda m: m["max_delta"] <= tol) if tol > 0 else (lambda m: False),
         max_iter=max_iter,
+        checkpointer=checkpointer,
+        checkpoint_interval=checkpoint_interval,
+        start_iteration=start_iter,
+        prior_metrics=prior_metrics,
     )
     result.state = result.state.select("v", "score")
     for split in hot[1:]:

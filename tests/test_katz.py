@@ -98,3 +98,25 @@ def test_eigenvector_zero_in_mass_fixpoint(spark):
     g = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2), (2, 3)]))
     res = eigenvector_centrality(g, max_iter=6)
     assert all(r["score"] == 0.0 for r in res.state.collect())
+
+
+def test_katz_checkpoint_resume_bit_identical(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    ckpt = str(tmp_path / "katz_ckpt")
+    # full run (checkpoints at iteration 5 of 8)
+    full = katz_centrality(g, alpha=0.1, max_iter=8, checkpoint_dir=ckpt,
+                           checkpoint_interval=5)
+    # resumed run continues from the snapshot and lands on the
+    # identical truncated series
+    resumed = katz_centrality(g, alpha=0.1, max_iter=8, checkpoint_dir=ckpt,
+                              checkpoint_interval=5, resume=True)
+    diff = (
+        full.state.alias("a")
+        .join(resumed.state.alias("b"), "v")
+        .agg(F.max(F.abs(F.col("a.score") - F.col("b.score"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert diff == 0.0
+    assert resumed.iterations == 8
