@@ -2917,6 +2917,35 @@ GROUP BY qs.q"""
     )
 
 
+LENFILTER_QS = (0.05, 0.99)
+
+
+def _q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length filter: sketch-estimated [q05, q99]
+    token-count band (pipeline/text.length_percentile_filter)."""
+    from gunrock_spark.pipeline.text import length_percentile_filter
+
+    lo, hi = LENFILTER_QS
+    return length_percentile_filter(
+        _docs(spark, sf_dir), low_q=lo, high_q=hi, bins_per_octave=LOGHIST_BPO
+    )
+
+
+def _length_filter_sql() -> str:
+    lo, hi = LENFILTER_QS
+    return (
+        _log_hist_ctes()
+        + f""",
+cum AS (SELECT bin, lo, SUM(n) OVER (ORDER BY bin) AS cum FROM hist_lo),
+total AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM hist_lo),
+tlo AS (SELECT MIN(lo) AS e FROM cum WHERE cum >= {lo} * (SELECT t FROM total)),
+thi AS (SELECT MIN(lo) AS e FROM cum WHERE cum >= {hi} * (SELECT t FROM total))
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       len(t) >= (SELECT e FROM tlo) AND len(t) <= (SELECT e FROM thi) AS keep
+FROM toks"""
+    )
+
+
 def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL register table over distinct document texts
     (pipeline/sketches.py) — bounded-memory distinct counting; the
@@ -4239,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_hist_tokens": _q_log_hist,
         "hll_by_source": _q_hll_by_source,
         "log_hist_quantiles": _q_log_hist_quantiles,
+        "length_filter": _q_length_filter,
         "hll_distinct": _q_hll_distinct,
         "cms_estimates": _q_cms_estimates,
         "random_walks_k3": _q_random_walks,
@@ -4344,6 +4374,7 @@ FROM events GROUP BY 1, 2""",
         "log_hist_tokens": _log_hist_sql(),
         "hll_by_source": _hll_by_source_sql(),
         "log_hist_quantiles": _log_hist_quantiles_sql(),
+        "length_filter": _length_filter_sql(),
         "hll_distinct": _hll_distinct_sql(),
         "cms_estimates": _cms_estimates_sql(),
         "random_walks_k3": _walks_sql(),

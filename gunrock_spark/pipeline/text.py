@@ -277,3 +277,41 @@ def bm25(
         .agg(F.sum("s").alias("score"))
         .select(F.col("_id").alias(id_col), "score")
     )
+
+
+def length_percentile_filter(
+    df: DataFrame,
+    low_q: float = 0.05,
+    high_q: float = 0.99,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bins_per_octave: int = 8,
+) -> DataFrame:
+    """(id, n_tokens, keep) — corpus-RELATIVE length filtering: keep
+    documents whose token count lies within [q_low, q_high] of the
+    corpus's own length distribution, estimated by the log-binned
+    quantile sketch (pipeline/sketches.py). Unlike Gopher's absolute
+    50/100k-token cutoffs this adapts to the corpus; the sketch makes
+    it one partial-agg pass + a <= 63*bpo-row driver threshold
+    instead of an exact global sort of 10^12 lengths.
+
+    Threshold semantics (deterministic, integer): a doc keeps iff
+    est(low_q) <= n_tokens <= est(high_q), where est() is the
+    conservative lower-edge estimator — both bounds are exact
+    integers, so the filter is bit-reproducible in SQL."""
+    from gunrock_spark.pipeline.sketches import log_histogram, quantile_estimates
+
+    counts = df.select(
+        F.col(id_col), F.size(_token_col(text_col)).cast("long").alias("n_tokens")
+    )
+    hist = log_histogram(counts, "n_tokens", bins_per_octave)
+    qs = {
+        r["q"]: r["est"]
+        for r in quantile_estimates(hist, [low_q, high_q], bins_per_octave).collect()
+    }
+    lo, hi = int(qs[low_q]), int(qs[high_q])
+    return counts.select(
+        id_col,
+        "n_tokens",
+        ((F.col("n_tokens") >= lo) & (F.col("n_tokens") <= hi)).alias("keep"),
+    )

@@ -734,3 +734,19 @@ def test_hll_grouped_matches_ungrouped_per_group(spark):
     # order-of-magnitude sanity: 50 vs 1000 true distincts
     assert 40 <= grouped["a"][0] <= 60
     assert 800 <= grouped["b"][0] <= 1200
+
+
+def test_length_percentile_filter(spark):
+    from gunrock_spark.pipeline.text import length_percentile_filter
+
+    # 100 docs of increasing length 1..100 words
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.keep) for r in
+           length_percentile_filter(df, low_q=0.10, high_q=0.90).collect()}
+    assert out[1] == (1, False)        # below q10 band
+    assert out[50] == (50, True)       # mid-band kept
+    assert out[100][1] is False        # above q90 band
+    # the band is contiguous: kept set is an interval
+    kept = sorted(d for d, (_, k) in out.items() if k)
+    assert kept == list(range(kept[0], kept[-1] + 1))
