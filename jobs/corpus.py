@@ -47,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
             "exact-dedup", "minhash-dedup", "line-dedup", "decontaminate",
             "gopher", "lm-ppl", "quality", "langid", "pii",
             "canonicalize", "latest-crawl", "mixture-sample",
+            "length-filter",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -137,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.ingest.recrawl import latest_snapshot
 
         out = latest_snapshot(docs)
+    elif args.op == "length-filter":
+        from gunrock_spark.pipeline.text import length_percentile_filter
+
+        out = length_percentile_filter(docs, id_col=idc, text_col=txc)
     else:  # mixture-sample
         from gunrock_spark.pipeline.lm import mixture_sample
 

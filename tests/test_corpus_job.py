@@ -95,3 +95,12 @@ def test_flag_validation(spark, docs_parquet, tmp_path):
         _run(["--input", docs_parquet, "--op", "decontaminate", "--out", "x"])
     with pytest.raises(SystemExit):
         _run(["--input", docs_parquet, "--op", "mixture-sample", "--out", "x"])
+
+
+def test_length_filter_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    assert _run(["--input", docs_parquet, "--op", "length-filter", "--out", out]) == 0
+    m = _manifest(capsys)
+    assert m["rows_in"] == 5 and m["rows_out"] == 5
+    got = {r.doc_id: r.keep for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
