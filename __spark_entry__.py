@@ -3212,6 +3212,64 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def _q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pair counts over the deterministic walk sample — the
+    DeepWalk pair-generation stage (algorithms/walks.skipgram_pairs)."""
+    from gunrock_spark.algorithms.walks import random_walks, skipgram_pairs
+
+    g = _graph(spark, sf_dir)
+    walks = random_walks(
+        g, walk_length=WALKS_LEN, walks_per_vertex=WALKS_PER_VERTEX, seed=WALKS_SEED
+    )
+    return skipgram_pairs(walks, window=SKIPGRAM_WINDOW)
+
+
+def _skipgram_sql(
+    k: int = WALKS_LEN,
+    walks: int = WALKS_PER_VERTEX,
+    seed: int = WALKS_SEED,
+    window: int = SKIPGRAM_WINDOW,
+) -> str:
+    """The _walks_sql unroll + an in-walk position self-join within
+    ``window`` steps."""
+    walk_rows = " UNION ALL ".join(f"SELECT {w} AS walk" for w in range(walks))
+    body = [
+        *_WALK_BASE_CTES,
+        f"wk AS ({walk_rows})",
+        "s0 AS (SELECT v AS start, walk, v AS cur FROM verts CROSS JOIN wk)",
+    ]
+    for t in range(1, k + 1):
+        body.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT s.start, s.walk, r.dst AS cur
+  FROM s{t - 1} s
+  JOIN degl dg ON dg.v = s.cur
+  JOIN ranked r ON r.src = s.cur
+   AND r.rnk = {_walk_hash_sql("s.cur", t, walks, seed)} % dg.d
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, CAST({t} AS INT) AS step, cur AS v FROM s{t}"
+        for t in range(0, k + 1)
+    )
+    body.append(f"allw AS MATERIALIZED ({selects})")
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"""
+SELECT a.v AS center, b.v AS context, CAST(COUNT(*) AS BIGINT) AS n
+FROM allw a JOIN allw b
+  ON a.start = b.start AND a.walk = b.walk
+ AND a.step <> b.step AND ABS(a.step - b.step) <= {window}
+GROUP BY a.v, b.v"""
+    )
+
+
 def _walk_hash_sql(cur_expr: str, t: int, walks: int, seed: int) -> str:
     """The walks determinism contract's hash, as a SQL expression —
     wid = start * walks_per_vertex + walk is mixed in so walks that
@@ -4272,6 +4330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "cms_estimates": _q_cms_estimates,
         "random_walks_k3": _q_random_walks,
+        "skipgram_pairs_w2": _q_skipgram,
         "node2vec_walks_k3": _q_node2vec_walks,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
@@ -4378,6 +4437,7 @@ FROM events GROUP BY 1, 2""",
         "hll_distinct": _hll_distinct_sql(),
         "cms_estimates": _cms_estimates_sql(),
         "random_walks_k3": _walks_sql(),
+        "skipgram_pairs_w2": _skipgram_sql(),
         "node2vec_walks_k3": _node2vec_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),

@@ -305,3 +305,36 @@ def node2vec_walks(
             )
         )
     return _finish(levels, persisted)
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """DataFrame[center, context, n]: skip-gram (center, context)
+    co-occurrence counts within ``window`` steps along each walk — the
+    pair-generation stage between random_walks/node2vec_walks and a
+    word2vec-style embedding trainer (DeepWalk §4.2).
+
+    Scale shape: each walk's rows are gathered into ONE array
+    (groupBy(start, walk) — walk length is bounded, so rows are tiny),
+    pairs are generated IN-ARRAY with higher-order functions (no
+    walk-id self-join, which would re-shuffle the |walks|x(len+1) table
+    a second time), and one map-side-combined groupBy counts them."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    arr = walks.groupBy("start", "walk").agg(
+        F.array_sort(F.collect_list(F.struct("step", "v"))).alias("w")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(w, a ->
+                  transform(
+                    filter(w, x -> x.step <> a.step
+                                AND abs(x.step - a.step) <= {int(window)}),
+                    b -> struct(a.v AS center, b.v AS context))))"""
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -248,3 +248,41 @@ def test_stratified_sample_deterministic(docs):
         for r in stratified_sample(docs.repartition(6), "lang", "doc_id", 7, seed=3).collect()
     )
     assert a == b
+
+
+def test_skipgram_pairs_window_and_counts(spark):
+    from gunrock_spark.algorithms.walks import skipgram_pairs
+
+    # two walks: (0,0): 5-6-7-8 ; (0,1): 5-6-5 (repeat pair)
+    rows = [
+        (0, 0, 0, 5), (0, 0, 1, 6), (0, 0, 2, 7), (0, 0, 3, 8),
+        (0, 1, 0, 5), (0, 1, 1, 6), (0, 1, 2, 5),
+    ]
+    w = spark.createDataFrame(rows, schema="start long, walk int, step int, v long")
+    got = {(r.center, r.context): r.n for r in skipgram_pairs(w, 2).collect()}
+    # window 1 pairs from walk 0: (5,6),(6,5),(6,7),(7,6),(7,8),(8,7)
+    # window 2 adds (5,7),(7,5),(6,8),(8,6)
+    assert got[(5, 7)] == 1 and got[(6, 8)] == 1
+    # walk 1 contributes (5,6)x2 (steps 0-1 and 2-1), (5,5)x2, (6,5)x2
+    assert got[(5, 6)] == 1 + 2
+    assert got[(5, 5)] == 2
+    # symmetric counts overall
+    assert all(got[(a, b)] == got[(b, a)] for (a, b) in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skipgram_pairs(w, 0)
+
+
+def test_skipgram_plan_no_self_join_shuffle(spark):
+    """Pair generation is in-array: the physical plan has exactly the
+    two aggregate exchanges (walk gather + pair count), no join."""
+    from gunrock_spark.algorithms.walks import skipgram_pairs
+
+    rows = [(0, 0, 0, 5), (0, 0, 1, 6)]
+    w = spark.createDataFrame(
+        rows, schema="start long, walk int, step int, v long"
+    ).localCheckpoint(eager=True)
+    plan = skipgram_pairs(w, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
