@@ -2064,6 +2064,62 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the rolled-up host graph, labels
+    mapped back to host names. host_dictionary assigns ids by sorted
+    host, so the engine's min-id label IS the lexicographically
+    smallest reachable host — which the oracle computes directly on
+    strings, an independent path."""
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.ingest.hosts import host_dictionary
+
+    rollup = _q_host_rollup(spark, sf_dir)
+    d = host_dictionary(rollup)
+    src_ids = d.select(F.col("host").alias("src_host"), F.col("v").alias("src"))
+    dst_ids = d.select(F.col("host").alias("dst_host"), F.col("v").alias("dst"))
+    edges = rollup.join(src_ids, "src_host").join(dst_ids, "dst_host").select("src", "dst")
+    g = EdgeTable.from_df(edges)
+    labels = connected_components(g).state
+    lab_host = d.select(F.col("v").alias("label"), F.col("host").alias("component_host"))
+    return (
+        labels.join(d, "v")
+        .join(lab_host, "label")
+        .select("host", "component_host")
+    )
+
+
+def _host_components_sql() -> str:
+    from gunrock_spark.ingest.hosts import HOST_RE
+
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + f""",
+urls AS (
+  SELECT printf('{_URL_FMT}', src // {HOST_BUCKET}, src % {HOST_BUCKET}) AS url,
+         printf('{_URL_FMT}', dst // {HOST_BUCKET}, dst % {HOST_BUCKET}) AS target_url
+  FROM edges
+),
+hl AS (
+  SELECT DISTINCT regexp_extract(url, '{HOST_RE}', 1) AS a,
+         regexp_extract(target_url, '{HOST_RE}', 1) AS b
+  FROM urls
+  WHERE regexp_extract(url, '{HOST_RE}', 1) <> ''
+    AND regexp_extract(target_url, '{HOST_RE}', 1) <> ''
+    AND regexp_extract(url, '{HOST_RE}', 1) <> regexp_extract(target_url, '{HOST_RE}', 1)
+),
+hverts AS (SELECT a AS h FROM hl UNION SELECT b FROM hl),
+hsym AS (SELECT a, b FROM hl UNION SELECT b, a FROM hl),
+reach(h, label) AS (
+  SELECT h, h FROM hverts
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN hsym s ON s.a = r.h
+)
+SELECT h AS host, MIN(label) AS component_host FROM reach GROUP BY h"""
+    )
+
+
 def _host_pagerank_sql(k: int = HOSTPR_ITERS, delta: float = 0.85) -> str:
     from gunrock_spark.ingest.hosts import HOST_RE
 
@@ -4308,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_k20": _q_kcore,
         "core_numbers": _q_core_numbers,
         "host_link_rollup": _q_host_rollup,
+        "host_components": _q_host_components,
         "host_pagerank_w10": _q_host_pagerank,
         "term_counts_top100": _q_term_counts,
         "bigram_counts_top100": _q_bigram_counts,
@@ -4415,6 +4472,7 @@ FROM events GROUP BY 1, 2""",
         "kcore_k20": _kcore_sql(),
         "core_numbers": _core_numbers_sql(),
         "host_link_rollup": _host_rollup_sql(),
+        "host_components": _host_components_sql(),
         "host_pagerank_w10": _host_pagerank_sql(),
         "term_counts_top100": _term_counts_sql(),
         "bigram_counts_top100": _bigram_counts_sql(),
