@@ -1698,6 +1698,73 @@ FROM pairs GROUP BY url, term"""
     )
 
 
+REACH_K = 3
+
+
+def _q_reach_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop IN-neighborhood of the min vertex ("who links here,
+    transitively") — BFS over the reversed graph, a one-line
+    composition of existing operators (EdgeTable.reversed + bfs)."""
+    from gunrock_spark.algorithms.bfs import bfs
+
+    g = _graph(spark, sf_dir)
+    src = _min_vertex(g)
+    res = bfs(g.reversed(), src, max_depth=REACH_K)
+    return res.state.select("v", "depth")
+
+
+def _reach_in_sql(k: int = REACH_K) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + f""",
+srcv AS (SELECT MIN(v) AS s FROM verts),
+walk(v, depth) AS (
+  SELECT s, 0 FROM srcv
+  UNION
+  SELECT e.src, w.depth + 1 FROM walk w JOIN edges e ON e.dst = w.v
+  WHERE w.depth < {k}
+)
+SELECT v, MIN(depth) AS depth FROM walk GROUP BY v"""
+    )
+
+
+def _q_knn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.gstats import avg_neighbor_degree
+
+    return avg_neighbor_degree(_graph(spark, sf_dir))
+
+
+def _knn_profile_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+dg AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+both_dir AS (
+  SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und
+),
+per_v AS (
+  SELECT bd.v, SUM(du.deg) AS s, COUNT(*) AS d
+  FROM both_dir bd JOIN dg du ON du.v = bd.u
+  GROUP BY bd.v
+)
+SELECT dv.deg AS degree,
+       ROUND(SUM(p.s) / SUM(p.d), 6) AS avg_nbr_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM per_v p JOIN dg dv ON dv.v = p.v
+GROUP BY dv.deg"""
+    )
+
+
 def _q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gunrock_spark.algorithms.gstats import diameter_double_sweep
 
@@ -4342,6 +4409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "giant_component": _q_giant_component,
         "anchor_texts": _q_anchor_texts,
         "diameter_lb": _q_diameter,
+        "reach_in_k3": _q_reach_in,
+        "knn_profile": _q_knn_profile,
         "modularity_lp3": _q_modularity,
         "sm_diamond": _q_sm_diamond,
         "dedup_exact": _q_dedup_exact,
@@ -4446,6 +4515,8 @@ def oracle_sql() -> dict[str, str]:
         "giant_component": _giant_component_sql(),
         "anchor_texts": _anchor_texts_sql(),
         "diameter_lb": _diameter_sql(),
+        "reach_in_k3": _reach_in_sql(),
+        "knn_profile": _knn_profile_sql(),
         "modularity_lp3": _modularity_sql(),
         "sm_diamond": _sm_diamond_sql(),
         "dedup_exact": _dedup_exact_sql(),

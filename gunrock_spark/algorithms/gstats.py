@@ -229,3 +229,40 @@ def diameter_double_sweep(graph: EdgeTable, source: int | None = None) -> DataFr
         [(int(source), far_v, int(ecc))],
         schema="start_v long, far_v long, diameter_lb long",
     )
+
+
+def avg_neighbor_degree(graph: EdgeTable) -> DataFrame:
+    """DataFrame[degree, avg_nbr_degree, n_vertices]: the degree
+    correlation profile knn(k) (Pastor-Satorras et al. 2001) over the
+    simple undirected graph — for each undirected degree k, the
+    degree-weighted mean neighbor degree (sum of neighbor degrees over
+    sum of edge endpoints in the class — one exact-integer ratio). The
+    standard one-plot summary of assortative mixing (flat = neutral,
+    rising = assortative); complements the scalar Newman coefficient
+    (degree_assortativity).
+
+    Exact-integer plan: undirected degrees once (|E|-row partial agg),
+    one |E|-row join to pair each endpoint with its neighbor's degree,
+    per-vertex integer sums, then per-degree-class means — every
+    exchange partial-aggregable, floats only in the final division."""
+    und = _simple_undirected(graph)
+    deg = _undirected_degrees(graph)
+    both = und.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    nbr_deg = both.join(
+        deg.select(F.col("v").alias("u"), F.col("deg").alias("u_deg")), "u"
+    )
+    per_v = nbr_deg.groupBy("v").agg(
+        F.sum("u_deg").alias("s"), F.count(F.lit(1)).alias("d")
+    )
+    per_v = per_v.join(deg, "v").select(
+        F.col("deg").alias("degree"), "s", "d"
+    )
+    # class mean as ONE division of two exact integer sums (the
+    # degree-weighted knn variant): sum-of-doubles averaging would be
+    # partition-order-dependent and break cross-engine equality
+    return per_v.groupBy("degree").agg(
+        F.round(F.sum("s") / F.sum("d"), 6).alias("avg_nbr_degree"),
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+    )

@@ -217,3 +217,39 @@ def test_diameter_double_sweep_cycle_and_tie(spark):
     g = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]))
     row = diameter_double_sweep(g).collect()[0]
     assert (row.start_v, row.far_v, row.diameter_lb) == (0, 2, 2)
+
+
+def test_avg_neighbor_degree_star_and_path(spark):
+    from gunrock_spark.algorithms.gstats import avg_neighbor_degree
+    from gunrock_spark.graph.generators import edges_df
+
+    # star: center 0 with leaves 1..4 -> leaves (deg 1) see deg-4
+    # center; center (deg 4) sees deg-1 leaves
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1), (0, 2), (0, 3), (0, 4)]))
+    got = {r.degree: (r.avg_nbr_degree, r.n_vertices)
+           for r in avg_neighbor_degree(g).collect()}
+    assert got[1] == (4.0, 4)
+    assert got[4] == (1.0, 1)
+
+    # path 0-1-2: ends (deg 1) see the deg-2 middle; middle sees two
+    # deg-1 ends -> 1.0
+    g2 = EdgeTable.from_df(edges_df(spark, [(0, 1), (1, 2)]))
+    got2 = {r.degree: (r.avg_nbr_degree, r.n_vertices)
+            for r in avg_neighbor_degree(g2).collect()}
+    assert got2[1] == (2.0, 2)
+    assert got2[2] == (1.0, 1)
+
+
+def test_avg_neighbor_degree_weighted_class_mean(spark):
+    from gunrock_spark.algorithms.gstats import avg_neighbor_degree
+    from gunrock_spark.graph.generators import edges_df
+
+    # two deg-1 vertices with different neighbor degrees: 3 attaches
+    # to hub 0 (deg 3), 4 attaches to 5 (deg 1 -> no, make deg 2)
+    # graph: 0-1, 0-2, 0-3 (hub 0 deg 3), 4-5, 5-6 (path)
+    edges = [(0, 1), (0, 2), (0, 3), (4, 5), (5, 6)]
+    g = EdgeTable.from_df(edges_df(spark, edges))
+    got = {r.degree: r.avg_nbr_degree for r in avg_neighbor_degree(g).collect()}
+    # deg-1 class: 1,2,3 see deg 3 each; 4,6 see deg 2 each ->
+    # weighted mean = (3+3+3+2+2)/5 = 2.6
+    assert got[1] == 2.6

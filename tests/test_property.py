@@ -107,3 +107,66 @@ def test_kcore_matches_python_peeling_property(spark, raw, k):
     want = _py_kcore(clean, k)
     got = {r["v"]: r["deg"] for r in k_core_vertices(g, k).collect()}
     assert got == want
+
+
+@given(raw=edge_lists)
+@SLOW
+def test_matching_invariants_property(spark, raw):
+    """For EVERY edge list: the matching is independent (no shared
+    endpoint) and maximal (every simple undirected edge touches a
+    matched vertex)."""
+    from gunrock_spark.algorithms.matching import maximal_matching
+
+    g = EdgeTable.from_df(edges_df(spark, raw))
+    got = [(r["a"], r["b"]) for r in maximal_matching(g).state.collect()]
+    verts = [v for e in got for v in e]
+    assert len(verts) == len(set(verts))
+    vset = set(verts)
+    simple = {(min(s, d), max(s, d)) for s, d in raw if s != d}
+    assert all(a in vset or b in vset for a, b in simple)
+
+
+@given(raw=edge_lists, alpha=st.sampled_from([0.05, 0.1]))
+@SLOW
+def test_katz_matches_python_property(spark, raw, alpha):
+    from gunrock_spark.algorithms.katz import katz_centrality
+
+    cleaned = clean_edges(raw)
+    if not cleaned:
+        return
+    g = EdgeTable.from_df(edges_df(spark, cleaned))
+    got = {
+        r["v"]: r["score"]
+        for r in katz_centrality(g, alpha=alpha, max_iter=4).state.collect()
+    }
+    verts = sorted({v for e in cleaned for v in e})
+    x = {v: 1.0 for v in verts}
+    for _ in range(4):
+        msg = {v: 0.0 for v in verts}
+        for s, d in cleaned:
+            msg[d] += x[s]
+        x = {v: 1.0 + alpha * msg[v] for v in verts}
+    for v in x:
+        assert got[v] == pytest.approx(x[v], abs=1e-9)
+
+
+@given(vals=st.lists(st.integers(0, 1 << 45), min_size=1, max_size=30))
+@SLOW
+def test_log_histogram_total_and_edges_property(spark, vals):
+    """Histogram counts always sum to the row count, and every value
+    is >= its bin's lower edge (the conservative-quantile contract)."""
+    from gunrock_spark.pipeline.sketches import log_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], schema="x long")
+    rows = log_histogram(df, "x", 8).collect()
+    assert sum(r["n"] for r in rows) == len(vals)
+    lo_by_bin = {r["bin"]: r["lo"] for r in rows}
+
+    def pybin(x):
+        if x <= 0:
+            return -1
+        o = x.bit_length() - 1
+        return o * 8 + ((x - (1 << o)) * 8) // (1 << o)
+
+    for v in vals:
+        assert lo_by_bin[pybin(v)] <= max(v, 0)

@@ -238,3 +238,15 @@ def test_seeded_lp_unreachable_stays_null(spark):
     assert got[0] == got[1] == got[2] == 7
     assert got[10] is None and got[11] is None
     assert res.converged
+
+
+def test_reversed_bfs_k_hop_in_neighborhood(spark):
+    from gunrock_spark.algorithms.bfs import bfs
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import edges_df
+
+    # chain 3->2->1->0 plus a far link 9->3; 3-hop in-neighborhood of 0
+    g = EdgeTable.from_df(edges_df(spark, [(3, 2), (2, 1), (1, 0), (9, 3)]))
+    res = bfs(g.reversed(), 0, max_depth=3)
+    got = {r.v: r.depth for r in res.state.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 9 is 4 hops away, cut off
