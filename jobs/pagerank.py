@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--walk-length", type=int, default=4,
                     help="steps per walk (walks/node2vec)")
     ap.add_argument("--walks-per-vertex", type=int, default=1)
+    ap.add_argument("--skipgram-window", type=int, default=0,
+                    help="walks/node2vec: emit skip-gram (center, "
+                         "context, n) pair counts within this window "
+                         "instead of raw walks (0 = raw walks)")
     ap.add_argument("--p", type=int, default=1,
                     help="node2vec return penalty (positive integer)")
     ap.add_argument("--q", type=int, default=1,
@@ -383,6 +387,12 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
         )
     else:  # topk
+        pass
+    if args.algorithm in ("walks", "node2vec") and args.skipgram_window > 0:
+        from gunrock_spark.algorithms.walks import skipgram_pairs
+
+        out_df = skipgram_pairs(out_df, window=args.skipgram_window)
+    if args.algorithm == "topk":
         from gunrock_spark.algorithms.topk import degree_topk
 
         res = None

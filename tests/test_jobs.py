@@ -210,3 +210,14 @@ def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, 
     assert got.count() > 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["algorithm"] == algo
+
+
+def test_job_walks_skipgram_window(spark, edges_parquet, tmp_path, capsys):
+    out = str(tmp_path / "out_sg")
+    rc = _run_job(["--edges", edges_parquet, "--algorithm", "walks",
+                   "--walk-length", "3", "--walks-per-vertex", "2",
+                   "--skipgram-window", "2", "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"center", "context", "n"}
+    assert got.count() > 0
