@@ -24,7 +24,7 @@ from gunrock_spark.algorithms.bfs import bfs
 from gunrock_spark.algorithms.components import component_sizes, connected_components
 from gunrock_spark.algorithms.hits import hits
 from gunrock_spark.algorithms.label_propagation import label_propagation
-from gunrock_spark.algorithms.modularity import modularity
+from gunrock_spark.algorithms.modularity import conductance, modularity
 from gunrock_spark.algorithms.pagerank import pagerank, ranked
 from gunrock_spark.algorithms.subgraph_match import subgraph_match
 from gunrock_spark.algorithms.salsa import salsa
@@ -801,6 +801,46 @@ q AS (
   JOIN outd kd ON kd.v = same.dst
 )
 SELECT ROUND(q.s / (4.0 * m.m * m.m), 6) AS modularity FROM q, m"""
+    )
+
+
+def _conductance_sql(k: int = LP_MODE_ITERS) -> str:
+    """Per-community conductance of the k-round mode-LP assignment:
+    phi(S) = cut(S) / min(vol(S), vol(V) - vol(S)) over the
+    symmetrized graph, vol from symmetrized degrees."""
+    lp_body = _lp_mode_sql(k)
+    prefix = lp_body.rsplit("\nSELECT", 1)[0]
+    return (
+        prefix
+        + f""",
+sdeg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+vol AS (
+  SELECT c.label,
+         CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(sd.d) AS BIGINT) AS volume
+  FROM l{k} c JOIN sdeg sd ON sd.v = c.v
+  GROUP BY c.label
+),
+tv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tv FROM sym),
+cut AS (
+  SELECT cs.label, CAST(COUNT(*) AS BIGINT) AS cut
+  FROM sym s
+  JOIN l{k} cs ON cs.v = s.src
+  JOIN l{k} cd ON cd.v = s.dst
+  WHERE cs.label <> cd.label
+  GROUP BY cs.label
+)
+SELECT vol.label, vol.n_vertices, vol.volume,
+       COALESCE(cut.cut, 0) AS cut,
+       ROUND(CASE
+         WHEN LEAST(CAST(vol.volume AS DOUBLE), tv.tv - vol.volume) <= 0
+           THEN 0.0
+         ELSE COALESCE(cut.cut, 0)
+              / LEAST(CAST(vol.volume AS DOUBLE), tv.tv - vol.volume)
+       END, 6) AS conductance
+FROM vol
+CROSS JOIN tv
+LEFT JOIN cut ON cut.label = vol.label"""
     )
 
 
@@ -1828,6 +1868,20 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     comm = label_propagation(g, mode="mode", max_iter=LP_MODE_ITERS).state
     return modularity(g, comm.select("v", "label")).select(
         F.round("modularity", 6).alias("modularity")
+    )
+
+
+def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the k-round mode-LP assignment —
+    the cut-quality companion to modularity_lp3 over the same labels."""
+    g = _graph(spark, sf_dir)
+    comm = label_propagation(g, mode="mode", max_iter=LP_MODE_ITERS).state
+    return conductance(g, comm.select("v", "label")).select(
+        "label",
+        "n_vertices",
+        "volume",
+        "cut",
+        F.round("conductance", 6).alias("conductance"),
     )
 
 
@@ -4412,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reach_in_k3": _q_reach_in,
         "knn_profile": _q_knn_profile,
         "modularity_lp3": _q_modularity,
+        "conductance_lp3": _q_conductance,
         "sm_diamond": _q_sm_diamond,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -4518,6 +4573,7 @@ def oracle_sql() -> dict[str, str]:
         "reach_in_k3": _reach_in_sql(),
         "knn_profile": _knn_profile_sql(),
         "modularity_lp3": _modularity_sql(),
+        "conductance_lp3": _conductance_sql(),
         "sm_diamond": _sm_diamond_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "token_stats": _token_stats_sql(),

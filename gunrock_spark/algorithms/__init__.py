@@ -33,7 +33,7 @@ from gunrock_spark.algorithms.matching import maximal_matching
 from gunrock_spark.algorithms.katz import eigenvector_centrality, katz_centrality
 from gunrock_spark.algorithms.topk import degree_topk
 from gunrock_spark.algorithms.louvain import louvain, louvain_communities
-from gunrock_spark.algorithms.modularity import modularity
+from gunrock_spark.algorithms.modularity import conductance, modularity
 from gunrock_spark.algorithms.walks import random_walks
 from gunrock_spark.algorithms.subgraph_match import (
     subgraph_match,
@@ -75,6 +75,7 @@ __all__ = [
     "k_core_vertices",
     "core_numbers",
     "random_walks",
+    "conductance",
     "modularity",
     "subgraph_match",
     "subgraph_match_count",

@@ -33,6 +33,63 @@ from pyspark.sql import DataFrame, functions as F
 from gunrock_spark.graph.edge_table import EdgeTable
 
 
+def conductance(graph: EdgeTable, communities: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected (symmetrized)
+    view — the standard cut-quality companion to :func:`modularity`
+    (Kannan-Vempala-Vetta; the metric the reference's partitioner
+    family tries to minimize as "edge cut",
+    gunrock/partitioner/metis.cuh-era apps):
+
+        phi(S) = cut(S) / min(vol(S), vol(V) - vol(S))
+
+    with vol(S) = sum of symmetrized degrees of S's members and
+    cut(S) = number of undirected edges with exactly one endpoint in
+    S. Returns DataFrame[label, n_vertices, volume, cut, conductance];
+    communities whose smaller side has zero volume score 0.0.
+
+    Spark plan (one pass): the |E|-row symmetrized table joins the
+    |V|-row label table on both endpoints (cut), the cached degree
+    table joins it once (volume); both collapse through partial-agg
+    groupBys keyed by label. One |E| shuffle + two |V| shuffles —
+    the modularity shape, scale-safe at web size. The total volume is
+    the cached symmetrized edge count (driver scalar, no extra scan
+    when ``symmetrized()`` was already materialized by CC/LP).
+    """
+    sym = graph.symmetrized()
+    comm = communities.select("v", "label")
+
+    vol = (
+        sym.degrees.join(comm, "v")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum("out_degree").cast("long").alias("volume"),
+        )
+    )
+    cs = comm.select(F.col("v").alias("cs_v"), F.col("label").alias("src_label"))
+    cd = comm.select(F.col("v").alias("cd_v"), F.col("label").alias("dst_label"))
+    cut = (
+        sym.edges.join(cs, sym.edges["src"] == cs["cs_v"])
+        .join(cd, sym.edges["dst"] == cd["cd_v"])
+        .where(F.col("src_label") != F.col("dst_label"))
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    total_vol = float(sym.num_edges())  # = sum of symmetrized degrees
+    min_side = F.least(
+        F.col("volume").cast("double"), F.lit(total_vol) - F.col("volume")
+    )
+    return vol.join(cut, "label", "left").select(
+        "label",
+        "n_vertices",
+        "volume",
+        F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+        F.when(min_side <= 0, F.lit(0.0))
+        .otherwise(F.coalesce("cut", F.lit(0)).cast("double") / min_side)
+        .alias("conductance"),
+    )
+
+
 def modularity(graph: EdgeTable, communities: DataFrame) -> DataFrame:
     """Modularity Q of ``communities`` (DataFrame[v, label]) over the
     cleaned directed edge table. Returns a 1-row DataFrame[modularity]

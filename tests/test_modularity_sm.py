@@ -117,3 +117,80 @@ def test_sm_undirected_triangle_matches_6x_triangles(spark):
     cyc = [(0, 1), (1, 2), (2, 0)]
     got = subgraph_match_count(g, cyc, undirected=True).collect()[0]["n_matches"]
     assert got == 6 * triangle_count(g)
+
+
+# ---------------------------------------------------------------------------
+# conductance
+# ---------------------------------------------------------------------------
+
+
+def conductance_ref(edges, communities):
+    """phi(S) = cut(S)/min(vol(S), vol(V)-vol(S)) over the undirected
+    (symmetrized, deduped) view; vol from symmetrized degrees."""
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    total_vol = len(sym)
+    out = {}
+    for label in set(communities.values()):
+        members = {v for v, l in communities.items() if l == label}
+        vol = sum(deg.get(v, 0) for v in members)
+        cut = sum(1 for s, d in sym if s in members and d not in members)
+        side = min(vol, total_vol - vol)
+        phi = 0.0 if side <= 0 else cut / side
+        out[label] = (len(members), vol, cut, phi)
+    return out
+
+
+def test_conductance_toy7_lp_communities(spark):
+    from gunrock_spark.algorithms.modularity import conductance
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    comm = label_propagation(g, mode="mode", max_iter=3).state
+    got = {
+        r["label"]: (r["n_vertices"], r["volume"], r["cut"], r["conductance"])
+        for r in conductance(g, comm.select("v", "label")).collect()
+    }
+    labels = {r["v"]: r["label"] for r in comm.select("v", "label").collect()}
+    want = conductance_ref(clean_edges(G_TOY7), labels)
+    assert set(got) == set(want)
+    for label, (n, vol, cut, phi) in want.items():
+        gn, gvol, gcut, gphi = got[label]
+        assert (gn, gvol, gcut) == (n, vol, cut)
+        assert gphi == pytest.approx(phi, abs=1e-12)
+
+
+def test_conductance_all_one_community_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from gunrock_spark.algorithms.modularity import conductance
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    comm = g.vertices.select("v", F.lit(0).alias("label"))
+    rows = conductance(g, comm).collect()
+    assert len(rows) == 1
+    assert rows[0]["cut"] == 0
+    assert rows[0]["conductance"] == 0.0
+
+
+def test_conductance_rmat_vs_python(spark):
+    from gunrock_spark.algorithms.modularity import conductance
+
+    edges = [tuple(map(int, e)) for e in rmat_edges(scale=5, edge_factor=4, seed=11)]
+    g = EdgeTable.from_df(edges_df(spark, edges))
+    comm = label_propagation(g, mode="mode", max_iter=2).state
+    got = {
+        r["label"]: (r["n_vertices"], r["volume"], r["cut"], r["conductance"])
+        for r in conductance(g, comm.select("v", "label")).collect()
+    }
+    labels = {r["v"]: r["label"] for r in comm.select("v", "label").collect()}
+    want = conductance_ref(clean_edges(edges), labels)
+    assert set(got) == set(want)
+    for label, (n, vol, cut, phi) in want.items():
+        assert got[label][:3] == (n, vol, cut)
+        assert got[label][3] == pytest.approx(phi, abs=1e-12)
