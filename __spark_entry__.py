@@ -49,6 +49,7 @@ from gunrock_spark.pipeline.similarity import (
     cosine_topk,
     ivf_index,
     ivf_search,
+    semdedup,
 )
 from gunrock_spark.pipeline.text import (
     fingerprint,
@@ -2623,6 +2624,108 @@ MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src17": 0.8}
 MIX_SEED = 42
 
 
+DSIR_BUCKETS = 4096
+DSIR_K = 0.5
+DSIR_SOURCES = ("src1", "src2", "src3")  # the "target domain" corpus
+DSIR_SAMPLE_K = 50
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    log-ratio score of every document against a target-domain subset
+    (pipeline/lm.dsir_weights)."""
+    from gunrock_spark.pipeline.lm import dsir_weights
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    target = docs.where(F.col("source").isin(*DSIR_SOURCES))
+    out = dsir_weights(docs, target, buckets=DSIR_BUCKETS, k=DSIR_K)
+    return out.select("doc_id", "n_feats", F.round("logw", 6).alias("logw"))
+
+
+def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection over the same weights — the
+    deterministic without-replacement resampling pass."""
+    from gunrock_spark.pipeline.lm import dsir_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    target = docs.where(F.col("source").isin(*DSIR_SOURCES))
+    out = dsir_sample(
+        docs, target, n_keep=DSIR_SAMPLE_K, buckets=DSIR_BUCKETS, k=DSIR_K
+    )
+    return out.select(
+        "doc_id", F.round("logw", 6).alias("logw"), F.round("score", 6).alias("score")
+    )
+
+
+def _dsir_ctes(buckets: int = DSIR_BUCKETS, k: float = DSIR_K) -> str:
+    """Shared CTE chain: hashed-bigram features for corpus + target,
+    bucket counts, the log-ratio table, per-doc weights."""
+    h = _H60.format(x="gram")
+    srcs = ", ".join(f"'{s}'" for s in DSIR_SOURCES)
+    return f"""
+tk AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, source, ({h}) % {buckets} AS bucket FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS gram
+    FROM tk WHERE len(t) >= 2
+  )
+),
+tfe AS (SELECT bucket FROM feats WHERE source IN ({srcs})),
+sc AS (SELECT bucket, COUNT(*) AS c FROM feats GROUP BY bucket),
+tc AS (SELECT bucket, COUNT(*) AS c FROM tfe GROUP BY bucket),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tfe),
+lam AS (
+  SELECT sc.bucket,
+         ln((COALESCE(tc.c, 0) + {k}) / (nt.n + {k} * {buckets}))
+         - ln((sc.c + {k}) / (ns.n + {k} * {buckets})) AS lam
+  FROM sc LEFT JOIN tc ON tc.bucket = sc.bucket
+  CROSS JOIN ns CROSS JOIN nt
+),
+docw AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, SUM(lam.lam) AS logw
+  FROM feats f JOIN lam ON lam.bucket = f.bucket
+  GROUP BY f.doc_id
+)"""
+
+
+def _dsir_weights_sql() -> str:
+    return f"""
+WITH {_dsir_ctes()}
+SELECT d.doc_id,
+       COALESCE(docw.n_feats, 0) AS n_feats,
+       ROUND(COALESCE(docw.logw, 0.0), 6) AS logw
+FROM documents d LEFT JOIN docw ON docw.doc_id = d.doc_id"""
+
+
+def _dsir_sample_sql(n_keep: int = DSIR_SAMPLE_K) -> str:
+    hu = _H60.format(x="CAST(doc_id AS VARCHAR) || ':dsir:42'")
+    return f"""
+WITH {_dsir_ctes()},
+w AS (
+  SELECT d.doc_id, COALESCE(docw.logw, 0.0) AS logw
+  FROM documents d LEFT JOIN docw ON docw.doc_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id, logw,
+         logw + (-ln(-ln((({hu}) + 0.5) / {float(1 << 60)}))) AS score
+  FROM w
+)
+SELECT doc_id, ROUND(logw, 6) AS logw, ROUND(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {n_keep}"""
+
+
 def _q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped perplexity filter: unigram add-k model trained on
     the corpus, every document scored (pipeline/lm.py)."""
@@ -3335,6 +3438,68 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids, assignments = ivf_index(e, n_lists=8)
     return ivf_search(e, centroids, assignments, queries, k=3, nprobe=4)
+
+
+SEMDEDUP_THRESHOLD = 0.3  # sf embeddings are random 64-dim; within-list
+SEMDEDUP_LISTS = 8  # pairs at cos >= 0.3 exist but are sparse
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: IVF-cluster the embeddings, drop every
+    vector with a smaller-id within-cluster neighbor at cosine >=
+    threshold (pipeline/similarity.semdedup). Deterministic index +
+    keep rule, so the oracle replays cluster assignment AND the drop
+    decision exactly."""
+    e = _embeds(spark, sf_dir)
+    return semdedup(
+        e, threshold=SEMDEDUP_THRESHOLD, n_lists=SEMDEDUP_LISTS
+    ).orderBy("vec_id")
+
+
+def _semdedup_sql(
+    threshold: float = SEMDEDUP_THRESHOLD, n_lists: int = SEMDEDUP_LISTS
+) -> str:
+    """Replica of the engine's semdedup: the ann_ivf centroid/assignment
+    CTEs + within-list smaller-id cosine pairs + the keep rule."""
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+ranked_c AS (
+  SELECT vec_id, cv,
+         ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS list_id
+  FROM c
+),
+cent AS (SELECT list_id, cv AS centroid FROM ranked_c WHERE list_id < {n_lists}),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT c.vec_id, cent.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.cv, cent.centroid)
+                      / (sqrt(list_dot_product(c.cv, c.cv))
+                         * sqrt(list_dot_product(cent.centroid, cent.centroid))) DESC,
+                      cent.list_id ASC
+           ) AS rn
+    FROM c, cent
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a
+  JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN c ca ON ca.vec_id = a.vec_id
+  JOIN c cb ON cb.vec_id = b.vec_id
+  WHERE list_dot_product(ca.cv, cb.cv)
+        / (sqrt(list_dot_product(ca.cv, ca.cv))
+           * sqrt(list_dot_product(cb.cv, cb.cv))) >= {threshold}
+)
+SELECT asg.vec_id, CAST(asg.list_id AS INT) AS list_id,
+       (d.vec_id IS NULL) AS keep
+FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id
+ORDER BY asg.vec_id"""
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4480,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_top5": _q_ann_topk,
         "ann_ivf_top3": _q_ann_ivf,
+        "semdedup_keep": _q_semdedup,
         "embedding_near_dups": _q_embed_near_dup,
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
         "events_hourly": _q_events_hourly,
@@ -4498,6 +4664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "url_canonical": _q_url_canon,
         "lm_ppl": _q_lm_ppl,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample_top50": _q_dsir_sample,
         "docs_mixture_sample": _q_mixture_sample,
         "latest_crawl": _q_latest_crawl,
         "crawl_stats": _q_crawl_stats,
@@ -4588,6 +4756,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top5": _ann_topk_sql(),
         "ann_ivf_top3": _ann_ivf_sql(),
         "sessions_gap": __import__("gunrock_spark.streaming.sessions", fromlist=["sessions_gap_sql"]).sessions_gap_sql(1_800_000),
+        "semdedup_keep": _semdedup_sql(),
         "embedding_near_dups": _embed_near_dup_sql(),
         "embedding_near_dups_lsh": _embed_near_dup_lsh_sql(),
         "events_hourly": """
@@ -4609,6 +4778,8 @@ FROM events GROUP BY 1, 2""",
         "gopher_repetition": _gopher_repetition_sql(),
         "url_canonical": _url_canon_sql(),
         "lm_ppl": _lm_ppl_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "dsir_sample_top50": _dsir_sample_sql(),
         "docs_mixture_sample": _mixture_sample_sql(),
         "latest_crawl": _latest_crawl_sql(),
         "crawl_stats": _crawl_stats_sql(),

@@ -143,3 +143,130 @@ def mixture_sample(
     for src, frac in sorted(fractions.items()):
         pred = pred | ((F.col(source_col) == src) & (u < F.lit(float(frac))))
     return df.where(pred)
+
+
+def _hashed_ngram_features(
+    df: DataFrame, text_col: str, id_col: str | None, n: int, buckets: int
+) -> DataFrame:
+    """(id?, bucket) — one row per token n-gram, hashed into ``buckets``
+    buckets (h60 % buckets). The n-grams are built inside the token
+    array (no self-join), the hash is JVM-side — scan-bound."""
+    from gunrock_spark.functions.hashing import h60
+
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    cols = [F.col(id_col)] if id_col else []
+    return (
+        df.where(F.size(toks) >= n)
+        .select(*cols, F.explode(grams).alias("gram"))
+        .select(*cols, (h60(F.col("gram")) % F.lit(buckets)).alias("bucket"))
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    n: int = 2,
+    k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how target-like its hashed n-gram distribution is,
+
+        logw(doc) = sum over doc n-grams of
+                    ln p_target(bucket) - ln p_source(bucket)
+
+    with hashed-bigram bag-of-words features (the paper's estimator)
+    and add-k smoothing over the fixed bucket vocabulary. Returns
+    DataFrame[<id_col>, n_feats, logw] covering EVERY corpus document
+    (no-feature docs score 0.0).
+
+    Scale shape: two bucket-count groupBys (map-side combine; state
+    bounded by ``buckets``, not vocab), one bucket-keyed join of the
+    exploded corpus features against the ``buckets``-row log-ratio
+    table (broadcast-able by construction), one per-doc groupBy.
+    No Python, no all-pairs, nothing grows with the target corpus."""
+    src_f = _hashed_ngram_features(corpus, text_col, id_col, n, buckets)
+    tgt_f = _hashed_ngram_features(target, text_col, None, n, buckets)
+
+    src_counts = src_f.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_src")
+    )
+    tgt_counts = tgt_f.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_tgt")
+    )
+    n_src = src_f.count()
+    n_tgt = tgt_f.count()
+    denom_s = float(n_src) + k * buckets
+    denom_t = float(n_tgt) + k * buckets
+
+    lam = src_counts.join(tgt_counts, "bucket", "left").select(
+        "bucket",
+        (
+            F.log((F.coalesce("c_tgt", F.lit(0)) + F.lit(k)) / F.lit(denom_t))
+            - F.log((F.col("c_src") + F.lit(k)) / F.lit(denom_s))
+        ).alias("lam"),
+    )
+    docw = (
+        src_f.join(lam, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lam").alias("logw"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(docw, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_keep: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    n: int = 2,
+    k: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k resampling over the importance
+    weights — sampling n_keep docs without replacement with probability
+    proportional to exp(logw), made deterministic by deriving the
+    Gumbel noise from the arithmetic id hash (retry/engine-stable,
+    like pipeline/sampling.hash_sample):
+
+        u     = (h60(id:dsir:seed) + 0.5) / 2^60        in (0, 1)
+        score = logw + (-ln(-ln(u)))
+        keep  = top n_keep by (score desc, id)
+
+    Returns DataFrame[<id_col>, logw, score]. The top-k compiles to
+    TakeOrderedAndProject (per-partition heads + driver merge), never
+    a global sort."""
+    from gunrock_spark.functions.hashing import h60
+
+    w = dsir_weights(corpus, target, text_col, id_col, buckets, n, k)
+    u = (
+        h60(F.concat(F.col(id_col).cast("string"), F.lit(f":dsir:{seed}")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.select(id_col, "logw", (F.col("logw") + gumbel).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(n_keep)
+    )

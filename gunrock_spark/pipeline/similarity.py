@@ -446,3 +446,66 @@ def cosine_near_dup_pairs(
     ).where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int | None = None,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding corpus with the deterministic IVF/k-means
+    index, then within each cluster drop every vector that has a
+    smaller-id neighbor at cosine >= ``threshold``. Returns
+    DataFrame[<corpus_id>, list_id, keep boolean] over the whole
+    corpus — ``keep = false`` marks the semantic duplicates.
+
+    The keep rule (smallest id per epsilon-similar group survives) is
+    the same canonical-representative convention as
+    ``pipeline/dedup.dedup_clusters``; it is deterministic and
+    SQL-replayable, unlike the paper's random-ordering greedy pass.
+
+    Scale design: NEVER all-pairs — the pairwise cosine check runs
+    only inside one inverted list. With the default ~sqrt(n) lists the
+    expected list size is ~sqrt(n), so the total candidate volume is
+    ~n^1.5 worst-case but bounded per-reducer by the largest list; a
+    skewed list is a data-model signal (duplicate mass), exactly what
+    the threshold then removes. ``refine_iters`` Lloyd rounds tighten
+    the lists (fewer cross-list misses) at one broadcast-join pass
+    per round. Cross-cluster near-duplicates are invisible by design
+    (the paper's recall/cost trade)."""
+    c = corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
+    _, assignments = ivf_index(
+        corpus, n_lists, corpus_id, vec_col, refine_iters=refine_iters
+    )
+    withv = c.join(assignments, corpus_id)
+    a = withv.select(
+        F.col(corpus_id).alias("id_a"), "list_id", F.col("cv").alias("va")
+    )
+    b = withv.select(
+        F.col(corpus_id).alias("id_b"), "list_id", F.col("cv").alias("vb")
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb")))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("id_b").alias(corpus_id))
+        .distinct()
+    )
+    return (
+        assignments.join(
+            dropped.withColumn("_dropped", F.lit(True)), corpus_id, "left"
+        )
+        .select(
+            corpus_id,
+            "list_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -82,3 +82,98 @@ def test_mixture_sample_plan_is_pure_filter(spark):
         .toString()
     )
     assert "Exchange" not in plan  # no shuffle: a scan-bound filter
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _dsir_ref(docs, target_texts, buckets, n, k):
+    """Pure-python DSIR weights: hashed n-gram bag-of-words log-ratio."""
+    import re
+
+    def feats(text):
+        t = re.findall("[a-z0-9]+", text.lower())
+        return [
+            _h60_py(" ".join(t[i : i + n])) % buckets
+            for i in range(len(t) - n + 1)
+        ]
+
+    src = [b for _, text in docs for b in feats(text)]
+    tgt = [b for text in target_texts for b in feats(text)]
+    from collections import Counter
+
+    cs, ct = Counter(src), Counter(tgt)
+    ds, dt = len(src) + k * buckets, len(tgt) + k * buckets
+    out = {}
+    for doc_id, text in docs:
+        fs = feats(text)
+        out[doc_id] = (
+            len(fs),
+            sum(
+                math.log((ct[b] + k) / dt) - math.log((cs[b] + k) / ds)
+                for b in fs
+            ),
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta alpha beta", "web"),
+        (1, "alpha beta gamma delta epsilon zeta", "web"),
+        (2, "lorem ipsum dolor sit amet consectetur", "web"),
+        (3, "lorem ipsum dolor sit amet adipiscing", "web"),
+        (4, "alpha beta alpha beta alpha beta", "wiki"),
+        (5, "gamma delta gamma delta gamma delta", "wiki"),
+        (6, "x", "web"),  # single token: no bigrams
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+
+
+def test_dsir_weights_match_python(spark, dsir_docs):
+    from gunrock_spark.pipeline.lm import dsir_weights
+
+    target = dsir_docs.where(F.col("source") == "wiki")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in dsir_weights(dsir_docs, target, buckets=64, k=0.5).collect()
+    }
+    docs = [(r["doc_id"], r["text"]) for r in dsir_docs.collect()]
+    tgt = [r["text"] for r in target.collect()]
+    want = _dsir_ref(docs, tgt, buckets=64, n=2, k=0.5)
+    assert set(got) == set(want)
+    for d, (nf, lw) in want.items():
+        assert got[d][0] == nf
+        assert got[d][1] == pytest.approx(lw, abs=1e-9)
+    # target-like docs (alpha-beta / gamma-delta heavy) outrank the
+    # lorem-ipsum docs that share nothing with the target domain
+    assert min(got[0][1], got[1][1]) > max(got[2][1], got[3][1])
+    # no-feature doc scores exactly 0
+    assert got[6] == (0, 0.0)
+
+
+def test_dsir_sample_is_deterministic_topk(spark, dsir_docs):
+    from gunrock_spark.pipeline.lm import dsir_sample, dsir_weights
+
+    target = dsir_docs.where(F.col("source") == "wiki")
+    out1 = dsir_sample(dsir_docs, target, n_keep=3, buckets=64, seed=9).collect()
+    out2 = dsir_sample(dsir_docs, target, n_keep=3, buckets=64, seed=9).collect()
+    assert [r["doc_id"] for r in out1] == [r["doc_id"] for r in out2]
+    assert len(out1) == 3
+    # scores sorted descending; score = logw + gumbel(h60(id))
+    scores = [r["score"] for r in out1]
+    assert scores == sorted(scores, reverse=True)
+    w = {r["doc_id"]: r["logw"] for r in dsir_weights(dsir_docs, target, buckets=64).collect()}
+    for r in out1:
+        u = (_h60_py(f"{r['doc_id']}:dsir:9") + 0.5) / float(1 << 60)
+        want = w[r["doc_id"]] + (-math.log(-math.log(u)))
+        assert r["score"] == pytest.approx(want, abs=1e-9)

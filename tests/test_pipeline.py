@@ -750,3 +750,52 @@ def test_length_percentile_filter(spark):
     # the band is contiguous: kept set is an interval
     kept = sorted(d for d, (_, k) in out.items() if k)
     assert kept == list(range(kept[0], kept[-1] + 1))
+
+
+def _semdedup_ref(mat, assignments, threshold):
+    """Pure-python semdedup keep rule: drop any id with a smaller-id
+    within-cluster neighbor at cosine >= threshold."""
+    keep = {}
+    for vid in mat:
+        keep[vid] = True
+        for other, v in mat.items():
+            if other >= vid or assignments[other] != assignments[vid]:
+                continue
+            cos = float(
+                np.dot(mat[vid], v)
+                / (np.linalg.norm(mat[vid]) * np.linalg.norm(v))
+            )
+            if cos >= threshold:
+                keep[vid] = False
+                break
+    return keep
+
+
+def test_semdedup_matches_python_and_drops_planted_dup(spark, vectors):
+    from gunrock_spark.pipeline.similarity import semdedup
+
+    got = {
+        r["vec_id"]: (r["list_id"], r["keep"])
+        for r in semdedup(vectors, threshold=0.9, n_lists=8).collect()
+    }
+    assert len(got) == 41
+    # replicate against the engine's own (deterministic) assignment
+    _, assignments = ivf_index(vectors, n_lists=8)
+    asg = {r["vec_id"]: r["list_id"] for r in assignments.collect()}
+    mat = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vectors.collect()
+    }
+    want = _semdedup_ref(mat, asg, 0.9)
+    assert {v: k for v, (_, k) in got.items()} == want
+    # the planted near-duplicate of vector 0 lands in its cluster and
+    # is dropped; the original (smaller id) survives
+    assert asg[40] == asg[0]
+    assert got[40][1] is False and got[0][1] is True
+
+
+def test_semdedup_threshold_one_epsilon_keeps_all_but_exact(spark, vectors):
+    from gunrock_spark.pipeline.similarity import semdedup
+
+    got = {r["vec_id"]: r["keep"] for r in semdedup(vectors, threshold=1.1).collect()}
+    assert all(got.values())  # nothing reaches cosine >= 1.1
