@@ -535,6 +535,43 @@ FROM verts LEFT JOIN counts ON counts.v = verts.v"""
     )
 
 
+_SQUARES_CTES = (
+    _EDGES_CTES
+    + """,
+wedge AS (
+  SELECT s1.dst AS u, s2.dst AS w
+  FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+),
+codeg AS (SELECT u, w, COUNT(*) AS c FROM wedge GROUP BY u, w)"""
+)
+
+
+def _squares_total_sql() -> str:
+    """#C4 = (1/2) sum over endpoint pairs of C(codeg, 2) — exact
+    integer arithmetic end to end (algorithms/motifs.py identity)."""
+    return (
+        "WITH "
+        + _SQUARES_CTES
+        + "\nSELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) // 2 AS BIGINT)"
+        " AS squares FROM codeg"
+    )
+
+
+def _squares_per_vertex_sql() -> str:
+    return (
+        "WITH "
+        + _SQUARES_CTES
+        + """,
+pairs AS (SELECT u, w, (c * (c - 1)) // 2 AS p FROM codeg),
+ends AS (
+  SELECT u AS v, p FROM pairs UNION ALL SELECT w AS v, p FROM pairs
+),
+perv AS (SELECT v, SUM(p) AS squares FROM ends GROUP BY v)
+SELECT verts.v, CAST(COALESCE(perv.squares, 0) AS BIGINT) AS squares
+FROM verts LEFT JOIN perv ON perv.v = verts.v"""
+    )
+
+
 def _degree_topk_sql(k: int = TOPK_K) -> str:
     return (
         "WITH "
@@ -1605,6 +1642,21 @@ def _q_triangles_per_vertex_blocks(spark: SparkSession, sf_dir: str) -> DataFram
     LRU slice cache, per-corner partial counts) — the scale path,
     gated against the same SQL oracle as the wedge-join variant."""
     return triangle_count_per_vertex_blocks(_graph(spark, sf_dir))
+
+
+def _q_squares_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total 4-cycle count over the undirected view — exchange-free
+    wedge self-join on the cached symmetrized layout + one partial-agg
+    groupBy (algorithms/motifs.py)."""
+    from gunrock_spark.algorithms.motifs import square_count_df
+
+    return square_count_df(_graph(spark, sf_dir))
+
+
+def _q_squares_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.motifs import squares_per_vertex
+
+    return squares_per_vertex(_graph(spark, sf_dir))
 
 
 def _q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4613,6 +4665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_blocks": _q_triangles_blocks,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_per_vertex_blocks": _q_triangles_per_vertex_blocks,
+        "squares_total": _q_squares_total,
+        "squares_per_vertex": _q_squares_per_vertex,
         "degree_topk": _q_degree_topk,
         "edge_clean": _q_edge_clean,
         "degree_histogram": _q_degree_histogram,
@@ -4723,6 +4777,8 @@ def oracle_sql() -> dict[str, str]:
         "triangles_blocks": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "triangles_per_vertex_blocks": _triangles_per_vertex_sql(),
+        "squares_total": _squares_total_sql(),
+        "squares_per_vertex": _squares_per_vertex_sql(),
         "degree_topk": _degree_topk_sql(),
         "edge_clean": _edge_clean_sql(),
         "degree_histogram": _degree_histogram_sql(),

@@ -34,6 +34,11 @@ from gunrock_spark.algorithms.katz import eigenvector_centrality, katz_centralit
 from gunrock_spark.algorithms.topk import degree_topk
 from gunrock_spark.algorithms.louvain import louvain, louvain_communities
 from gunrock_spark.algorithms.modularity import conductance, modularity
+from gunrock_spark.algorithms.motifs import (
+    square_count,
+    square_count_df,
+    squares_per_vertex,
+)
 from gunrock_spark.algorithms.walks import random_walks
 from gunrock_spark.algorithms.subgraph_match import (
     subgraph_match,
@@ -77,6 +82,9 @@ __all__ = [
     "random_walks",
     "conductance",
     "modularity",
+    "square_count",
+    "square_count_df",
+    "squares_per_vertex",
     "subgraph_match",
     "subgraph_match_count",
 ]
