@@ -572,6 +572,71 @@ FROM verts LEFT JOIN perv ON perv.v = verts.v"""
     )
 
 
+DENSEST_ROUNDS = 30  # n<=2^EDGE_MOD at sf0.01 peels out in <=~18 rounds
+DENSEST_FACTOR = (3, 2)  # (1+eps) = 3/2
+
+
+def _densest_round_ctes(k: int = DENSEST_ROUNDS) -> str:
+    """Survivor/degree/stat CTEs s0..s{k-1} for the Bahmani peel with
+    exact integer thresholds (algorithms/densest.py contract)."""
+    a, b = DENSEST_FACTOR
+    parts = ["s0 AS MATERIALIZED (SELECT v FROM verts)"]
+    for r in range(k):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT s.src AS v, COUNT(*) AS d
+  FROM sym s JOIN s{r} sa ON sa.v = s.src JOIN s{r} sb ON sb.v = s.dst
+  GROUP BY s.src
+),
+n{r} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s{r}),
+m{r} AS (SELECT CAST(COALESCE(SUM(d), 0) AS BIGINT) AS m FROM d{r})"""
+        )
+        if r + 1 < k:
+            parts.append(
+                f"""s{r + 1} AS MATERIALIZED (
+  SELECT s.v FROM s{r} s
+  LEFT JOIN d{r} dd ON dd.v = s.v
+  CROSS JOIN n{r} CROSS JOIN m{r}
+  WHERE COALESCE(dd.d, 0) * n{r}.n * {b} > {a} * m{r}.m
+)"""
+            )
+    traj = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, n{r}.n AS n_vertices, m{r}.m AS m_sym,"
+        f" m{r}.m / (2.0 * n{r}.n) AS density"
+        f" FROM n{r} CROSS JOIN m{r} WHERE n{r}.n > 0"
+        for r in range(k)
+    )
+    parts.append(f"traj AS (\n{traj}\n)")
+    return ",\n".join(parts)
+
+
+def _densest_rounds_sql(k: int = DENSEST_ROUNDS) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _densest_round_ctes(k)
+        + "\nSELECT CAST(round AS INT) AS round, n_vertices, m_sym,"
+        " ROUND(density, 6) AS density FROM traj"
+    )
+
+
+def _densest_members_sql(k: int = DENSEST_ROUNDS) -> str:
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, v FROM s{r}" for r in range(k)
+    )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _densest_round_ctes(k)
+        + f""",
+allsets AS (\n{tagged}\n),
+best AS (SELECT round FROM traj ORDER BY density DESC, round ASC LIMIT 1)
+SELECT a.v FROM allsets a JOIN best ON best.round = a.round"""
+    )
+
+
 def _degree_topk_sql(k: int = TOPK_K) -> str:
     return (
         "WITH "
@@ -1657,6 +1722,28 @@ def _q_squares_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gunrock_spark.algorithms.motifs import squares_per_vertex
 
     return squares_per_vertex(_graph(spark, sf_dir))
+
+
+def _q_densest_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani-peel trajectory: per-round (n, m_sym, density) with
+    the exact-integer removal threshold — bit-replayable in SQL."""
+    from gunrock_spark.algorithms.densest import densest_subgraph
+
+    res = densest_subgraph(
+        _graph(spark, sf_dir), factor=DENSEST_FACTOR, max_rounds=DENSEST_ROUNDS
+    )
+    return res.rounds.select(
+        "round", "n_vertices", "m_sym", F.round("density", 6).alias("density")
+    )
+
+
+def _q_densest_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.densest import densest_subgraph
+
+    res = densest_subgraph(
+        _graph(spark, sf_dir), factor=DENSEST_FACTOR, max_rounds=DENSEST_ROUNDS
+    )
+    return res.members.select("v")
 
 
 def _q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4667,6 +4754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex_blocks": _q_triangles_per_vertex_blocks,
         "squares_total": _q_squares_total,
         "squares_per_vertex": _q_squares_per_vertex,
+        "densest_rounds": _q_densest_rounds,
+        "densest_members": _q_densest_members,
         "degree_topk": _q_degree_topk,
         "edge_clean": _q_edge_clean,
         "degree_histogram": _q_degree_histogram,
@@ -4779,6 +4868,8 @@ def oracle_sql() -> dict[str, str]:
         "triangles_per_vertex_blocks": _triangles_per_vertex_sql(),
         "squares_total": _squares_total_sql(),
         "squares_per_vertex": _squares_per_vertex_sql(),
+        "densest_rounds": _densest_rounds_sql(),
+        "densest_members": _densest_members_sql(),
         "degree_topk": _degree_topk_sql(),
         "edge_clean": _edge_clean_sql(),
         "degree_histogram": _degree_histogram_sql(),

@@ -33,6 +33,7 @@ from gunrock_spark.algorithms.matching import maximal_matching
 from gunrock_spark.algorithms.katz import eigenvector_centrality, katz_centrality
 from gunrock_spark.algorithms.topk import degree_topk
 from gunrock_spark.algorithms.louvain import louvain, louvain_communities
+from gunrock_spark.algorithms.densest import DensestResult, densest_subgraph
 from gunrock_spark.algorithms.modularity import conductance, modularity
 from gunrock_spark.algorithms.motifs import (
     square_count,
@@ -82,6 +83,8 @@ __all__ = [
     "random_walks",
     "conductance",
     "modularity",
+    "densest_subgraph",
+    "DensestResult",
     "square_count",
     "square_count_df",
     "squares_per_vertex",

@@ -144,7 +144,7 @@ class EdgeTable:
             e = e.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
         else:
             e = e.dropDuplicates(["src", "dst"])
-        n = self.edges.rdd.getNumPartitions()
+        n = max(1, self.edges.rdd.getNumPartitions())
         e = e.repartition(n, "src").sortWithinPartitions("src")
         self._symmetrized = EdgeTable(
             e.persist(StorageLevel.MEMORY_AND_DISK), weighted=self.weighted
