@@ -367,3 +367,78 @@ def test_matching_round_partial_agg_no_python_no_window(spark):
     assert tree.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_squares_codegree_no_python_partial_agg(spark):
+    """4-cycle counting: the wedge self-join + codegree groupBy is
+    pure Catalyst with map-side partial aggregation, no Python."""
+    from gunrock_spark.algorithms.motifs import square_count_df
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    plan = _plan(square_count_df(g))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # no global sort anywhere in the counting pipeline
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_conductance_no_python_no_sort(spark):
+    from gunrock_spark.algorithms.label_propagation import label_propagation
+    from gunrock_spark.algorithms.modularity import conductance
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    comm = label_propagation(g, mode="mode", max_iter=1).state
+    plan = _plan(conductance(g, comm.select("v", "label")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_dsir_weights_no_python_bucket_keyed(spark):
+    """DSIR: hashed-ngram features and the log-ratio join are pure
+    Catalyst; no row-at-a-time Python, no global sort."""
+    from gunrock_spark.pipeline.lm import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id", "text", "source"
+    )
+    target = docs.where(F.col("source").isin("src1", "src2"))
+    plan = _plan(dsir_weights(docs, target, buckets=256))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_dsir_sample_topk_is_take_ordered(spark):
+    """The Gumbel-top-k compiles to TakeOrderedAndProject, never a
+    global sort."""
+    from gunrock_spark.pipeline.lm import dsir_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id", "text", "source"
+    )
+    target = docs.where(F.col("source").isin("src1", "src2"))
+    plan = _plan(dsir_sample(docs, target, n_keep=10, buckets=256))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_densest_round_no_python_partial_agg(spark):
+    """One peel round: |E|-row semi-joins + partial-agg degree count,
+    integer threshold filter — no Python, no sort."""
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    sym = g.symmetrized().edges
+    cur = g.vertices.select("v")
+    inside = (
+        sym.join(cur.withColumnRenamed("v", "src"), "src")
+        .join(cur.withColumnRenamed("v", "dst"), "dst")
+    )
+    deg = inside.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    plan = _plan(deg)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "rangepartitioning" not in plan.lower()
