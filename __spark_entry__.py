@@ -830,6 +830,58 @@ FROM (SELECT DISTINCT v FROM verts) uverts LEFT JOIN (
     )
 
 
+LANDMARK_K = 4
+LANDMARK_QV = 20  # pair queries among vertices with v < 20
+
+
+def _landmark_walk_ctes(k: int = LANDMARK_K, cap: int = BFS_DEPTH_CAP) -> str:
+    """Recursive undirected multi-source BFS from the engine's
+    deterministic landmark sample (bc.sample_sources hash order)."""
+    return f"""srcs AS MATERIALIZED (
+  SELECT v AS s FROM (SELECT DISTINCT v FROM verts)
+  ORDER BY ('0x' || substr(md5('0:' || v::VARCHAR), 1, 15))::BIGINT, v
+  LIMIT {k}
+),
+lwalk(landmark, v, depth) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT w.landmark, e.dst, w.depth + 1
+  FROM lwalk w JOIN sym e ON e.src = w.v
+  WHERE w.depth < {cap}
+),
+ldist AS MATERIALIZED (
+  SELECT landmark, v, CAST(MIN(depth) AS INT) AS dist
+  FROM lwalk GROUP BY landmark, v
+)"""
+
+
+def _landmark_dists_sql(k: int = LANDMARK_K) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + ",\n"
+        + _landmark_walk_ctes(k)
+        + "\nSELECT landmark, v, dist FROM ldist"
+    )
+
+
+def _landmark_estimates_sql(k: int = LANDMARK_K, qv: int = LANDMARK_QV) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + ",\n"
+        + _landmark_walk_ctes(k)
+        + f""",
+qv AS (SELECT DISTINCT v FROM verts WHERE v < {qv}),
+pairs AS (SELECT a.v AS u, b.v AS w FROM qv a JOIN qv b ON a.v < b.v)
+SELECT p.u, p.w, CAST(MIN(du.dist + dw.dist) AS INT) AS est
+FROM pairs p
+JOIN ldist du ON du.v = p.u
+JOIN ldist dw ON dw.landmark = du.landmark AND dw.v = p.w
+GROUP BY p.u, p.w"""
+    )
+
+
 MM_ROUNDS = 10  # sf0.01 converges in 6 locally-dominant rounds; margin
 
 
@@ -1722,6 +1774,32 @@ def _q_squares_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gunrock_spark.algorithms.motifs import squares_per_vertex
 
     return squares_per_vertex(_graph(spark, sf_dir))
+
+
+def _q_landmark_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-landmark BFS distance sketch over the undirected view — one
+    source-batched traversal (algorithms/landmarks.py)."""
+    from gunrock_spark.algorithms.landmarks import landmark_distances
+
+    return landmark_distances(_graph(spark, sf_dir), k=LANDMARK_K)
+
+
+def _q_landmark_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-inequality distance estimates for all query pairs
+    among vertices v < LANDMARK_QV, answered from the sketch alone."""
+    from gunrock_spark.algorithms.landmarks import (
+        estimate_distances,
+        landmark_distances,
+    )
+
+    g = _graph(spark, sf_dir)
+    sketch = landmark_distances(g, k=LANDMARK_K)
+    qv = g.vertices.where(F.col("v") < LANDMARK_QV)
+    pairs = (
+        qv.select(F.col("v").alias("u"))
+        .join(qv.select(F.col("v").alias("w")), F.col("u") < F.col("w"))
+    )
+    return estimate_distances(sketch, pairs)
 
 
 def _q_densest_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4756,6 +4834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squares_per_vertex": _q_squares_per_vertex,
         "densest_rounds": _q_densest_rounds,
         "densest_members": _q_densest_members,
+        "landmark_dists_k4": _q_landmark_dists,
+        "landmark_estimates": _q_landmark_estimates,
         "degree_topk": _q_degree_topk,
         "edge_clean": _q_edge_clean,
         "degree_histogram": _q_degree_histogram,
@@ -4870,6 +4950,8 @@ def oracle_sql() -> dict[str, str]:
         "squares_per_vertex": _squares_per_vertex_sql(),
         "densest_rounds": _densest_rounds_sql(),
         "densest_members": _densest_members_sql(),
+        "landmark_dists_k4": _landmark_dists_sql(),
+        "landmark_estimates": _landmark_estimates_sql(),
         "degree_topk": _degree_topk_sql(),
         "edge_clean": _edge_clean_sql(),
         "degree_histogram": _degree_histogram_sql(),

@@ -11,6 +11,7 @@ from gunrock_spark.algorithms.components import (
     giant_component_summary,
     induced_subgraph,
 )
+from gunrock_spark.algorithms.landmarks import estimate_distances, landmark_distances
 from gunrock_spark.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
@@ -83,6 +84,8 @@ __all__ = [
     "random_walks",
     "conductance",
     "modularity",
+    "landmark_distances",
+    "estimate_distances",
     "densest_subgraph",
     "DensestResult",
     "square_count",
