@@ -26,6 +26,8 @@ Ops:
   canonicalize    append url_canon (needs a url column)
   latest-crawl    latest-crawl-wins snapshot dedup (needs url, warc_ts)
   mixture-sample  per-source hash sampling (--fractions JSON)
+  dsir-sample     DSIR importance resampling toward --target-sources
+  semdedup        embedding-cluster semantic dedup (embeddings parquet)
 """
 
 from __future__ import annotations
@@ -47,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
             "exact-dedup", "minhash-dedup", "line-dedup", "decontaminate",
             "gopher", "lm-ppl", "quality", "langid", "pii",
             "canonicalize", "latest-crawl", "mixture-sample",
-            "length-filter",
+            "length-filter", "dsir-sample", "semdedup",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -58,12 +60,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="minhash-dedup Jaccard threshold")
     ap.add_argument("--fractions", help='mixture-sample JSON, e.g. {"web":0.5}')
     ap.add_argument("--lm-k", type=float, default=0.5, help="lm-ppl smoothing")
+    ap.add_argument("--target-sources", help="dsir-sample: comma list of "
+                    "source values forming the target domain")
+    ap.add_argument("--n-keep", type=int, default=1000,
+                    help="dsir-sample: documents to select")
+    ap.add_argument("--buckets", type=int, default=8192,
+                    help="dsir-sample: hashed-ngram buckets")
+    ap.add_argument("--vec-col", default="embedding",
+                    help="semdedup: embedding column")
+    ap.add_argument("--semdedup-threshold", type=float, default=0.95,
+                    help="semdedup: within-cluster cosine cut")
     args = ap.parse_args(argv)
 
     if args.op == "decontaminate" and not args.eval_input:
         ap.error("--op decontaminate requires --eval-input")
     if args.op == "mixture-sample" and not args.fractions:
         ap.error("--op mixture-sample requires --fractions")
+    if args.op == "dsir-sample" and not args.target_sources:
+        ap.error("--op dsir-sample requires --target-sources")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -142,6 +156,24 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.pipeline.text import length_percentile_filter
 
         out = length_percentile_filter(docs, id_col=idc, text_col=txc)
+    elif args.op == "dsir-sample":
+        from gunrock_spark.pipeline.lm import dsir_sample
+
+        targets = [t.strip() for t in args.target_sources.split(",") if t.strip()]
+        target = docs.where(F.col("source").isin(*targets))
+        picked = dsir_sample(
+            docs, target, n_keep=args.n_keep, text_col=txc, id_col=idc,
+            buckets=args.buckets,
+        ).select(idc)
+        out = docs.join(picked, idc, "left_semi")
+    elif args.op == "semdedup":
+        from gunrock_spark.pipeline.similarity import semdedup
+
+        flags = semdedup(
+            docs, threshold=args.semdedup_threshold, corpus_id=idc,
+            vec_col=args.vec_col,
+        )
+        out = docs.join(flags.where(F.col("keep")).select(idc), idc, "left_semi")
     else:  # mixture-sample
         from gunrock_spark.pipeline.lm import mixture_sample
 

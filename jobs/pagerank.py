@@ -49,7 +49,8 @@ def main(argv: list[str] | None = None) -> int:
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
                              "scc", "bowtie", "anf", "harmonic", "linkpred",
                              "color", "katz", "eigenvector", "matching",
-                             "trustrank"],
+                             "trustrank", "squares", "densest", "landmarks",
+                             "conductance"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -386,6 +387,28 @@ def main(argv: list[str] | None = None) -> int:
             walks_per_vertex=args.walks_per_vertex,
             seed=args.seed,
         )
+    elif args.algorithm == "squares":
+        from gunrock_spark.algorithms.motifs import squares_per_vertex
+
+        res = None
+        out_df = squares_per_vertex(graph)
+    elif args.algorithm == "densest":
+        from gunrock_spark.algorithms.densest import densest_subgraph
+
+        res = None
+        out_df = densest_subgraph(graph, max_rounds=args.max_iter).members
+    elif args.algorithm == "landmarks":
+        from gunrock_spark.algorithms.landmarks import landmark_distances
+
+        res = None
+        out_df = landmark_distances(graph, k=args.k, salt=args.seed)
+    elif args.algorithm == "conductance":
+        from gunrock_spark.algorithms.label_propagation import label_propagation
+        from gunrock_spark.algorithms.modularity import conductance
+
+        comm = label_propagation(graph, mode="mode", max_iter=args.max_iter).state
+        res = None
+        out_df = conductance(graph, comm.select("v", "label"))
     else:  # topk
         pass
     if args.algorithm in ("walks", "node2vec") and args.skipgram_window > 0:

@@ -104,3 +104,53 @@ def test_length_filter_op(spark, docs_parquet, tmp_path, capsys):
     assert m["rows_in"] == 5 and m["rows_out"] == 5
     got = {r.doc_id: r.keep for r in spark.read.parquet(out).collect()}
     assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_dsir_sample_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "dsir")
+    assert (
+        _run(
+            [
+                "--input", docs_parquet, "--op", "dsir-sample",
+                "--target-sources", "books", "--n-keep", "3",
+                "--buckets", "64", "--out", out,
+            ]
+        )
+        == 0
+    )
+    m = _manifest(capsys)
+    assert m["rows_in"] == 5 and m["rows_out"] == 3
+    # full document rows survive (semi-join on the selected ids)
+    assert {"doc_id", "text", "source"} <= set(spark.read.parquet(out).columns)
+
+
+def test_dsir_sample_requires_target_sources(spark, docs_parquet, tmp_path):
+    with pytest.raises(SystemExit):
+        _run(["--input", docs_parquet, "--op", "dsir-sample",
+              "--out", str(tmp_path / "x")])
+
+
+def test_semdedup_op(spark, tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    v0 = rows[0][1]
+    rows.append((30, [x + 1e-5 for x in v0]))  # planted near-dup of 0
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>"
+    ).write.parquet(path)
+    out = str(tmp_path / "kept")
+    assert (
+        _run(
+            [
+                "--input", path, "--op", "semdedup", "--id-col", "vec_id",
+                "--semdedup-threshold", "0.9", "--out", out,
+            ]
+        )
+        == 0
+    )
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert 0 in kept and 30 not in kept
+    assert len(kept) <= 30

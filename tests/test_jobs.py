@@ -195,6 +195,10 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("eigenvector", ["--max-iter", "4"]),
         ("matching", []),
         ("trustrank", ["--num-sources", "2", "--max-iter", "4"]),
+        ("squares", []),
+        ("densest", ["--max-iter", "20"]),
+        ("landmarks", ["--k", "2"]),
+        ("conductance", ["--max-iter", "2"]),
     ],
 )
 def test_job_full_reference_cli_surface(spark, edges_parquet, tmp_path, capsys, algo, extra):
