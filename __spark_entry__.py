@@ -2841,6 +2841,61 @@ MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src17": 0.8}
 MIX_SEED = 42
 
 
+WDUP_WINDOW = 8
+WDUP_STRIDE = 4
+
+
+def _q_window_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-hash duplicated-span stats (pipeline/dedup.
+    window_dup_stats) — the exact-substring-dedup approximation."""
+    from gunrock_spark.pipeline.dedup import window_dup_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = window_dup_stats(docs, window=WDUP_WINDOW, stride=WDUP_STRIDE)
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
+def _window_dup_sql(window: int = WDUP_WINDOW, stride: int = WDUP_STRIDE) -> str:
+    h = _H60.format(x="wtext")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+inst AS MATERIALIZED (
+  SELECT doc_id, ({h}) AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, ((len(t) - {window}) // {stride}) + 1),
+             i -> array_to_string(
+               t[(i * {stride} + 1):(i * {stride} + {window})], ' ')
+           )) AS wtext
+    FROM tk WHERE len(t) >= {window}
+  )
+),
+cnt AS (SELECT h, COUNT(*) AS n_h FROM inst GROUP BY h),
+perdoc AS (
+  SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN c.n_h > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM inst i JOIN cnt c ON c.h = i.h GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       ROUND(CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+             ELSE p.n_dup_windows / CAST(p.n_windows AS DOUBLE) END, 6)
+         AS dup_frac
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""
+
+
 DSIR_BUCKETS = 4096
 DSIR_K = 0.5
 DSIR_SOURCES = ("src1", "src2", "src3")  # the "target domain" corpus
@@ -4888,6 +4943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canon,
         "lm_ppl": _q_lm_ppl,
         "dsir_weights": _q_dsir_weights,
+        "window_dup_stats": _q_window_dup,
         "dsir_sample_top50": _q_dsir_sample,
         "docs_mixture_sample": _q_mixture_sample,
         "latest_crawl": _q_latest_crawl,
@@ -5008,6 +5064,7 @@ FROM events GROUP BY 1, 2""",
         "url_canonical": _url_canon_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "dsir_weights": _dsir_weights_sql(),
+        "window_dup_stats": _window_dup_sql(),
         "dsir_sample_top50": _dsir_sample_sql(),
         "docs_mixture_sample": _mixture_sample_sql(),
         "latest_crawl": _latest_crawl_sql(),

@@ -451,3 +451,68 @@ def jaccard_near_duplicates(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def window_dup_stats(
+    df: DataFrame,
+    window: int = 8,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the window-hash
+    approximation of exact-substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", whose
+    suffix-array pass has no tractable distributed form): every
+    ``stride`` tokens, hash the next ``window`` tokens; a window
+    INSTANCE is duplicated when its hash occurs anywhere else in the
+    corpus (another document, or another offset of the same one).
+    Returns (id, n_windows, n_dup_windows, dup_frac) over every
+    document (windowless short docs score 0 / 0.0).
+
+    Scale shape: windows are built inside the token array (transform
+    over a stride sequence — codegen, no self-join), then ONE
+    hash-count groupBy (map-side combine absorbs the duplicate mass —
+    that is the Zipf head by construction), one hash-keyed join back,
+    one per-doc partial-agg. Nothing quadratic, state bounded by the
+    distinct-window count. The window hash is h60, so the DuckDB
+    oracle replays instance-for-instance."""
+    toks = tokens(F.lower(F.col(text_col)))
+    win = F.transform(
+        F.sequence(
+            F.lit(0), ((F.size(toks) - F.lit(window)) / F.lit(stride)).cast("int")
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, window)),
+    )
+    inst = (
+        df.where(F.size(toks) >= window)
+        .select(F.col(id_col), F.explode(win).alias("wtext"))
+        .select(F.col(id_col), h60(F.col("wtext")).alias("h"))
+    )
+    counts = inst.groupBy("h").agg(F.count(F.lit(1)).alias("n_h"))
+    per_doc = (
+        inst.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("n_h") > 1).cast("long")).cast("long").alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows")
+            )
+            .alias("dup_frac"),
+        )
+    )

@@ -28,6 +28,7 @@ Ops:
   mixture-sample  per-source hash sampling (--fractions JSON)
   dsir-sample     DSIR importance resampling toward --target-sources
   semdedup        embedding-cluster semantic dedup (embeddings parquet)
+  window-dup      append duplicated-window span stats (substring-dedup signal)
 """
 
 from __future__ import annotations
@@ -49,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
             "exact-dedup", "minhash-dedup", "line-dedup", "decontaminate",
             "gopher", "lm-ppl", "quality", "langid", "pii",
             "canonicalize", "latest-crawl", "mixture-sample",
-            "length-filter", "dsir-sample", "semdedup",
+            "length-filter", "dsir-sample", "semdedup", "window-dup",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -166,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
             buckets=args.buckets,
         ).select(idc)
         out = docs.join(picked, idc, "left_semi")
+    elif args.op == "window-dup":
+        from gunrock_spark.pipeline.dedup import window_dup_stats
+
+        out = docs.join(window_dup_stats(docs, id_col=idc, text_col=txc), idc)
     elif args.op == "semdedup":
         from gunrock_spark.pipeline.similarity import semdedup
 

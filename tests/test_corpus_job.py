@@ -154,3 +154,14 @@ def test_semdedup_op(spark, tmp_path, capsys):
     kept = {r.vec_id for r in spark.read.parquet(out).collect()}
     assert 0 in kept and 30 not in kept
     assert len(kept) <= 30
+
+
+def test_window_dup_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "wd")
+    assert _run(["--input", docs_parquet, "--op", "window-dup",
+                 "--out", out]) == 0
+    got = spark.read.parquet(out)
+    assert {"doc_id", "n_windows", "n_dup_windows", "dup_frac"} <= set(got.columns)
+    # docs 0 and 1 are byte-identical: both fully duplicated
+    rows = {r.doc_id: r.dup_frac for r in got.collect()}
+    assert rows[0] == 1.0 and rows[1] == 1.0

@@ -799,3 +799,53 @@ def test_semdedup_threshold_one_epsilon_keeps_all_but_exact(spark, vectors):
 
     got = {r["vec_id"]: r["keep"] for r in semdedup(vectors, threshold=1.1).collect()}
     assert all(got.values())  # nothing reaches cosine >= 1.1
+
+
+def _window_dup_ref(docs, window, stride):
+    import re
+    from collections import Counter
+
+    def wins(text):
+        t = re.findall("[a-z0-9]+", text.lower())
+        if len(t) < window:
+            return []
+        return [
+            " ".join(t[i * stride : i * stride + window])
+            for i in range((len(t) - window) // stride + 1)
+        ]
+
+    all_w = Counter(w for _, text in docs for w in wins(text))
+    out = {}
+    for doc_id, text in docs:
+        ws = wins(text)
+        out[doc_id] = (
+            len(ws),
+            sum(1 for w in ws if all_w[w] > 1),
+        )
+    return out
+
+
+def test_window_dup_stats_matches_python(spark):
+    from gunrock_spark.pipeline.dedup import window_dup_stats
+
+    rows = [
+        (0, "a b c d e f g h i j k l"),            # 12 tokens
+        (1, "a b c d e f g h x y z w"),            # shares window offset 0
+        (2, "totally unique words here only once again never repeated"),
+        (3, "short"),                               # no windows
+        (4, "a b c d e f g h i j k l"),            # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in window_dup_stats(docs, window=8, stride=2).collect()
+    }
+    want = _window_dup_ref(rows, window=8, stride=2)
+    assert set(got) == set(want)
+    for d, (nw, nd) in want.items():
+        assert got[d][0] == nw and got[d][1] == nd
+        frac = 0.0 if nw == 0 else nd / nw
+        assert got[d][2] == pytest.approx(frac, abs=1e-12)
+    # the planted exact dup shares every window; doc 3 has none
+    assert got[4][2] == 1.0 and got[0][2] == 1.0
+    assert got[3] == (0, 0, 0.0)

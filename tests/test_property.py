@@ -170,3 +170,66 @@ def test_log_histogram_total_and_edges_property(spark, vals):
 
     for v in vals:
         assert lo_by_bin[pybin(v)] <= max(v, 0)
+
+
+@given(raw=edge_lists)
+@SLOW
+def test_squares_match_bruteforce_property(spark, raw):
+    """4-cycle total + per-vertex counts equal the brute-force count
+    on every random edge list."""
+    from gunrock_spark.algorithms.motifs import square_count, squares_per_vertex
+    from tests.test_motifs import squares_ref
+
+    cleaned = clean_edges(raw)
+    if not cleaned:
+        return
+    g = EdgeTable.from_df(edges_df(spark, cleaned))
+    want_total, want_pv = squares_ref(cleaned)
+    assert square_count(g) == want_total
+    got = {r["v"]: r["squares"] for r in squares_per_vertex(g).collect()}
+    assert got == want_pv
+
+
+@given(raw=edge_lists)
+@SLOW
+def test_conductance_bounds_and_complement_property(spark, raw):
+    """0 <= phi <= 1 for every community, and a 2-community split has
+    equal cut on both sides."""
+    from pyspark.sql import functions as F
+
+    from gunrock_spark.algorithms.modularity import conductance
+
+    cleaned = clean_edges(raw)
+    if not cleaned:
+        return
+    g = EdgeTable.from_df(edges_df(spark, cleaned))
+    comm = g.vertices.select("v", (F.col("v") % 2).alias("label"))
+    rows = conductance(g, comm).collect()
+    for r in rows:
+        assert 0.0 <= r["conductance"] <= 1.0 + 1e-12
+    if len(rows) == 2:
+        assert rows[0]["cut"] == rows[1]["cut"]
+
+
+@given(raw=edge_lists)
+@SLOW
+def test_densest_peel_density_is_bounded_by_best_round(spark, raw):
+    """best_density == max over trajectory rows; members' own density
+    equals the reported best (recomputed independently)."""
+    from gunrock_spark.algorithms.densest import densest_subgraph
+
+    cleaned = clean_edges(raw)
+    if not cleaned:
+        return
+    g = EdgeTable.from_df(edges_df(spark, cleaned))
+    res = densest_subgraph(g)
+    traj = [r["density"] for r in res.rounds.collect()]
+    if traj:
+        assert res.best_density == pytest.approx(max(traj), abs=1e-12)
+    members = {r["v"] for r in res.members.collect()}
+    sym = {(a, b) for a, b in cleaned} | {(b, a) for a, b in cleaned}
+    inside = sum(1 for a, b in sym if a in members and b in members)
+    if members:
+        assert inside / (2.0 * len(members)) == pytest.approx(
+            res.best_density, abs=1e-12
+        )
