@@ -235,6 +235,63 @@ def _trustrank_sql(
     )
 
 
+def _spam_mass_sql(
+    k: int = TRUST_ITERS, delta: float = 0.85, nseeds: int = TRUST_SEEDS
+) -> str:
+    """Relative spam mass (Gyongyi et al. VLDB 2006) by combining the
+    two fixed-depth power iterations: k rounds of plain PageRank (p*)
+    and k rounds of TrustRank over the deterministic seed sample (t*),
+    then rel_mass = (pr - (nseeds/n) * tr) / pr — the core-biased
+    estimate q' equals TrustRank scaled by |seeds|/n by linearity."""
+    body = [
+        f"""srcs AS MATERIALIZED (
+  SELECT v AS s FROM (SELECT DISTINCT v FROM verts)
+  ORDER BY ('0x' || substr(md5('0:' || v::VARCHAR), 1, 15))::BIGINT, v
+  LIMIT {nseeds}
+)""",
+        "p0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts)",
+        "t0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts)",
+    ]
+    treset = (
+        f"CASE WHEN verts.v IN (SELECT s FROM srcs) "
+        f"THEN (1.0 - {delta}) / {nseeds} ELSE 0.0 END"
+    )
+    for i in range(1, k + 1):
+        body.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT verts.v,
+         (1.0 - {delta}) / (SELECT COUNT(*) FROM verts)
+           + {delta} * COALESCE(m.s, 0.0) AS rank
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.rank / d.outd) AS s
+    FROM edges e JOIN p{i - 1} p ON p.v = e.src JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = verts.v
+)"""
+        )
+        body.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT verts.v, {treset} + {delta} * COALESCE(m.s, 0.0) AS rank
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.rank / d.outd) AS s
+    FROM edges e JOIN t{i - 1} p ON p.v = e.src JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = verts.v
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"""
+SELECT p.v, ROUND(p.rank, 9) AS pr,
+       ROUND((p.rank - ({nseeds}::DOUBLE / (SELECT COUNT(*) FROM verts)) * t.rank)
+             / p.rank, 6) AS rel_mass
+FROM p{k} p JOIN t{k} t ON t.v = p.v"""
+    )
+
+
 KATZ_ITERS = 8
 KATZ_ALPHA = 0.05
 KATZ_BETA = 1.0
@@ -1656,6 +1713,20 @@ def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("v", F.round("rank", 9).alias("rank"))
 
 
+def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.bc import sample_sources
+    from gunrock_spark.algorithms.pagerank import spam_mass
+
+    g = _graph(spark, sf_dir)
+    seeds = [r["source"] for r in sample_sources(g, TRUST_SEEDS).collect()]
+    sm = spam_mass(g, seeds, max_iter=TRUST_ITERS)
+    return sm.select(
+        "v",
+        F.round("pr", 9).alias("pr"),
+        F.round("rel_mass", 6).alias("rel_mass"),
+    )
+
+
 def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gunrock_spark.algorithms.katz import katz_centrality
 
@@ -2250,6 +2321,46 @@ SELECT * FROM (
   JOIN sizes za ON za.doc_id = i.id_a
   JOIN sizes zb ON zb.doc_id = i.id_b
 ) t WHERE jaccard >= {threshold}"""
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def _q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment join (pipeline/dedup.py
+    containment_near_duplicates) — Broder's asymmetric containment,
+    the boilerplate-wrap/quote-farm complement to the Jaccard join."""
+    from gunrock_spark.pipeline.dedup import containment_near_duplicates
+
+    return containment_near_duplicates(
+        _docs(spark, sf_dir), threshold=CONTAINMENT_THRESHOLD
+    )
+
+
+def _containment_near_dups_sql(threshold: float = CONTAINMENT_THRESHOLD) -> str:
+    return (
+        "WITH "
+        + _SHINGLE_CTES
+        + f""",
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.id_a, i.id_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+),
+directed AS (
+  SELECT id_a, id_b, ROUND(inter / sz_a, 6) AS containment FROM scored
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, ROUND(inter / sz_b, 6) AS containment FROM scored
+)
+SELECT id_a, id_b, containment FROM directed WHERE containment >= {threshold}"""
     )
 
 
@@ -4875,6 +4986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": _q_pagerank_converged,
         "katz_k8": _q_katz,
         "trustrank_k8": _q_trustrank,
+        "spam_mass_k8": _q_spam_mass,
         "seeded_lp": _q_seeded_lp,
         "eigenvector_k10": _q_eigenvector,
         "cc_labels": _q_cc,
@@ -4929,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "sessions_gap": _q_sessions_gap,
         "jaccard_near_dups": _q_jaccard_near_dups,
+        "containment_near_dups": _q_containment_near_dups,
         "kcore_k20": _q_kcore,
         "core_numbers": _q_core_numbers,
         "host_link_rollup": _q_host_rollup,
@@ -4992,6 +5105,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": _pagerank_converged_sql(),
         "katz_k8": _katz_sql(),
         "trustrank_k8": _trustrank_sql(),
+        "spam_mass_k8": _spam_mass_sql(),
         "seeded_lp": _seeded_lp_sql(),
         "eigenvector_k10": _eigenvector_sql(),
         "cc_labels": _cc_sql(),
@@ -5050,6 +5164,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
         "jaccard_near_dups": _jaccard_near_dups_sql(),
+        "containment_near_dups": _containment_near_dups_sql(),
         "kcore_k20": _kcore_sql(),
         "core_numbers": _core_numbers_sql(),
         "host_link_rollup": _host_rollup_sql(),

@@ -1,6 +1,7 @@
 from gunrock_spark.algorithms.pagerank import (
     pagerank,
     ranked,
+    spam_mass,
     trustrank,
     weighted_pagerank,
 )
@@ -50,6 +51,7 @@ from gunrock_spark.algorithms.subgraph_match import (
 __all__ = [
     "pagerank",
     "ranked",
+    "spam_mass",
     "trustrank",
     "weighted_pagerank",
     "katz_centrality",

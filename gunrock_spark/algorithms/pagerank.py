@@ -377,6 +377,57 @@ def trustrank(
     )
 
 
+def spam_mass(
+    graph: EdgeTable,
+    seeds: list[int],
+    delta: float = 0.85,
+    max_iter: int = 8,
+    **kw,
+) -> DataFrame:
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006): the
+    fraction of a page's PageRank that does NOT flow from a trusted
+    good core. q(p) is ordinary normalized PageRank; q'(p) is the
+    core-biased estimate — the biased power iteration whose teleport
+    vector puts 1/n on each good-core seed and 0 elsewhere (i.e.
+    TrustRank's result scaled by |seeds|/n, by linearity of the
+    iteration in the teleport vector). Relative mass
+
+        rel_mass(p) = (q(p) - q'(p)) / q(p)
+
+    is ~1 for pages whose rank is entirely non-core-attributable
+    (spam-farm shape) and <= 0 for the core's own neighborhood. Both
+    power iterations run the SAME fixed iteration count so the two
+    partial sums are comparable (the paper's estimator truncates both
+    Neumann series at the same depth).
+
+    Physical plan: two pagerank runs (each one co-partitioned join +
+    partial-agg sum per iteration, scale-safe at 10^12 vertices) plus
+    a single |V|⋈|V| join on v — both sides hash-partitioned on v by
+    the loops' state repartition, so the final join is shuffle-light.
+    q(p) >= (1-delta)/n > 0 for every vertex, so the division is safe.
+    """
+    n = graph.num_vertices()
+    pr = pagerank(
+        graph, delta=delta, threshold=0.0, max_iter=max_iter, **kw
+    ).state
+    tr = trustrank(
+        graph, seeds, delta=delta, threshold=0.0, max_iter=max_iter, **kw
+    ).state
+    scale = float(len(seeds)) / float(n)
+    return (
+        pr.select("v", F.col("rank").alias("pr"))
+        .join(tr.select("v", F.col("rank").alias("tr")), "v")
+        .select(
+            "v",
+            F.col("pr"),
+            (
+                (F.col("pr") - F.lit(scale) * F.col("tr")) / F.col("pr")
+            ).alias("rel_mass"),
+        )
+    )
+
+
 def weighted_pagerank(
     graph: EdgeTable,
     delta: float = 0.85,

@@ -453,6 +453,63 @@ def jaccard_near_duplicates(
     )
 
 
+def containment_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, containment) — DIRECTED near-containment pairs:
+    containment(a in b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|
+    (Broder 1997's containment measure, the asymmetric complement of
+    resemblance/Jaccard). Catches the pair Jaccard misses by
+    construction: a short document embedded verbatim inside a much
+    longer one (boilerplate-wrapped copies, quote farms, template
+    pages) has containment ~1 but Jaccard ~|a|/|b| → 0.
+
+    Same physical shape as :func:`jaccard_near_duplicates` — ONE
+    shingle self-join whose per-pair row count is the intersection,
+    then a partial-agg groupBy; the undirected intersection is
+    computed once and emitted in both directions, so the directed
+    output costs no extra shuffle. ``max_shingle_df`` is the same
+    stop-shingle escape hatch for the quadratic head (reported
+    containment becomes a lower bound)."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    joinable = sh
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(keep, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = joinable.select(F.col("id").alias("id_a"), "shingle")
+    sb = joinable.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    scored = inter.join(za, "id_a").join(zb, "id_b")
+    directed = scored.select(
+        "id_a", "id_b", F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment")
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
+        )
+    )
+    return directed.where(F.col("containment") >= threshold)
+
+
 def window_dup_stats(
     df: DataFrame,
     window: int = 8,

@@ -217,6 +217,46 @@ def test_trustrank_mass_concentrates_at_seeds(spark):
     assert got[0] > got[1] == got[2] > 0
 
 
+def test_spam_mass_matches_python(spark):
+    from gunrock_spark.algorithms.pagerank import spam_mass
+
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    seeds = [0, 2]
+    got = {r["v"]: (r["pr"], r["rel_mass"]) for r in spam_mass(g, seeds, max_iter=6).collect()}
+    # python reference: same two fixed-depth iterations, combined
+    verts = sorted({v for e in G_TOY7 for v in e})
+    n = len(verts)
+    clean = sorted({(s, t) for s, t in G_TOY7 if s != t})
+    outd = {v: 0 for v in verts}
+    for s, _ in clean:
+        outd[s] += 1
+    pr = {v: 1.0 / n for v in verts}
+    for _ in range(6):
+        msg = {v: 0.0 for v in verts}
+        for s, t in clean:
+            msg[t] += pr[s] / outd[s]
+        pr = {v: 0.15 / n + 0.85 * msg[v] for v in verts}
+    tr = _py_trustrank(G_TOY7, set(seeds), 0.85, 6)
+    scale = len(seeds) / n
+    for v in verts:
+        want = (pr[v] - scale * tr[v]) / pr[v]
+        assert got[v][0] == pytest.approx(pr[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(want, abs=1e-9)
+
+
+def test_spam_mass_spam_farm_scores_high(spark):
+    from gunrock_spark.algorithms.pagerank import spam_mass
+
+    # seed community {0,1} tightly linked; spam farm {3,4,5} boosts 2
+    # with no in-links from the good side — 2's rank is almost all
+    # non-core mass, so its rel_mass must exceed the good pages'.
+    edges = [(0, 1), (1, 0), (3, 2), (4, 2), (5, 2), (2, 3), (2, 4), (2, 5)]
+    g = EdgeTable.from_df(edges_df(spark, edges))
+    got = {r["v"]: r["rel_mass"] for r in spam_mass(g, [0, 1], max_iter=20).collect()}
+    assert got[2] > 0.9
+    assert got[0] < 0.5 and got[1] < 0.5
+
+
 def test_trustrank_validation(spark):
     from gunrock_spark.algorithms.pagerank import pagerank, trustrank
 

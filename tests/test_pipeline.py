@@ -90,6 +90,55 @@ def test_jaccard_matches_python(spark, docs):
         assert got[row["doc_id"]] == py_shingles(row["text"])
 
 
+def test_containment_near_duplicates(spark, docs):
+    from gunrock_spark.pipeline.dedup import containment_near_duplicates
+
+    # doc 7 is doc 0's text embedded in a much longer page: containment
+    # (7 in 0's direction) ~1 while jaccard is small — the pair the
+    # symmetric join misses at high thresholds.
+    longer = (
+        "header navigation menu about contact "
+        + "the quick brown fox jumps over the lazy dog near the river bank "
+        + "footer copyright terms privacy sitemap links archive feedback"
+    )
+    docs8 = docs.unionByName(
+        docs.sparkSession.createDataFrame(
+            [(7, longer, "en")], schema="doc_id long, text string, lang string"
+        )
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_near_duplicates(docs8, threshold=0.9).collect()
+    }
+    # 0 (and its exact dup 1) are fully contained in 7
+    assert out[(0, 7)] == 1.0 and out[(1, 7)] == 1.0
+    # the reverse direction is NOT high-containment
+    assert (7, 0) not in out
+    # exact dups contain each other in both directions
+    assert out[(0, 1)] == 1.0 and out[(1, 0)] == 1.0
+
+    # python cross-check at threshold 0 on the directed measure
+    import re
+
+    def py_sh(text, n=3):
+        toks = re.findall(r"[A-Za-z0-9]+", text.lower())
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    rows = {r["doc_id"]: py_sh(r["text"]) for r in docs8.collect()}
+    want = {}
+    for a, sa in rows.items():
+        for b, sb in rows.items():
+            if a != b and sa & sb:
+                want[(a, b)] = round(len(sa & sb) / len(sa), 6)
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_near_duplicates(docs8, threshold=0.0).collect()
+    }
+    assert got == pytest.approx(want)
+
+
 def test_jaccard_near_duplicates_exact(spark, docs):
     from gunrock_spark.pipeline.dedup import jaccard_near_duplicates
 
