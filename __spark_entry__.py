@@ -2324,6 +2324,39 @@ SELECT * FROM (
     )
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix (pipeline/dedup.py
+    source_overlap) — mirror detection over canonical fingerprints."""
+    from gunrock_spark.pipeline.dedup import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir))
+
+
+def _source_overlap_sql() -> str:
+    h = _H60.format(x="array_to_string(list_sort(list_distinct(t)), ' ')")
+    return (
+        "WITH "
+        + _DOCS_CTES
+        + f""",
+fps AS MATERIALIZED (
+  SELECT DISTINCT {h} AS fp, d.source AS src
+  FROM toks JOIN documents d USING (doc_id)
+),
+totals AS (SELECT src, COUNT(*) AS n_fp FROM fps GROUP BY src),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON b.fp = a.fp AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       ROUND(s.n_shared / ta.n_fp, 6) AS frac_a,
+       ROUND(s.n_shared / tb.n_fp, 6) AS frac_b
+FROM shared s
+JOIN totals ta ON ta.src = s.source_a
+JOIN totals tb ON tb.src = s.source_b"""
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 
@@ -5042,6 +5075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_gap": _q_sessions_gap,
         "jaccard_near_dups": _q_jaccard_near_dups,
         "containment_near_dups": _q_containment_near_dups,
+        "source_overlap": _q_source_overlap,
         "kcore_k20": _q_kcore,
         "core_numbers": _q_core_numbers,
         "host_link_rollup": _q_host_rollup,
@@ -5165,6 +5199,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2""",
         "jaccard_near_dups": _jaccard_near_dups_sql(),
         "containment_near_dups": _containment_near_dups_sql(),
+        "source_overlap": _source_overlap_sql(),
         "kcore_k20": _kcore_sql(),
         "core_numbers": _core_numbers_sql(),
         "host_link_rollup": _host_rollup_sql(),

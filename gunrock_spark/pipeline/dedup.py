@@ -510,6 +510,61 @@ def containment_near_duplicates(
     return directed.where(F.col("containment") >= threshold)
 
 
+def source_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_shared, frac_a, frac_b) — mirror/fork
+    detection across corpus partitions: for every pair of sources,
+    the number of distinct canonical document fingerprints
+    (pipeline/text.fingerprint — h60 of the sorted distinct token
+    bag) present in BOTH, and that count as a fraction of each side's
+    distinct-fingerprint total. A near-1 fraction on one side means
+    that source is a mirror (or subset-mirror) of the other — the
+    crawl-curation question "which snapshots/dumps re-serve the same
+    content" answered corpus-wide.
+
+    Scale shape: dedup to distinct (fp, source) FIRST (one partial-agg
+    exchange — per-source duplicate mass never crosses the shuffle
+    twice), then a self-join per fingerprint whose fan-out is bounded
+    by the number of SOURCES carrying that fp (source cardinality is
+    small — crawls, dumps, feeds — so per-key groups are tiny even at
+    10^12 docs), then one groupBy on the source pair. Never quadratic
+    in documents."""
+    from gunrock_spark.pipeline.text import fingerprint
+
+    fps = (
+        fingerprint(df, id_col, text_col)
+        .join(df.select(F.col(id_col), F.col(source_col).alias("_src")), id_col)
+        .select("fp", "_src")
+        .distinct()
+    )
+    totals = fps.groupBy("_src").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select("fp", F.col("_src").alias("source_a"))
+    b = fps.select("fp", F.col("_src").alias("source_b"))
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("_src").alias("source_a"), F.col("n_fp").alias("n_a"))
+    tb = totals.select(F.col("_src").alias("source_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_a"), 6).alias("frac_a"),
+            F.round(F.col("n_shared") / F.col("n_b"), 6).alias("frac_b"),
+        )
+    )
+
+
 def window_dup_stats(
     df: DataFrame,
     window: int = 8,

@@ -139,6 +139,28 @@ def test_containment_near_duplicates(spark, docs):
     assert got == pytest.approx(want)
 
 
+def test_source_overlap_mirror_detection(spark):
+    from gunrock_spark.pipeline.dedup import source_overlap
+
+    rows = [
+        # mirror_b re-serves both of crawl_a's docs (token order noise
+        # is canonicalized away by the bag-of-words fingerprint)
+        (0, "alpha beta gamma delta", "crawl_a"),
+        (1, "epsilon zeta eta theta", "crawl_a"),
+        (2, "delta gamma beta alpha", "mirror_b"),
+        (3, "epsilon zeta eta theta", "mirror_b"),
+        (4, "totally unrelated content here", "mirror_b"),
+        (5, "another corpus entirely different", "feed_c"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["frac_a"], r["frac_b"])
+        for r in source_overlap(df).collect()
+    }
+    assert out[("crawl_a", "mirror_b")] == (2, 1.0, pytest.approx(2 / 3))
+    assert ("crawl_a", "feed_c") not in out and ("feed_c", "mirror_b") not in out
+
+
 def test_jaccard_near_duplicates_exact(spark, docs):
     from gunrock_spark.pipeline.dedup import jaccard_near_duplicates
 
