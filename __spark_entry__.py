@@ -2978,6 +2978,65 @@ SELECT doc_id,
 FROM q"""
 
 
+# --- Redirect-chain resolution (ingest/urls.py, pointer doubling) ----------
+
+
+def _redirect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic 3xx redirect map over documents: url
+    r{i} redirects to r{i+1} within its decade, the decade exit i%10==9
+    lands on final{(i-9)/10} — except every third decade (i%30==29)
+    loops back to its own start, creating 10-cycles. Exercises chains,
+    exits, and cycle detection in one table."""
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("i"))
+    return d.select(
+        F.concat(F.lit("r"), F.col("i")).alias("url"),
+        F.when(F.col("i") % 30 == 29, F.concat(F.lit("r"), F.col("i") - 9))
+        .when(
+            F.col("i") % 10 == 9,
+            F.concat(F.lit("final"), ((F.col("i") - 9) / 10).cast("long")),
+        )
+        .otherwise(F.concat(F.lit("r"), F.col("i") + 1))
+        .alias("target"),
+    )
+
+
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.ingest.urls import resolve_redirects
+
+    return resolve_redirects(_redirect_pairs(spark, sf_dir))
+
+
+def _redirect_resolve_sql() -> str:
+    # Sequential unroll via recursive CTE (depth-capped); the Spark side
+    # pointer-doubles, so identical output on any sufficient depth.
+    return r"""
+WITH RECURSIVE r AS (
+  SELECT 'r' || doc_id AS url,
+         CASE WHEN doc_id % 30 = 29 THEN 'r' || (doc_id - 9)
+              WHEN doc_id % 10 = 9
+                THEN 'final' || CAST((doc_id - 9) / 10 AS BIGINT)
+              ELSE 'r' || (doc_id + 1) END AS target
+  FROM documents
+),
+walk(url, cur, depth) AS (
+  SELECT url, target, 1 FROM r
+  UNION ALL
+  SELECT w.url, r2.target, w.depth + 1
+  FROM walk w JOIN r r2 ON w.cur = r2.url
+  WHERE w.depth < 64
+),
+last AS (
+  SELECT url, cur,
+         row_number() OVER (PARTITION BY url ORDER BY depth DESC) AS rn
+  FROM walk
+)
+SELECT l.url,
+       CASE WHEN d.url IS NOT NULL THEN '' ELSE l.cur END AS final_url,
+       (d.url IS NOT NULL) AS is_cycle
+FROM last l LEFT JOIN (SELECT DISTINCT url FROM r) d ON l.cur = d.url
+WHERE l.rn = 1"""
+
+
 # --- Unigram LM quality scoring + mixture sampling (pipeline/lm.py) --------
 
 LM_K = 0.5
@@ -5088,6 +5147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "gopher_repetition": _q_gopher_repetition,
         "url_canonical": _q_url_canon,
+        "redirect_resolve": _q_redirect_resolve,
         "lm_ppl": _q_lm_ppl,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -5212,6 +5272,7 @@ FROM events GROUP BY 1, 2""",
         "contamination_flags": _contamination_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "url_canonical": _url_canon_sql(),
+        "redirect_resolve": _redirect_resolve_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),

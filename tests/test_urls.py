@@ -51,3 +51,50 @@ def test_plan_no_shuffle_no_python(spark):
     plan = canonicalize(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- redirect-chain resolution (pointer doubling) ---------------------------
+
+
+def _resolve(spark, pairs, **kw):
+    from gunrock_spark.ingest.urls import resolve_redirects
+
+    df = spark.createDataFrame(pairs, "url string, target string")
+    return {
+        r.url: (r.final_url, r.is_cycle)
+        for r in resolve_redirects(df, **kw).collect()
+    }
+
+
+def test_redirect_chain_and_cycle(spark):
+    pairs = (
+        [("a", "b"), ("b", "c"), ("c", "X")]      # 3-chain exiting to X
+        + [("p", "q"), ("q", "p")]                # 2-cycle
+        + [("m", "p")]                            # feeds the cycle
+        + [(f"r{i}", f"r{i+1}") for i in range(20)]
+        + [("r20", "OUT")]                        # 21-link chain
+    )
+    got = _resolve(spark, pairs)
+    assert got["a"] == ("X", False)
+    assert got["b"] == ("X", False)
+    assert got["c"] == ("X", False)
+    assert got["p"] == ("", True)
+    assert got["q"] == ("", True)
+    assert got["m"] == ("", True)
+    for i in range(21):
+        assert got[f"r{i}"] == ("OUT", False)
+    assert len(got) == len(pairs)
+
+
+def test_redirect_extra_doublings_stationary(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "X"), ("p", "q"), ("q", "p")]
+    base = _resolve(spark, pairs)
+    more = _resolve(spark, pairs, max_doublings=9)
+    assert base == more
+
+
+def test_redirect_self_loop(spark):
+    got = _resolve(spark, [("s", "s"), ("t", "s"), ("u", "V")])
+    assert got["s"] == ("", True)
+    assert got["t"] == ("", True)
+    assert got["u"] == ("V", False)
