@@ -3037,6 +3037,162 @@ FROM last l LEFT JOIN (SELECT DISTINCT url FROM r) d ON l.cur = d.url
 WHERE l.rn = 1"""
 
 
+# --- Recrawl change-rate estimation (ingest/recrawl.py) --------------------
+
+
+def _q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina Poisson change-rate over the synthesized
+    multi-crawl history (urls with >= 2 crawls)."""
+    from gunrock_spark.ingest.recrawl import change_rate
+
+    return change_rate(
+        _crawl_pages(spark, sf_dir).select("url", "warc_ts", "text")
+    )
+
+
+def _change_rate_sql() -> str:
+    return (
+        "WITH "
+        + _CRAWL_CTES
+        + """,
+hist AS (
+  SELECT url, text,
+         lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev_text
+  FROM pages
+),
+agg AS (
+  SELECT url,
+         CAST(COUNT(prev_text) AS BIGINT) AS n_intervals,
+         CAST(SUM(CASE WHEN prev_text IS NOT NULL AND text <> prev_text
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM hist GROUP BY url
+)
+SELECT url, n_intervals, n_changes,
+       ROUND(-ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5)), 9)
+         AS change_lambda
+FROM agg WHERE n_intervals >= 1"""
+    )
+
+
+# --- Main-content extraction / boilerplate removal (pipeline/extract.py) ---
+
+
+def _boiler_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic html synth: nav + heading + article paragraph +
+    link-mixed teaser + footer per document. Nav/footer/heading are
+    short or link-dense (boilerplate); the paragraph and most teasers
+    pass the density rule."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    nl = F.lit("\n")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div><a href="/h">Home</a> <a href="/b">Blog</a> '
+                  '<a href="/c">Contact</a></div>'), nl,
+            F.lit("<h1>Doc "), F.col("doc_id"), F.lit("</h1>"), nl,
+            F.lit("<p>"), F.col("text"), F.lit("</p>"), nl,
+            F.lit("<p>"), F.substring("text", 1, 40),
+            F.lit(' <a href="/m">read more</a></p>'), nl,
+            F.lit('<footer><a href="/t">Terms</a> | '
+                  '<a href="/p">Privacy</a></footer>'),
+        ).alias("html"),
+    )
+
+
+def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.extract import extract_main_content
+
+    return extract_main_content(_boiler_pages(spark, sf_dir)).select(
+        "doc_id", "main_text", "n_lines", "n_content_lines", "content_chars"
+    )
+
+
+def _main_content_sql() -> str:
+    return r"""
+WITH pages AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         '<div><a href="/h">Home</a> <a href="/b">Blog</a> <a href="/c">Contact</a></div>'
+         || chr(10) || '<h1>Doc ' || doc_id || '</h1>'
+         || chr(10) || '<p>' || text || '</p>'
+         || chr(10) || '<p>' || substr(text, 1, 40) || ' <a href="/m">read more</a></p>'
+         || chr(10) || '<footer><a href="/t">Terms</a> | <a href="/p">Privacy</a></footer>'
+           AS html
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+         list_transform(str_split(html, chr(10)),
+           l -> struct_pack(t := trim(regexp_replace(l, '<[^>]*>', '', 'g')),
+                            k := len(regexp_extract_all(l, '<a ')))) AS st,
+         len(str_split(html, chr(10))) AS n_lines
+  FROM pages
+),
+keptt AS (
+  SELECT doc_id, n_lines,
+         list_filter(st, s -> length(s.t) >= 30
+                          AND length(s.t) >= 20 * s.k) AS kept
+  FROM parsed
+)
+SELECT doc_id,
+       array_to_string(list_transform(kept, s -> s.t), chr(10)) AS main_text,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_content_lines,
+       CAST(COALESCE(list_sum(list_transform(kept, s -> length(s.t))), 0)
+            AS BIGINT) AS content_chars
+FROM keptt"""
+
+
+# --- k-step absorption probability to a seed set (algorithms/absorption.py)
+
+
+ABSORB_K = 4
+ABSORB_SEED_MOD = 50
+
+
+def _q_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated absorption probability into the trusted seed set
+    {v : v % 50 == 0} within 4 steps — the funnel-into-trust dual of
+    trustrank_k8's forward propagation."""
+    from gunrock_spark.algorithms.absorption import absorption_probability
+
+    g = _graph(spark, sf_dir)
+    seeds = [
+        r.v
+        for r in g.vertices.where(F.col("v") % ABSORB_SEED_MOD == 0).collect()
+    ]
+    return absorption_probability(g, seeds, k=ABSORB_K)
+
+
+def _absorption_sql() -> str:
+    steps = ""
+    prev = "p0"
+    for i in range(1, ABSORB_K + 1):
+        steps += f""",
+p{i} AS (
+  SELECT vt.v,
+         CASE WHEN vt.v % {ABSORB_SEED_MOD} = 0 THEN 1.0
+              ELSE COALESCE(s.m / d.outd, 0.0) END AS p
+  FROM verts vt
+  LEFT JOIN (SELECT e.src AS v, SUM(pp.p) AS m
+             FROM edges e JOIN {prev} pp ON pp.v = e.dst
+             GROUP BY e.src) s ON s.v = vt.v
+  LEFT JOIN deg d ON d.v = vt.v
+)"""
+        prev = f"p{i}"
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+p0 AS (SELECT v, CASE WHEN v % {ABSORB_SEED_MOD} = 0 THEN 1.0 ELSE 0.0 END AS p
+       FROM verts)"""
+        + steps
+        + f"""
+SELECT v, ROUND(p, 9) AS absorb_p FROM {prev}"""
+    )
+
+
 # --- Unigram LM quality scoring + mixture sampling (pipeline/lm.py) --------
 
 LM_K = 0.5
@@ -5148,6 +5304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "url_canonical": _q_url_canon,
         "redirect_resolve": _q_redirect_resolve,
+        "change_rate": _q_change_rate,
+        "main_content": _q_main_content,
+        "absorption_k4": _q_absorption,
         "lm_ppl": _q_lm_ppl,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -5273,6 +5432,9 @@ FROM events GROUP BY 1, 2""",
         "gopher_repetition": _gopher_repetition_sql(),
         "url_canonical": _url_canon_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
+        "change_rate": _change_rate_sql(),
+        "main_content": _main_content_sql(),
+        "absorption_k4": _absorption_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),

@@ -22,6 +22,7 @@ from gunrock_spark.algorithms.triangles import (
     triangle_count_df,
     triangle_count_per_vertex,
 )
+from gunrock_spark.algorithms.absorption import absorption_probability
 from gunrock_spark.algorithms.bfs import bfs
 from gunrock_spark.algorithms.sssp import distances, sssp
 from gunrock_spark.algorithms.bc import bc_single_source, betweenness_centrality
@@ -52,6 +53,7 @@ __all__ = [
     "pagerank",
     "ranked",
     "spam_mass",
+    "absorption_probability",
     "trustrank",
     "weighted_pagerank",
     "katz_centrality",

@@ -5,9 +5,14 @@ from gunrock_spark.ingest.hosts import (
     host_of,
     page_links,
 )
+from gunrock_spark.ingest.recrawl import change_rate, crawl_delta, crawl_stats, latest_snapshot
 from gunrock_spark.ingest.links import extract_text, extract_links, pages_to_edges, url_dictionary
 
 __all__ = [
+    "change_rate",
+    "crawl_delta",
+    "crawl_stats",
+    "latest_snapshot",
     "extract_text",
     "extract_links",
     "pages_to_edges",

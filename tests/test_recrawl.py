@@ -78,3 +78,54 @@ def test_crawl_stats(spark, pages):
     assert a.first_ts == _ts(0) and a.last_ts == _ts(100)
     c = out["u/c"]
     assert c.n_crawls == 2 and c.n_distinct_texts == 2
+
+
+# --- change_rate (Cho & Garcia-Molina Poisson estimator) --------------------
+
+
+def test_change_rate_counts_and_lambda(spark):
+    import math
+
+    from gunrock_spark.ingest.recrawl import change_rate
+
+    rows = [
+        # u/a: 3 crawls, changes on both intervals (X=2, n=2)
+        ("u/a", _ts(0), "v1"),
+        ("u/a", _ts(10), "v2"),
+        ("u/a", _ts(20), "v3"),
+        # u/b: 3 crawls, one change (X=1, n=2)
+        ("u/b", _ts(0), "same"),
+        ("u/b", _ts(10), "same"),
+        ("u/b", _ts(20), "diff"),
+        # u/c: 2 crawls, no change (X=0, n=1)
+        ("u/c", _ts(0), "s"),
+        ("u/c", _ts(10), "s"),
+        # u/d: single crawl -> excluded
+        ("u/d", _ts(0), "only"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, text string"
+    )
+    got = {r.url: r for r in change_rate(df).collect()}
+    assert set(got) == {"u/a", "u/b", "u/c"}
+
+    def lam(n, x):
+        return round(-math.log((n - x + 0.5) / (n + 0.5)), 9)
+
+    assert (got["u/a"].n_intervals, got["u/a"].n_changes) == (2, 2)
+    assert got["u/a"].change_lambda == lam(2, 2)
+    assert (got["u/b"].n_intervals, got["u/b"].n_changes) == (2, 1)
+    assert got["u/b"].change_lambda == lam(2, 1)
+    assert (got["u/c"].n_intervals, got["u/c"].n_changes) == (1, 0)
+    assert got["u/c"].change_lambda == lam(1, 0)
+
+
+def test_change_rate_order_insensitive(spark):
+    from gunrock_spark.ingest.recrawl import change_rate
+
+    rows = [("u", _ts(t), f"t{t}") for t in (30, 0, 20, 10)]
+    df = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, text string"
+    )
+    r = change_rate(df).collect()[0]
+    assert (r.n_intervals, r.n_changes) == (3, 3)
