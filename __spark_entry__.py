@@ -3193,6 +3193,62 @@ SELECT v, ROUND(p, 9) AS absorb_p FROM {prev}"""
     )
 
 
+# --- Negative sampling over edge positives (algorithms/walks.py) -----------
+
+
+NEG_M = 3
+NEG_SEED = 42
+
+
+def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-style negative sampling: every edge is a positive
+    (center, context) pair; 3 negatives drawn from the exact integer
+    total-degree CDF via the shared affine hash."""
+    from gunrock_spark.algorithms.walks import negative_samples
+
+    g = _graph(spark, sf_dir)
+    pairs = g.edges.select(
+        F.col("src").alias("center"), F.col("dst").alias("context")
+    )
+    wts = g.degrees.select(
+        "v", (F.col("out_degree") + F.col("in_degree")).cast("long").alias("w")
+    )
+    return negative_samples(pairs, wts, m=NEG_M, seed=NEG_SEED).select(
+        "center", "context", F.col("j").cast("long").alias("j"), "neg"
+    )
+
+
+def _negative_samples_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+outc AS (SELECT src AS v, COUNT(*) AS c FROM edges GROUP BY src),
+inc AS (SELECT dst AS v, COUNT(*) AS c FROM edges GROUP BY dst),
+wt AS (SELECT vt.v,
+              CAST(COALESCE(o.c, 0) + COALESCE(i.c, 0) AS BIGINT) AS w
+       FROM verts vt
+       LEFT JOIN outc o ON o.v = vt.v
+       LEFT JOIN inc i ON i.v = vt.v),
+cdf AS (SELECT v,
+               SUM(w) OVER (ORDER BY v) - w AS lo,
+               SUM(w) OVER (ORDER BY v) AS hi
+        FROM wt WHERE w > 0),
+tot AS (SELECT MAX(hi) AS wsum FROM cdf),
+draws AS (
+  SELECT e.src AS center, e.dst AS context, j.j AS j,
+         ((((e.src % 900000007) * 1000003
+            + (e.dst % 900000007) * 104729
+            + j.j * 7919 + {NEG_SEED}) % 900000007) % t.wsum) AS r
+  FROM edges e
+  CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest(range(1, {NEG_M + 1})) AS j) j
+)
+SELECT d.center, d.context, CAST(d.j AS BIGINT) AS j, c.v AS neg
+FROM draws d JOIN cdf c ON d.r >= c.lo AND d.r < c.hi"""
+    )
+
+
 # --- Unigram LM quality scoring + mixture sampling (pipeline/lm.py) --------
 
 LM_K = 0.5
@@ -5307,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": _q_change_rate,
         "main_content": _q_main_content,
         "absorption_k4": _q_absorption,
+        "negative_samples_m3": _q_negative_samples,
         "lm_ppl": _q_lm_ppl,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -5435,6 +5492,7 @@ FROM events GROUP BY 1, 2""",
         "change_rate": _change_rate_sql(),
         "main_content": _main_content_sql(),
         "absorption_k4": _absorption_sql(),
+        "negative_samples_m3": _negative_samples_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),

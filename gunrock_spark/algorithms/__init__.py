@@ -43,7 +43,7 @@ from gunrock_spark.algorithms.motifs import (
     square_count_df,
     squares_per_vertex,
 )
-from gunrock_spark.algorithms.walks import random_walks
+from gunrock_spark.algorithms.walks import negative_samples, random_walks
 from gunrock_spark.algorithms.subgraph_match import (
     subgraph_match,
     subgraph_match_count,
@@ -85,6 +85,7 @@ __all__ = [
     "maximal_independent_set",
     "k_core_vertices",
     "core_numbers",
+    "negative_samples",
     "random_walks",
     "conductance",
     "modularity",

@@ -338,3 +338,97 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         pairs.groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+NEG_CTX = 104_729  # context multiplier (reuses HASH_WALK's prime)
+NEG_J = 7_919      # per-negative multiplier (reuses HASH_STEP's prime)
+
+
+def negative_samples(
+    pairs: DataFrame,
+    weights: DataFrame,
+    m: int = 3,
+    seed: int = 42,
+    buckets_per_item: int = 2,
+) -> DataFrame:
+    """DataFrame[center, context, j, neg] — ``m`` deterministic
+    negative samples per (center, context) positive pair, drawn from
+    the weighted unigram table ``weights`` (columns v, w with INTEGER
+    w, e.g. degree or count^0.75 pre-rounded): the word2vec/LINE
+    negative-sampling stage after skipgram_pairs (Mikolov et al. 2013
+    §2.2; public knowledge).
+
+    Draw j for pair (c, x) is the shared affine hash reduced into the
+    exact integer CDF of ``weights``::
+
+        r   = ((c % P) * A + (x % P) * NEG_CTX + j * NEG_J + seed) % P % W
+        neg = the unique v with  cdf_lo(v) <= r < cdf_hi(v)
+
+    All-integer end to end, so the draws are bit-replayable in ANSI
+    SQL and stable across engines, retries and cluster sizes (the
+    rand()-vs-hash argument of pipeline/sampling.py). A draw may
+    collide with the positive context or the center; following
+    word2vec's table sampler it is KEPT, so the output is exactly
+    ``|pairs| * m`` rows. W must be << P (9e8) for negligible modulo
+    bias — pass pre-scaled weights if the raw sum is larger.
+
+    Scale shape: the CDF lookup is NOT a range join — the CDF is
+    quantized into ~buckets_per_item*|vocab| fixed-width buckets,
+    exploded into a (bucket, v, lo, hi) table (size |vocab| + #buckets
+    rows) that is BROADCAST, and each draw equi-joins on its bucket
+    then range-filters the ~buckets_per_item candidates. The weights
+    table must therefore be driver-bounded (a truncated top-V unigram
+    table — the standard word2vec practice), while ``pairs`` streams
+    at any size with no shuffle beyond the explode.
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    w = weights.select(
+        F.col("v").cast("long").alias("v"), F.col("w").cast("long").alias("w")
+    ).where(F.col("w") > 0)
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = w.select(
+        "v", "w", F.sum("w").over(cum).alias("hi")
+    ).select("v", (F.col("hi") - F.col("w")).alias("lo"), "hi")
+    cdf = cdf.localCheckpoint(eager=True)  # bounded vocab; cut the window plan
+    agg = cdf.agg(
+        F.max("hi").alias("W"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total, n_vocab = int(agg["W"]), int(agg["n"])
+    width = max(1, total // max(1, buckets_per_item * n_vocab))
+    buckets = cdf.select(
+        F.explode(
+            F.sequence(
+                (F.col("lo") / width).cast("long"),
+                ((F.col("hi") - 1) / width).cast("long"),
+            )
+        ).alias("b"),
+        "v",
+        "lo",
+        "hi",
+    )
+    draws = pairs.select(
+        F.col("center").cast("long").alias("center"),
+        F.col("context").cast("long").alias("context"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(m)))).alias("j"),
+    ).withColumn(
+        "r",
+        F.pmod(
+            F.pmod(
+                F.pmod(F.col("center"), F.lit(HASH_P)) * HASH_A
+                + F.pmod(F.col("context"), F.lit(HASH_P)) * NEG_CTX
+                + F.col("j") * NEG_J
+                + F.lit(int(seed)),
+                F.lit(HASH_P),
+            ),
+            F.lit(total),
+        ),
+    )
+    return (
+        draws.join(
+            F.broadcast(buckets),
+            (draws["r"] / width).cast("long") == buckets["b"],
+        )
+        .where((F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
+        .select("center", "context", "j", F.col("v").alias("neg"))
+    )

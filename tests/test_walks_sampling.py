@@ -286,3 +286,62 @@ def test_skipgram_plan_no_self_join_shuffle(spark):
     plan = skipgram_pairs(w, 2)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- negative_samples (word2vec/LINE negative sampling) ---------------------
+
+
+def _neg_oracle(pairs, weights, m, seed):
+    P, A, CTX, JP = 900_000_007, 1_000_003, 104_729, 7_919
+    vs = sorted(v for v, w in weights.items() if w > 0)
+    cdf, lo = [], 0
+    for v in vs:
+        cdf.append((v, lo, lo + weights[v]))
+        lo += weights[v]
+    total = lo
+    out = []
+    for c, x in pairs:
+        for j in range(1, m + 1):
+            r = ((c % P) * A + (x % P) * CTX + j * JP + seed) % P % total
+            neg = next(v for v, a, b in cdf if a <= r < b)
+            out.append((c, x, j, neg))
+    return sorted(out)
+
+
+def test_negative_samples_match_python_oracle(spark):
+    from gunrock_spark.algorithms.walks import negative_samples
+
+    weights = {1: 3, 2: 1, 5: 6, 9: 2}
+    pairs = [(1, 2), (7, 5), (2, 9), (5, 1)]
+    pdf = spark.createDataFrame(pairs, "center long, context long")
+    wdf = spark.createDataFrame(list(weights.items()), "v long, w long")
+    got = sorted(
+        (r.center, r.context, r.j, r.neg)
+        for r in negative_samples(pdf, wdf, m=4, seed=9).collect()
+    )
+    assert got == _neg_oracle(pairs, weights, 4, 9)
+
+
+def test_negative_samples_row_count_and_range(spark):
+    from gunrock_spark.algorithms.walks import negative_samples
+
+    pdf = spark.createDataFrame(
+        [(i, (i * 3) % 7) for i in range(20)], "center long, context long"
+    )
+    wdf = spark.createDataFrame([(v, v + 1) for v in range(7)], "v long, w long")
+    rows = negative_samples(pdf, wdf, m=5, seed=1).collect()
+    assert len(rows) == 20 * 5  # exactly one vocab hit per draw
+    assert all(0 <= r.neg < 7 for r in rows)
+
+
+def test_negative_samples_weight_proportionality(spark):
+    from gunrock_spark.algorithms.walks import negative_samples
+
+    # one heavy item should dominate the draws
+    pdf = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "center long, context long"
+    )
+    wdf = spark.createDataFrame([(0, 90), (1, 5), (2, 5)], "v long, w long")
+    rows = negative_samples(pdf, wdf, m=4, seed=3).collect()
+    frac0 = sum(1 for r in rows if r.neg == 0) / len(rows)
+    assert frac0 > 0.75
