@@ -3249,6 +3249,50 @@ FROM draws d JOIN cdf c ON d.r >= c.lo AND d.r < c.hi"""
     )
 
 
+# --- Token co-occurrence + PMI (pipeline/text.py) --------------------------
+
+
+PMI_WINDOW = 2
+PMI_MIN_PAIRS = 20
+
+
+def _q_cooc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.pipeline.text import cooccurrence_pmi
+
+    return cooccurrence_pmi(
+        _docs(spark, sf_dir), window=PMI_WINDOW, min_pair_count=PMI_MIN_PAIRS
+    )
+
+
+def _cooc_pmi_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+slots AS (
+  SELECT unnest(flatten(list_transform(range(1, len(t)), i ->
+    list_transform(range(i + 1, least(i + {PMI_WINDOW}, len(t)) + 1), k ->
+      struct_pack(a := least(t[i], t[k]),
+                  b := greatest(t[i], t[k])))))) AS p
+  FROM tok WHERE len(t) >= 2
+),
+c AS (SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM slots GROUP BY 1, 2),
+marg AS (SELECT x, SUM(n_pairs) AS m FROM (
+           SELECT a AS x, n_pairs FROM c
+           UNION ALL SELECT b AS x, n_pairs FROM c
+         ) GROUP BY x),
+tot AS (SELECT SUM(n_pairs) AS nslots FROM c)
+SELECT c.a, c.b, c.n_pairs,
+       ROUND(ln(((4.0 * t.nslots) * c.n_pairs)
+                / (CAST(ma.m AS DOUBLE) * mb.m)), 9) AS pmi
+FROM c
+CROSS JOIN tot t
+JOIN marg ma ON ma.x = c.a
+JOIN marg mb ON mb.x = c.b
+WHERE c.n_pairs >= {PMI_MIN_PAIRS}"""
+
+
 # --- Unigram LM quality scoring + mixture sampling (pipeline/lm.py) --------
 
 LM_K = 0.5
@@ -5364,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": _q_main_content,
         "absorption_k4": _q_absorption,
         "negative_samples_m3": _q_negative_samples,
+        "cooc_pmi_w2": _q_cooc_pmi,
         "lm_ppl": _q_lm_ppl,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -5493,6 +5538,7 @@ FROM events GROUP BY 1, 2""",
         "main_content": _main_content_sql(),
         "absorption_k4": _absorption_sql(),
         "negative_samples_m3": _negative_samples_sql(),
+        "cooc_pmi_w2": _cooc_pmi_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),

@@ -315,3 +315,77 @@ def length_percentile_filter(
         "n_tokens",
         ((F.col("n_tokens") >= lo) & (F.col("n_tokens") <= hi)).alias("keep"),
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """(a, b, n_pairs, pmi) — unordered token co-occurrence counts
+    within ``window`` positions plus pointwise mutual information:
+    the count matrix GloVe/SVD-style embeddings factorize and the
+    collocation-discovery signal (Church & Hanks 1990; Levy &
+    Goldberg 2014; public knowledge).
+
+    Counting: for token positions i < k with k - i <= window, one
+    slot for the unordered pair (least(t_i,t_k), greatest(t_i,t_k)).
+    With N total slots and participation marginals
+    m_x = sum over slots containing x (self-pairs count twice)::
+
+        pmi(a,b) = ln( (c_ab / N) / ((m_a / 2N) * (m_b / 2N)) )
+                 = ln( ((4.0 * N) * c_ab) / (m_a * m_b) )
+
+    evaluated in EXACTLY that association order on exact integer
+    counts, so the doubles are bit-identical across engines; rounded
+    to 9.
+
+    Scale shape: pairs are generated IN-ARRAY (window-bounded
+    transform — no token self-join), then ONE map-side-combined
+    groupBy; marginals derive from the grouped matrix (|pairs| rows,
+    not |slots|), N is a 1-row broadcast. The Zipf head ('the','and')
+    pre-combines per partition exactly as term_counts does."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = _token_col(text_col)
+    pair_expr = (
+        "flatten(transform(sequence(1, size(_t) - 1), i -> "
+        f"transform(sequence(i + 1, least(i + {int(window)}, size(_t))), k -> "
+        "struct(least(element_at(_t, i), element_at(_t, k)) AS a, "
+        "greatest(element_at(_t, i), element_at(_t, k)) AS b))))"
+    )
+    slots = (
+        df.select(toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.a", "p.b")
+    )
+    c = slots.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    c = c.persist()
+    marg = (
+        c.select(F.col("a").alias("x"), "n_pairs")
+        .unionAll(c.select(F.col("b").alias("x"), "n_pairs"))
+        .groupBy("x")
+        .agg(F.sum("n_pairs").alias("m"))
+    )
+    total = c.agg(F.sum("n_pairs").alias("N"))
+    out = (
+        c.where(F.col("n_pairs") >= int(min_pair_count))
+        .join(marg.select(F.col("x").alias("a"), F.col("m").alias("m_a")), "a")
+        .join(marg.select(F.col("x").alias("b"), F.col("m").alias("m_b")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "n_pairs",
+            F.round(
+                F.log(
+                    ((F.lit(4.0) * F.col("N")) * F.col("n_pairs"))
+                    / (F.col("m_a").cast("double") * F.col("m_b"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return out

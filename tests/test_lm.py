@@ -177,3 +177,44 @@ def test_dsir_sample_is_deterministic_topk(spark, dsir_docs):
         u = (_h60_py(f"{r['doc_id']}:dsir:9") + 0.5) / float(1 << 60)
         want = w[r["doc_id"]] + (-math.log(-math.log(u)))
         assert r["score"] == pytest.approx(want, abs=1e-9)
+
+
+# --- cooccurrence_pmi (pipeline/text.py) ------------------------------------
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    import math
+
+    from gunrock_spark.pipeline.text import cooccurrence_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a b")], "doc_id long, text string"
+    )
+    got = {
+        (r.a, r.b): (r.n_pairs, r.pmi)
+        for r in cooccurrence_pmi(docs, window=2, min_pair_count=1).collect()
+    }
+    # slots: d1 (a,b),(a,a),(a,b),(b,c),(a,c); d2 (a,b),(b,b),(a,b)
+    assert got[("a", "b")][0] == 4
+    assert got[("a", "a")][0] == 1
+    assert got[("b", "b")][0] == 1
+    assert got[("b", "c")][0] == 1
+    assert got[("a", "c")][0] == 1
+    n = 8
+    m = {"a": 7, "b": 7, "c": 2}
+
+    def pmi(a, b, c_ab):
+        return round(math.log(((4.0 * n) * c_ab) / (m[a] * m[b])), 9)
+
+    for (a, b), (c_ab, p) in got.items():
+        assert p == pmi(a, b, c_ab), (a, b)
+
+
+def test_cooccurrence_pmi_min_count_filters(spark):
+    from gunrock_spark.pipeline.text import cooccurrence_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a b")], "doc_id long, text string"
+    )
+    got = cooccurrence_pmi(docs, window=2, min_pair_count=2).collect()
+    assert [(r.a, r.b) for r in got] == [("a", "b")]
