@@ -442,3 +442,64 @@ def test_densest_round_no_python_partial_agg(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_negative_samples_broadcast_equi_join_no_nlj(spark):
+    """The CDF lookup must compile to a BROADCAST hash equi-join on
+    the quantized bucket (the range predicate only as a post-join
+    filter) — never a BroadcastNestedLoopJoin/cartesian range join,
+    which would be |pairs| x |vocab| at scale."""
+    from gunrock_spark.algorithms.walks import negative_samples
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    pairs = g.edges.select(
+        F.col("src").alias("center"), F.col("dst").alias("context")
+    )
+    wts = g.degrees.select(
+        "v", (F.col("out_degree") + F.col("in_degree")).cast("long").alias("w")
+    )
+    plan = _plan(negative_samples(pairs, wts, m=2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_absorption_round_partial_agg_no_python(spark):
+    """Each absorption round is the advance+fused-reduce shape:
+    map-side partial aggregation, no Python, no global sort."""
+    from gunrock_spark.algorithms.absorption import absorption_probability
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    seeds = [r.v for r in g.vertices.limit(3).collect()]
+    plan = _plan(absorption_probability(g, seeds, k=1))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_cooc_pmi_no_python_partial_agg_no_sort(spark):
+    from gunrock_spark.pipeline.text import cooccurrence_pmi
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(cooccurrence_pmi(docs, min_pair_count=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_redirect_resolve_round_is_hash_equi_join(spark):
+    """Each pointer-doubling round is one hash equi-join on the
+    pointer column — no nested-loop, no Python."""
+    from gunrock_spark.ingest.urls import resolve_redirects
+
+    red = spark.createDataFrame(
+        [(f"r{i}", f"r{i+1}") for i in range(8)] + [("r8", "OUT")],
+        "url string, target string",
+    )
+    plan = _plan(resolve_redirects(red, max_doublings=1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
