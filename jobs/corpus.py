@@ -29,6 +29,10 @@ Ops:
   dsir-sample     DSIR importance resampling toward --target-sources
   semdedup        embedding-cluster semantic dedup (embeddings parquet)
   window-dup      append duplicated-window span stats (substring-dedup signal)
+  change-rate     per-url Poisson change-rate estimate (needs url, warc_ts)
+  extract-content boilerplate removal: append main_text + density stats
+  resolve-redirects collapse a (url, target) 3xx map by pointer doubling
+  cooc-pmi        windowed token co-occurrence counts + PMI
 """
 
 from __future__ import annotations
@@ -49,8 +53,9 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "exact-dedup", "minhash-dedup", "line-dedup", "decontaminate",
             "gopher", "lm-ppl", "quality", "langid", "pii",
-            "canonicalize", "latest-crawl", "mixture-sample",
+            "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
+            "extract-content", "resolve-redirects", "cooc-pmi",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -69,6 +74,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="dsir-sample: hashed-ngram buckets")
     ap.add_argument("--vec-col", default="embedding",
                     help="semdedup: embedding column")
+    ap.add_argument("--min-pair-count", type=int, default=5,
+                    help="cooc-pmi: minimum co-occurrence count kept")
     ap.add_argument("--semdedup-threshold", type=float, default=0.95,
                     help="semdedup: within-cluster cosine cut")
     args = ap.parse_args(argv)
@@ -153,6 +160,24 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.ingest.recrawl import latest_snapshot
 
         out = latest_snapshot(docs)
+    elif args.op == "change-rate":
+        from gunrock_spark.ingest.recrawl import change_rate
+
+        out = change_rate(docs)
+    elif args.op == "extract-content":
+        from gunrock_spark.pipeline.extract import extract_main_content
+
+        out = extract_main_content(docs, html_col=txc)
+    elif args.op == "resolve-redirects":
+        from gunrock_spark.ingest.urls import resolve_redirects
+
+        out = resolve_redirects(docs)
+    elif args.op == "cooc-pmi":
+        from gunrock_spark.pipeline.text import cooccurrence_pmi
+
+        out = cooccurrence_pmi(
+            docs, text_col=txc, min_pair_count=args.min_pair_count
+        )
     elif args.op == "length-filter":
         from gunrock_spark.pipeline.text import length_percentile_filter
 

@@ -49,8 +49,8 @@ def main(argv: list[str] | None = None) -> int:
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
                              "scc", "bowtie", "anf", "harmonic", "linkpred",
                              "color", "katz", "eigenvector", "matching",
-                             "trustrank", "spammass", "squares", "densest",
-                             "landmarks", "conductance"],
+                             "trustrank", "spammass", "absorption", "squares",
+                             "densest", "landmarks", "conductance"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -307,6 +307,13 @@ def main(argv: list[str] | None = None) -> int:
         res = None
         out_df = spam_mass(graph, seeds, delta=args.delta,
                            max_iter=args.max_iter)
+    elif args.algorithm == "absorption":
+        from gunrock_spark.algorithms.absorption import absorption_probability
+        from gunrock_spark.algorithms.bc import sample_sources
+
+        seeds = [r["source"] for r in sample_sources(graph, args.num_sources).collect()]
+        res = None
+        out_df = absorption_probability(graph, seeds, k=args.max_iter)
     elif args.algorithm == "matching":
         from gunrock_spark.algorithms.matching import maximal_matching
 

@@ -165,3 +165,54 @@ def test_window_dup_op(spark, docs_parquet, tmp_path, capsys):
     # docs 0 and 1 are byte-identical: both fully duplicated
     rows = {r.doc_id: r.dup_frac for r in got.collect()}
     assert rows[0] == 1.0 and rows[1] == 1.0
+
+
+def test_extract_content_op(spark, tmp_path, capsys):
+    art = "The quick brown fox jumps over the lazy dog near the riverbank."
+    rows = [(1, f'<div><a href="/x">Nav</a></div>\n<p>{art}</p>')]
+    inp = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    assert _run(["--input", inp, "--op", "extract-content", "--out", out]) == 0
+    got = spark.read.parquet(out).collect()[0]
+    assert got.main_text == art and got.n_content_lines == 1
+
+
+def test_change_rate_op(spark, tmp_path, capsys):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0, "a"),
+        ("u", t0 + datetime.timedelta(days=1), "b"),
+        ("v", t0, "only"),
+    ]
+    inp = str(tmp_path / "crawls.parquet")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    assert _run(["--input", inp, "--op", "change-rate", "--out", out]) == 0
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].n_changes == 1
+
+
+def test_resolve_redirects_op(spark, tmp_path, capsys):
+    rows = [("a", "b"), ("b", "X"), ("p", "p")]
+    inp = str(tmp_path / "redirects.parquet")
+    spark.createDataFrame(rows, "url string, target string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    assert _run(["--input", inp, "--op", "resolve-redirects", "--out", out]) == 0
+    got = {r.url: (r.final_url, r.is_cycle) for r in spark.read.parquet(out).collect()}
+    assert got == {"a": ("X", False), "b": ("X", False), "p": ("", True)}
+
+
+def test_cooc_pmi_op(spark, tmp_path, capsys):
+    rows = [(1, "a b a c"), (2, "b a b")]
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    assert _run(["--input", inp, "--op", "cooc-pmi",
+                 "--min-pair-count", "1", "--out", out]) == 0
+    got = {(r.a, r.b): r.n_pairs for r in spark.read.parquet(out).collect()}
+    assert got[("a", "b")] == 4

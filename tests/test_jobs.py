@@ -195,6 +195,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("eigenvector", ["--max-iter", "4"]),
         ("matching", []),
         ("trustrank", ["--num-sources", "2", "--max-iter", "4"]),
+        ("absorption", ["--num-sources", "2", "--max-iter", "3"]),
         ("squares", []),
         ("densest", ["--max-iter", "20"]),
         ("landmarks", ["--k", "2"]),
