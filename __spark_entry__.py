@@ -3249,6 +3249,97 @@ FROM draws d JOIN cdf c ON d.r >= c.lo AND d.r < c.hi"""
     )
 
 
+# --- Degree-proportional edge sparsification (graph/sparsify.py) -----------
+
+
+SPARSIFY_C = 3
+SPARSIFY_SEED = 42
+
+
+def _q_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.graph.sparsify import sparsify_edges
+
+    return sparsify_edges(_graph(spark, sf_dir), c=SPARSIFY_C, seed=SPARSIFY_SEED)
+
+
+def _sparsify_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+outc2 AS (SELECT src AS v, COUNT(*) AS c FROM edges GROUP BY src),
+inc2 AS (SELECT dst AS v, COUNT(*) AS c FROM edges GROUP BY dst),
+td AS (SELECT vt.v,
+              CAST(COALESCE(o.c, 0) + COALESCE(i.c, 0) AS BIGINT) AS d
+       FROM verts vt
+       LEFT JOIN outc2 o ON o.v = vt.v
+       LEFT JOIN inc2 i ON i.v = vt.v)
+SELECT e.src, e.dst
+FROM edges e
+JOIN td a ON a.v = e.src
+JOIN td b ON b.v = e.dst
+WHERE (((((e.src % 900000007) * 1000003
+         + (e.dst % 900000007) * 104729 + {SPARSIFY_SEED}) % 900000007)
+        * 1000003 + {SPARSIFY_SEED}) % 900000007)
+      * CAST(FLOOR(SQRT(CAST(a.d * b.d AS DOUBLE))) AS BIGINT)
+      < CAST({SPARSIFY_C} AS BIGINT) * 900000007"""
+    )
+
+
+# --- Per-host template/boilerplate rate (ingest/hosts.py) -------------------
+
+
+TEMPLATE_HOSTS = 20
+
+
+def _q_host_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host duplicated-content profile over a synthesized corpus
+    where even docs serve one shared template page per host and odd
+    docs serve their own text."""
+    from gunrock_spark.ingest.hosts import host_template_stats
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://h"),
+            F.col("doc_id") % TEMPLATE_HOSTS,
+            F.lit(".com/p/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("TEMPLATE "), F.col("doc_id") % TEMPLATE_HOSTS),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return host_template_stats(pages)
+
+
+def _host_template_sql() -> str:
+    from gunrock_spark.ingest.hosts import HOST_RE
+
+    return f"""
+WITH pages AS (
+  SELECT 'https://h' || (doc_id % {TEMPLATE_HOSTS}) || '.com/p/' || doc_id AS url,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'TEMPLATE ' || (doc_id % {TEMPLATE_HOSTS})
+              ELSE text END AS text
+  FROM documents
+),
+agg AS (
+  SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
+  FROM pages GROUP BY 1
+)
+SELECT host, n_pages, n_distinct_texts,
+       ROUND(1.0 - n_distinct_texts / n_pages, 9) AS template_rate
+FROM agg"""
+
+
 # --- Token co-occurrence + PMI (pipeline/text.py) --------------------------
 
 
@@ -5409,6 +5500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absorption_k4": _q_absorption,
         "negative_samples_m3": _q_negative_samples,
         "cooc_pmi_w2": _q_cooc_pmi,
+        "sparsify_c3": _q_sparsify,
+        "host_template_rate": _q_host_template,
         "lm_ppl": _q_lm_ppl,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -5539,6 +5632,8 @@ FROM events GROUP BY 1, 2""",
         "absorption_k4": _absorption_sql(),
         "negative_samples_m3": _negative_samples_sql(),
         "cooc_pmi_w2": _cooc_pmi_sql(),
+        "sparsify_c3": _sparsify_sql(),
+        "host_template_rate": _host_template_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),

@@ -1,4 +1,5 @@
 from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.sparsify import sparsify_edges
 from gunrock_spark.graph.io import (
     load_edge_table,
     read_mtx,
@@ -8,6 +9,7 @@ from gunrock_spark.graph.io import (
 
 __all__ = [
     "EdgeTable",
+    "sparsify_edges",
     "read_mtx",
     "write_mtx",
     "save_edge_table",

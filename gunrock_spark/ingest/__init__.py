@@ -3,6 +3,7 @@ from gunrock_spark.ingest.hosts import (
     host_graph,
     host_link_rollup,
     host_of,
+    host_template_stats,
     page_links,
 )
 from gunrock_spark.ingest.recrawl import change_rate, crawl_delta, crawl_stats, latest_snapshot
@@ -18,6 +19,7 @@ __all__ = [
     "pages_to_edges",
     "url_dictionary",
     "host_of",
+    "host_template_stats",
     "host_link_rollup",
     "host_dictionary",
     "host_graph",

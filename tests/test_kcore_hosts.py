@@ -209,3 +209,27 @@ def test_host_graph_end_to_end_pagerank(spark):
     assert g.num_edges() > 0
     res = pagerank(g, max_iter=5, threshold=0.0)
     assert res.state.count() == g.num_vertices()
+
+
+# --- host_template_stats (ingest/hosts.py) ----------------------------------
+
+
+def test_host_template_stats(spark):
+    from gunrock_spark.ingest.hosts import host_template_stats
+
+    rows = [
+        # templated.com: 4 pages, all the same text
+        ("https://templated.com/1", "same boilerplate"),
+        ("https://templated.com/2", "same boilerplate"),
+        ("https://templated.com/3", "same boilerplate"),
+        ("https://templated.com/4", "same boilerplate"),
+        # articles.org: 2 pages, distinct
+        ("https://articles.org/a", "first article text"),
+        ("https://articles.org/b", "second article text"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r.host: r for r in host_template_stats(df).collect()}
+    t = got["templated.com"]
+    assert (t.n_pages, t.n_distinct_texts, t.template_rate) == (4, 1, 0.75)
+    a = got["articles.org"]
+    assert (a.n_pages, a.n_distinct_texts, a.template_rate) == (2, 2, 0.0)
