@@ -5419,6 +5419,321 @@ FROM sums"""
     )
 
 
+# --- Rich-club coefficient (algorithms/gstats.py) ---------------------------
+
+
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve phi(k) over the simple undirected view —
+    exact-integer cumulative histograms, one bounded window pass."""
+    from gunrock_spark.algorithms.gstats import rich_club
+
+    return rich_club(_graph(spark, sf_dir))
+
+
+def _rich_club_sql() -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+ud AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+hist AS (SELECT deg AS k, CAST(COUNT(*) AS BIGINT) AS n_at FROM ud GROUP BY deg),
+edge_min AS (
+  SELECT LEAST(da.deg, db.deg) AS k, CAST(COUNT(*) AS BIGINT) AS e_at
+  FROM und e JOIN ud da ON da.v = e.a JOIN ud db ON db.v = e.b
+  GROUP BY 1
+),
+spine AS (
+  SELECT COALESCE(h.k, m.k) AS k,
+         COALESCE(h.n_at, 0) AS n_at,
+         COALESCE(m.e_at, 0) AS e_at
+  FROM hist h FULL OUTER JOIN edge_min m ON m.k = h.k
+),
+cum AS (
+  SELECT k, n_at,
+         CAST(COALESCE(SUM(n_at) OVER (ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_k,
+         CAST(COALESCE(SUM(e_at) OVER (ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS e_k
+  FROM spine
+)
+SELECT k, n_k, e_k,
+       ROUND(2.0 * e_k / (CAST(n_k AS DOUBLE) * (n_k - 1)), 9) AS phi
+FROM cum WHERE n_at > 0 AND n_k >= 2
+ORDER BY k"""
+    )
+
+
+# --- Co-citation / bibliographic coupling (algorithms/linkpred.py) ----------
+
+COCITE_TOP = 50
+COCITE_MAX_FAN = 1024
+
+
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-cited pairs on the DIRECTED link graph (Small 1973);
+    the fan-out cap is part of the contract (the oracle applies it)."""
+    from gunrock_spark.algorithms.linkpred import cocitation_topk
+
+    return cocitation_topk(
+        _graph(spark, sf_dir), k=COCITE_TOP, max_fanout=COCITE_MAX_FAN
+    )
+
+
+def _cocitation_sql(k: int = COCITE_TOP, cap: int = COCITE_MAX_FAN) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+fan AS (SELECT src, COUNT(*) AS fan FROM edges GROUP BY src),
+cite AS MATERIALIZED (
+  SELECT e.src AS w, e.dst AS u
+  FROM edges e JOIN fan f ON f.src = e.src WHERE f.fan <= {cap}
+),
+pairs AS (
+  SELECT c1.u AS u, c2.u AS v
+  FROM cite c1 JOIN cite c2 ON c2.w = c1.w AND c1.u < c2.u
+)
+SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cocite
+FROM pairs GROUP BY u, v
+ORDER BY cocite DESC, u, v LIMIT {k}"""
+    )
+
+
+def _q_bibcoupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bibliographically-coupled pairs (Kessler 1963) — the
+    out-link dual of co-citation; fan-in cap contractual."""
+    from gunrock_spark.algorithms.linkpred import bibliographic_coupling_topk
+
+    return bibliographic_coupling_topk(
+        _graph(spark, sf_dir), k=COCITE_TOP, max_fanin=COCITE_MAX_FAN
+    )
+
+
+def _bibcoupling_sql(k: int = COCITE_TOP, cap: int = COCITE_MAX_FAN) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+fanin AS (SELECT dst, COUNT(*) AS fin FROM edges GROUP BY dst),
+cited AS MATERIALIZED (
+  SELECT e.dst AS w, e.src AS u
+  FROM edges e JOIN fanin f ON f.dst = e.dst WHERE f.fin <= {cap}
+),
+pairs AS (
+  SELECT c1.u AS u, c2.u AS v
+  FROM cited c1 JOIN cited c2 ON c2.w = c1.w AND c1.u < c2.u
+)
+SELECT u, v, CAST(COUNT(*) AS BIGINT) AS coupling
+FROM pairs GROUP BY u, v
+ORDER BY coupling DESC, u, v LIMIT {k}"""
+    )
+
+
+# --- Crawl-frontier priority (ingest/recrawl.py) -----------------------------
+
+CRAWL_PRIO_TOP = 100
+
+
+def _crawl_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic importance table (url, rank) — stands in
+    for the host/page PageRank the scheduler would use in production."""
+    return (
+        _crawl_pages(spark, sf_dir)
+        .select("url", "doc_id")
+        .distinct()
+        .select(
+            "url",
+            (((F.col("doc_id") * 37) % 101).cast("double") / 100.0).alias("rank"),
+        )
+    )
+
+
+def _q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """freshness x importance recrawl scheduling (Cho & Garcia-Molina
+    change rates weighted by page importance), top-100."""
+    from gunrock_spark.ingest.recrawl import crawl_priority
+
+    return crawl_priority(
+        _crawl_pages(spark, sf_dir).select("url", "warc_ts", "text"),
+        _crawl_ranks(spark, sf_dir),
+        default_lambda=0.5,
+        k=CRAWL_PRIO_TOP,
+    )
+
+
+def _crawl_priority_sql(k: int = CRAWL_PRIO_TOP) -> str:
+    return (
+        "WITH "
+        + _CRAWL_CTES
+        + """,
+hist AS (
+  SELECT url, text,
+         lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev_text
+  FROM pages
+),
+agg AS (
+  SELECT url,
+         CAST(COUNT(prev_text) AS BIGINT) AS n_intervals,
+         CAST(SUM(CASE WHEN prev_text IS NOT NULL AND text <> prev_text
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM hist GROUP BY url
+),
+lam AS (
+  SELECT url,
+         ROUND(-ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5)), 9)
+           AS change_lambda
+  FROM agg WHERE n_intervals >= 1
+),
+ranks AS (
+  SELECT DISTINCT url, CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 AS rank
+  FROM pages
+),
+urls AS (SELECT DISTINCT url FROM pages)
+SELECT u.url,
+       ROUND(COALESCE(l.change_lambda, 0.5), 9) AS change_lambda,
+       r.rank,
+       ROUND(COALESCE(l.change_lambda, 0.5) * r.rank, 9) AS priority
+FROM urls u
+LEFT JOIN lam l ON l.url = u.url
+JOIN ranks r ON r.url = u.url
+ORDER BY priority DESC, u.url LIMIT """
+        + str(k)
+    )
+
+
+# --- Forward-push personalized PageRank + sweep cut (algorithms/ppr.py) -----
+
+PPR_ALPHA = 0.15
+PPR_EPS = 1e-4
+PPR_ROUNDS = 15  # fixed unroll; empty-frontier rounds are identity in both
+PPR_SWEEP_K = 16
+
+
+def _ppr_result(spark: SparkSession, sf_dir: str):
+    from gunrock_spark.algorithms.ppr import ppr_push
+
+    g = _graph(spark, sf_dir)
+    seed = g.vertices.agg(F.min("v").alias("s")).collect()[0]["s"]
+    return g, ppr_push(
+        g, [int(seed)], alpha=PPR_ALPHA, eps=PPR_EPS, max_iter=PPR_ROUNDS
+    )
+
+
+def _q_ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-push PPR from the min vertex (Andersen-Chung-Lang) —
+    support rows only; oracle unrolls the identical synchronous
+    frontier schedule."""
+    from gunrock_spark.algorithms.ppr import ppr_scores
+
+    _, res = _ppr_result(spark, sf_dir)
+    return ppr_scores(res.state)
+
+
+def _ppr_rounds_ctes(
+    rounds: int = PPR_ROUNDS, alpha: float = PPR_ALPHA, eps: float = PPR_EPS
+) -> str:
+    """CTE chain s0..s{rounds} replaying ppr_push's synchronous batched
+    trajectory: frontier = r > eps*max(deg,1); frontier spends alpha*r
+    into p and pushes (1-alpha)*r/deg along out-edges; dangling frontier
+    residual leaks (directed-web convention)."""
+    body = [
+        """s0 AS (SELECT (SELECT MIN(v) FROM verts) AS v,
+        0.0 AS p, 1.0 AS r)"""
+    ]
+    for i in range(1, rounds + 1):
+        body.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT s.v, s.p, s.r, COALESCE(d.outd, 0.0) AS d,
+         (s.r > {eps} * GREATEST(COALESCE(d.outd, 0.0), 1.0)) AS in_f
+  FROM s{i - 1} s LEFT JOIN deg d ON d.v = s.v
+),
+m{i} AS (
+  SELECT e.dst AS v, SUM((1.0 - {alpha}) * a.r / a.d) AS m
+  FROM a{i} a JOIN edges e ON e.src = a.v
+  WHERE a.in_f AND a.d > 0
+  GROUP BY e.dst
+),
+s{i} AS MATERIALIZED (
+  SELECT COALESCE(a.v, m.v) AS v,
+         COALESCE(a.p, 0.0)
+           + CASE WHEN COALESCE(a.in_f, FALSE)
+                  THEN {alpha} * a.r ELSE 0.0 END AS p,
+         CASE WHEN COALESCE(a.in_f, FALSE) THEN 0.0
+              ELSE COALESCE(a.r, 0.0) END + COALESCE(m.m, 0.0) AS r
+  FROM a{i} a FULL OUTER JOIN m{i} m ON m.v = a.v
+)"""
+        )
+    return ",\n".join(body)
+
+
+def _ppr_scores_sql(rounds: int = PPR_ROUNDS) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _ppr_rounds_ctes(rounds)
+        + f"\nSELECT v, ROUND(p, 6) AS p, ROUND(r, 6) AS r FROM s{rounds}"
+    )
+
+
+def _q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance sweep cut over the top-16 PPR vertices by p/deg on
+    the symmetrized graph — the ACL local-clustering read-out."""
+    from gunrock_spark.algorithms.ppr import ppr_scores, sweep_cut
+
+    g, res = _ppr_result(spark, sf_dir)
+    return sweep_cut(g.symmetrized(), ppr_scores(res.state), k=PPR_SWEEP_K)
+
+
+def _ppr_sweep_sql(rounds: int = PPR_ROUNDS, k: int = PPR_SWEEP_K) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _ppr_rounds_ctes(rounds)
+        + f""",
+scores AS (SELECT v, ROUND(p, 6) AS p FROM s{rounds}),
+symdeg AS MATERIALIZED (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src
+),
+cand AS (
+  SELECT s.v, sd.d, ROUND(s.p / sd.d, 9) AS score
+  FROM scores s JOIN symdeg sd ON sd.v = s.v
+  ORDER BY score DESC, s.v LIMIT {k}
+),
+rankd AS MATERIALIZED (
+  SELECT v, d, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, v) AS BIGINT) AS rank
+  FROM cand
+),
+internal AS (
+  SELECT GREATEST(ru.rank, rv.rank) AS mr, CAST(COUNT(*) AS BIGINT) AS n_int
+  FROM sym e JOIN rankd ru ON ru.v = e.src JOIN rankd rv ON rv.v = e.dst
+  GROUP BY 1
+),
+sweep AS (
+  SELECT r.rank, r.v,
+         SUM(r.d) OVER (ORDER BY r.rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vol,
+         SUM(COALESCE(i.n_int, 0)) OVER (ORDER BY r.rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS internal
+  FROM rankd r LEFT JOIN internal i ON i.mr = r.rank
+)
+SELECT rank, v,
+       ROUND((vol - internal)
+             / CAST(NULLIF(LEAST(vol, (SELECT COUNT(*) FROM sym) - vol), 0)
+                    AS DOUBLE), 6) AS phi
+FROM sweep"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_fixed10": _q_pagerank_fixed,
@@ -5544,6 +5859,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "powerlaw_alpha": _q_powerlaw,
+        "rich_club": _q_rich_club,
+        "cocitation_top50": _q_cocitation,
+        "bibcoupling_top50": _q_bibcoupling,
+        "crawl_priority_top100": _q_crawl_priority,
+        "ppr_seed_scores": _q_ppr_scores,
+        "ppr_sweep_k16": _q_ppr_sweep,
     }
 
 
@@ -5676,4 +5997,10 @@ FROM events GROUP BY 1, 2""",
         "reciprocity": _reciprocity_sql(),
         "assortativity": _assortativity_sql(),
         "powerlaw_alpha": _powerlaw_sql(),
+        "rich_club": _rich_club_sql(),
+        "cocitation_top50": _cocitation_sql(),
+        "bibcoupling_top50": _bibcoupling_sql(),
+        "crawl_priority_top100": _crawl_priority_sql(),
+        "ppr_seed_scores": _ppr_scores_sql(),
+        "ppr_sweep_k16": _ppr_sweep_sql(),
     }

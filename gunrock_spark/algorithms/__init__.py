@@ -23,6 +23,7 @@ from gunrock_spark.algorithms.triangles import (
     triangle_count_per_vertex,
 )
 from gunrock_spark.algorithms.absorption import absorption_probability
+from gunrock_spark.algorithms.ppr import ppr_push, ppr_scores, sweep_cut
 from gunrock_spark.algorithms.bfs import bfs
 from gunrock_spark.algorithms.sssp import distances, sssp
 from gunrock_spark.algorithms.bc import bc_single_source, betweenness_centrality
@@ -51,6 +52,9 @@ from gunrock_spark.algorithms.subgraph_match import (
 
 __all__ = [
     "pagerank",
+    "ppr_push",
+    "ppr_scores",
+    "sweep_cut",
     "ranked",
     "spam_mass",
     "absorption_probability",

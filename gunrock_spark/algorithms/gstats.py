@@ -266,3 +266,74 @@ def avg_neighbor_degree(graph: EdgeTable) -> DataFrame:
         F.round(F.sum("s") / F.sum("d"), 6).alias("avg_nbr_degree"),
         F.count(F.lit(1)).cast("long").alias("n_vertices"),
     )
+
+
+def rich_club(graph: EdgeTable) -> DataFrame:
+    """Rich-club coefficient curve (Zhou & Mondragon 2004):
+    DataFrame[k long, n_k long, e_k long, phi double] for every degree
+    value k present in the graph with at least 2 richer-than-k
+    vertices, where ``n_k`` = #{v : deg(v) > k}, ``e_k`` = number of
+    simple undirected edges with BOTH endpoints of degree > k, and
+    ``phi = 2*e_k / (n_k*(n_k-1))`` — how densely the high-degree core
+    is wired to itself (the "do hubs club together" question every
+    web-graph study asks).
+
+    Exact-integer plan, no per-k passes: one |E|-row join tags each
+    undirected edge with m = min(deg(a), deg(b)); e_k for ALL k comes
+    from one groupBy(m).count + a descending cumulative sum; n_k from
+    the degree histogram the same way. The only windows run over the
+    DISTINCT-degree rows (bounded by max degree, in practice a few
+    hundred on a power-law graph — never |V| or |E| rows), so the plan
+    is two partial-agg shuffles + two bounded window passes. phi is
+    one float division over exact BIGINTs — bit-identical across
+    engines and partition orders.
+    """
+    from pyspark.sql import Window
+
+    und = _simple_undirected(graph)
+    deg = _undirected_degrees(graph)
+
+    # vertex-degree histogram and edge min-endpoint-degree histogram,
+    # merged onto ONE spine of k values so the strict ">" cumulative
+    # sums see every level (a degree value that is never an edge's min
+    # must still inherit the count of all larger-min edges).
+    hist = deg.groupBy(F.col("deg").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_at")
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    edge_min = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(F.least("dega", "degb").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_at"))
+    )
+    spine = hist.join(edge_min, "k", "full_outer").select(
+        "k",
+        F.coalesce("n_at", F.lit(0)).alias("n_at"),
+        F.coalesce("e_at", F.lit(0)).alias("e_at"),
+    )
+    w = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = spine.select(
+        "k",
+        "n_at",
+        F.coalesce(F.sum("n_at").over(w), F.lit(0)).cast("long").alias("n_k"),
+        F.coalesce(F.sum("e_at").over(w), F.lit(0)).cast("long").alias("e_k"),
+    )
+    return (
+        cum.where((F.col("n_at") > 0) & (F.col("n_k") >= 2))
+        .select(
+            "k",
+            "n_k",
+            "e_k",
+            F.round(
+                (2.0 * F.col("e_k"))
+                / (F.col("n_k") * (F.col("n_k") - F.lit(1))),
+                9,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

@@ -110,6 +110,74 @@ def adamic_adar_topk(
     )
 
 
+def cocitation_topk(
+    graph: EdgeTable, k: int = 50, max_fanout: int = 1024
+) -> DataFrame:
+    """Top-k co-cited page pairs: DataFrame[u, v, cocite long] with
+    ``cocite(u, v) = |{w : w->u and w->v}|`` — pages frequently linked
+    together by the same source (Small 1973's co-citation measure on
+    the DIRECTED link graph; the symmetric-neighborhood scores in
+    :func:`link_prediction_scores` are the undirected cousins).
+
+    Shape: one self-join of the out-adjacency through the citing page
+    ``w`` (u < v canonicalizes), one partial-agg groupBy, TakeOrdered
+    top-k. Scale: pair volume is sum_w outdeg(w)^2, so link-farm pages
+    with 10^5 outlinks are pruned by ``max_fanout`` BEFORE the
+    self-join — part of the result contract (the oracle applies the
+    same cap), the same principled hub cap as Adamic-Adar's
+    ``max_center_degree`` (a 10^4-outlink page "co-cites" everything,
+    carrying no pair signal).
+
+    Ordering: (cocite desc, u, v) — integer score, fully deterministic.
+    """
+    e = graph.edges.select("src", "dst")
+    fan = e.groupBy("src").agg(F.count(F.lit(1)).alias("fan"))
+    cite = (
+        e.join(fan, "src")
+        .where(F.col("fan") <= max_fanout)
+        .select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    )
+    right = cite.select(F.col("w").alias("w2"), F.col("u").alias("v"))
+    pairs = cite.join(
+        right, (cite["w"] == right["w2"]) & (cite["u"] < right["v"])
+    ).select("u", "v")
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cocite"))
+        .orderBy(F.desc("cocite"), "u", "v")
+        .limit(k)
+    )
+
+
+def bibliographic_coupling_topk(
+    graph: EdgeTable, k: int = 50, max_fanin: int = 1024
+) -> DataFrame:
+    """Top-k bibliographically-coupled pairs: DataFrame[u, v, coupling
+    long] with ``coupling(u, v) = |{w : u->w and v->w}|`` — pages that
+    cite the same targets (Kessler 1963), the out-link dual of
+    co-citation. The shared TARGET ``w`` is the join pivot, so the hub
+    cap prunes targets with in-degree > ``max_fanin`` (everything
+    links to the homepage; those shared targets carry no signal).
+    Ordering: (coupling desc, u, v)."""
+    e = graph.edges.select("src", "dst")
+    fanin = e.groupBy("dst").agg(F.count(F.lit(1)).alias("fin"))
+    cited = (
+        e.join(fanin, "dst")
+        .where(F.col("fin") <= max_fanin)
+        .select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    )
+    right = cited.select(F.col("w").alias("w2"), F.col("u").alias("v"))
+    pairs = cited.join(
+        right, (cited["w"] == right["w2"]) & (cited["u"] < right["v"])
+    ).select("u", "v")
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("coupling"))
+        .orderBy(F.desc("coupling"), "u", "v")
+        .limit(k)
+    )
+
+
 def link_prediction_topk(
     graph: EdgeTable,
     k: int = 50,

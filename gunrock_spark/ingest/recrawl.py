@@ -139,3 +139,57 @@ def crawl_stats(
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
     )
+
+
+def crawl_priority(
+    pages: DataFrame,
+    ranks: DataFrame,
+    default_lambda: float = 0.5,
+    k: int | None = None,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-frontier scheduling scores: (url, change_lambda, rank,
+    priority) with ``priority = change_lambda * rank`` — the standard
+    freshness x importance recrawl policy (Cho & Garcia-Molina 2003
+    change rates weighted by page importance a la Edwards et al. /
+    Olston & Najork's crawl-ordering survey, Ch. 4). Pages whose
+    history is too short to estimate a rate (a single crawl) take
+    ``default_lambda`` — the exploration prior that keeps new urls in
+    the rotation.
+
+    ``ranks`` is any (url, rank double) importance table — page or
+    host PageRank from the link graph (algorithms/pagerank.py after
+    ingest/hosts rollup). Inner join: urls without a rank are not in
+    the scheduler's graph yet and are crawled by the discovery path,
+    not this scorer.
+
+    Plan: change_rate's one groupBy (hashes ride the shuffle, texts
+    never do) + one |urls|-row join against the rank table; with
+    ``k`` set, TakeOrdered top-k (no global sort). Priority is rounded
+    to 9 so the score column replays bit-identically.
+    """
+    lam = change_rate(pages, url_col=url_col, ts_col=ts_col, text_col=text_col)
+    urls = pages.select(F.col(url_col).alias("url")).distinct()
+    scored = (
+        urls.join(lam.select("url", "change_lambda"), "url", "left")
+        .select(
+            "url",
+            F.coalesce("change_lambda", F.lit(float(default_lambda))).alias(
+                "change_lambda"
+            ),
+        )
+        .join(ranks.select("url", "rank"), "url")
+        .select(
+            "url",
+            F.round("change_lambda", 9).alias("change_lambda"),
+            "rank",
+            F.round(F.col("change_lambda") * F.col("rank"), 9).alias(
+                "priority"
+            ),
+        )
+    )
+    if k is not None:
+        scored = scored.orderBy(F.desc("priority"), "url").limit(k)
+    return scored

@@ -253,3 +253,47 @@ def test_avg_neighbor_degree_weighted_class_mean(spark):
     # deg-1 class: 1,2,3 see deg 3 each; 4,6 see deg 2 each ->
     # weighted mean = (3+3+3+2+2)/5 = 2.6
     assert got[1] == 2.6
+
+
+def test_rich_club_golden_star_plus_core(spark):
+    from gunrock_spark.algorithms.gstats import rich_club
+
+    # core triangle {0,1,2} + leaves hanging off 0: deg(0)=4, deg(1)=deg(2)=2, leaves=1
+    edges = [(0, 1), (1, 2), (0, 2), (0, 8), (0, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = EdgeTable.from_df(df)
+    got = {r.k: (r.n_k, r.e_k, r.phi) for r in rich_club(g).collect()}
+    # k=1: nodes with deg>1 = {0,1,2}, edges among them = 3 -> phi=1.0
+    assert got[1] == (3, 3, 1.0)
+    # k=2: only vertex 0 survives -> n_k=1 < 2, row excluded
+    assert 2 not in got
+    assert set(got) == {1}
+
+
+def test_rich_club_matches_python(spark):
+    from gunrock_spark.algorithms.gstats import rich_club
+
+    edges = [(int(s), int(d)) for s, d in rmat_edges(scale=7, edge_factor=4, seed=3)]
+    g = EdgeTable.from_df(spark.createDataFrame(edges, "src long, dst long"))
+    got = {r.k: (r.n_k, r.e_k, r.phi) for r in rich_club(g).collect()}
+
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    exp = {}
+    for k in sorted(set(deg.values())):
+        rich = {v for v, dv in deg.items() if dv > k}
+        if len(rich) < 2:
+            continue
+        ek = sum(1 for a, b in und if a in rich and b in rich)
+        exp[k] = (
+            len(rich),
+            ek,
+            round(2.0 * ek / (len(rich) * (len(rich) - 1)), 9),
+        )
+    assert got == exp

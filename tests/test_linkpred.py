@@ -146,3 +146,89 @@ def test_linkpred_topk_by_jaccard(spark):
     }
     with pytest.raises(ValueError):
         link_prediction_topk(g, by="nope")
+
+
+# --- co-citation / bibliographic coupling (directed) -----------------------
+
+
+def _pair_ref(edge_list, pivot="src", cap=10**9):
+    """{(u,v): count} over the directed graph: pivot='src' groups by
+    citing page (co-citation), pivot='dst' by cited target
+    (bibliographic coupling); cap prunes pivot fan-out."""
+    group: dict[int, set[int]] = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        if pivot == "src":
+            group.setdefault(s, set()).add(d)
+        else:
+            group.setdefault(d, set()).add(s)
+    out: dict[tuple[int, int], int] = {}
+    for _, members in group.items():
+        if len(members) > cap:
+            continue
+        ms = sorted(members)
+        for i, u in enumerate(ms):
+            for v in ms[i + 1 :]:
+                out[(u, v)] = out.get((u, v), 0) + 1
+    return out
+
+
+DG = [
+    (10, 1), (10, 2), (10, 3),    # 10 co-cites {1,2,3}
+    (11, 1), (11, 2),             # 11 co-cites {1,2} -> (1,2) count 2
+    (12, 2), (12, 3),
+    (1, 20), (2, 20), (1, 21), (2, 21),  # 1,2 couple via {20,21}
+    (3, 20),
+]
+
+
+def test_cocitation_matches_python(spark):
+    from gunrock_spark.algorithms.linkpred import cocitation_topk
+
+    g = EdgeTable.from_df(spark.createDataFrame(DG, "src long, dst long"))
+    got = {(r.u, r.v): r.cocite for r in cocitation_topk(g, k=100).collect()}
+    # dedup: the cleaned edge table collapses duplicate (src,dst)
+    assert got == _pair_ref(sorted(set(DG)), pivot="src")
+    assert got[(1, 2)] == 2
+
+
+def test_bibcoupling_matches_python(spark):
+    from gunrock_spark.algorithms.linkpred import bibliographic_coupling_topk
+
+    g = EdgeTable.from_df(spark.createDataFrame(DG, "src long, dst long"))
+    got = {
+        (r.u, r.v): r.coupling
+        for r in bibliographic_coupling_topk(g, k=100).collect()
+    }
+    assert got == _pair_ref(sorted(set(DG)), pivot="dst")
+    assert got[(1, 2)] == 2
+
+
+def test_cocitation_fanout_cap_is_contractual(spark):
+    from gunrock_spark.algorithms.linkpred import cocitation_topk
+
+    g = EdgeTable.from_df(spark.createDataFrame(DG, "src long, dst long"))
+    got = {(r.u, r.v): r.cocite for r in cocitation_topk(g, k=100, max_fanout=2).collect()}
+    assert got == _pair_ref(sorted(set(DG)), pivot="src", cap=2)
+    # page 10 (fan-out 3) no longer contributes
+    assert got.get((1, 3)) is None
+
+
+def test_cocitation_topk_order_deterministic(spark):
+    from gunrock_spark.algorithms.linkpred import cocitation_topk
+
+    g = EdgeTable.from_df(spark.createDataFrame(DG, "src long, dst long"))
+    rows = cocitation_topk(g, k=3).collect()
+    keys = [(r.cocite, r.u, r.v) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
+
+
+def test_cocitation_rmat_matches_python(spark):
+    edges = [(int(s), int(d)) for s, d in rmat_edges(scale=7, edge_factor=4, seed=11)]
+    g = EdgeTable.from_df(spark.createDataFrame(edges, "src long, dst long"))
+    clean = sorted(set((s, d) for s, d in edges if s != d))
+    from gunrock_spark.algorithms.linkpred import cocitation_topk
+
+    got = {(r.u, r.v): r.cocite for r in cocitation_topk(g, k=10**6, max_fanout=64).collect()}
+    assert got == _pair_ref(clean, pivot="src", cap=64)

@@ -129,3 +129,36 @@ def test_change_rate_order_insensitive(spark):
     )
     r = change_rate(df).collect()[0]
     assert (r.n_intervals, r.n_changes) == (3, 3)
+
+
+# --- crawl_priority ---------------------------------------------------------
+
+
+def test_crawl_priority_freshness_times_importance(spark, pages):
+    from gunrock_spark.ingest.recrawl import change_rate, crawl_priority
+
+    ranks = spark.createDataFrame(
+        [("u/a", 0.4), ("u/b", 0.9), ("u/c", 0.1)],
+        schema="url string, rank double",
+    )
+    got = {
+        r.url: (r.change_lambda, r.priority)
+        for r in crawl_priority(pages, ranks, default_lambda=0.5).collect()
+    }
+    lam = {r.url: r.change_lambda for r in change_rate(pages).collect()}
+    # u/a: 2 intervals 1 change; u/c: 1 interval 1 change; u/b single crawl
+    assert got["u/a"][0] == lam["u/a"]
+    assert got["u/c"][0] == lam["u/c"]
+    assert got["u/b"][0] == 0.5  # exploration prior
+    for url, rank in [("u/a", 0.4), ("u/b", 0.9), ("u/c", 0.1)]:
+        assert got[url][1] == pytest.approx(round(got[url][0] * rank, 9))
+
+
+def test_crawl_priority_inner_joins_ranks_and_topk(spark, pages):
+    from gunrock_spark.ingest.recrawl import crawl_priority
+
+    ranks = spark.createDataFrame(
+        [("u/a", 1.0), ("u/zzz", 9.0)], schema="url string, rank double"
+    )
+    rows = crawl_priority(pages, ranks, k=5).collect()
+    assert [r.url for r in rows] == ["u/a"]  # unranked urls excluded
