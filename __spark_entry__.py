@@ -4556,6 +4556,98 @@ def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMRANK_QUERIES = 3
+SIMRANK_LEN = 3
+SIMRANK_WALKS = 4
+SIMRANK_SEED = 7
+
+
+def _q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo SimRank (algorithms/simrank.py): coupled reverse
+    walks, score = mean over walks of 2^-(first meeting step). Decay
+    1/2 makes every score an exact dyadic rational, so the DuckDB
+    replay matches bit-for-bit."""
+    from gunrock_spark.algorithms.simrank import simrank_scores
+
+    g = _graph(spark, sf_dir)
+    res = simrank_scores(
+        g,
+        n_queries=SIMRANK_QUERIES,
+        walk_length=SIMRANK_LEN,
+        walks_per_vertex=SIMRANK_WALKS,
+        seed=SIMRANK_SEED,
+    )
+    return res.select("q", "v", F.round("score", 6).alias("score"))
+
+
+def _simrank_sql(
+    nq: int = SIMRANK_QUERIES,
+    k: int = SIMRANK_LEN,
+    walks: int = SIMRANK_WALKS,
+    seed: int = SIMRANK_SEED,
+) -> str:
+    """SimRank replay: unroll the reverse walks (the _walks_sql
+    contract over the reversed adjacency — ranked by ORIGINAL src
+    within each ORIGINAL dst), then first-meeting min + dyadic score
+    sum for the h60-sampled query vertices."""
+    walk_rows = " UNION ALL ".join(f"SELECT {w} AS walk" for w in range(walks))
+    body = [
+        """rranked AS MATERIALIZED (
+  SELECT dst AS rsrc, src AS rdst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY dst ORDER BY src) - 1 AS BIGINT) AS rnk
+  FROM edges
+)""",
+        "rdeg AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY dst)",
+        f"wk AS ({walk_rows})",
+        "s0 AS (SELECT v AS start, walk, v AS cur FROM verts CROSS JOIN wk)",
+    ]
+    for t in range(1, k + 1):
+        body.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT s.start, s.walk, r.rdst AS cur
+  FROM s{t - 1} s
+  JOIN rdeg dg ON dg.v = s.cur
+  JOIN rranked r ON r.rsrc = s.cur
+   AND r.rnk = {_walk_hash_sql("s.cur", t, walks, seed)} % dg.d
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, CAST({t} AS INT) AS step, cur AS v FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    body.append(f"allw AS MATERIALIZED ({selects})")
+    body.append(
+        f"""qs AS MATERIALIZED (
+  SELECT v AS q FROM (SELECT DISTINCT v FROM verts)
+  ORDER BY ('0x' || substr(md5('0:' || v::VARCHAR), 1, 15))::BIGINT, v
+  LIMIT {nq}
+)"""
+    )
+    body.append(
+        "qw AS MATERIALIZED (SELECT qs.q, a.walk, a.step, a.v"
+        " FROM allw a JOIN qs ON a.start = qs.q)"
+    )
+    body.append(
+        """tau AS (
+  SELECT qw.q, a.start AS u, a.walk, MIN(a.step) AS tau
+  FROM allw a JOIN qw
+    ON a.walk = qw.walk AND a.step = qw.step AND a.v = qw.v
+   AND a.start <> qw.q
+  GROUP BY qw.q, a.start, a.walk
+)"""
+    )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"""
+SELECT q, u AS v,
+       ROUND(SUM(CAST(1.0 AS DOUBLE) / POWER(2.0, tau)) / {walks}, 6) AS score
+FROM tau GROUP BY q, u"""
+    )
+
+
 def _q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~1/den Bernoulli sample by arithmetic id hash
     (pipeline/sampling.py) — no shuffle, reproducible on any engine
@@ -5836,6 +5928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_k3": _q_random_walks,
         "skipgram_pairs_w2": _q_skipgram,
         "node2vec_walks_k3": _q_node2vec_walks,
+        "simrank_q3": _q_simrank,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified,
         "mis_labels": _q_mis,
@@ -5974,6 +6067,7 @@ FROM events GROUP BY 1, 2""",
         "random_walks_k3": _walks_sql(),
         "skipgram_pairs_w2": _skipgram_sql(),
         "node2vec_walks_k3": _node2vec_sql(),
+        "simrank_q3": _simrank_sql(),
         "docs_hash_sample": _docs_hash_sample_sql(),
         "docs_stratified_sample": _docs_stratified_sql(),
         "mis_labels": _mis_sql(),

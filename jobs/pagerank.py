@@ -47,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
+                             "simrank",
                              "scc", "bowtie", "anf", "harmonic", "linkpred",
                              "color", "katz", "eigenvector", "matching",
                              "trustrank", "spammass", "absorption", "squares",
@@ -400,6 +401,17 @@ def main(argv: list[str] | None = None) -> int:
             p=args.p,
             q=args.q,
             walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed,
+        )
+    elif args.algorithm == "simrank":
+        from gunrock_spark.algorithms.simrank import simrank_scores
+
+        res = None
+        out_df = simrank_scores(
+            graph,
+            n_queries=args.num_sources,
+            walk_length=args.walk_length,
+            walks_per_vertex=max(1, args.walks_per_vertex),
             seed=args.seed,
         )
     elif args.algorithm == "squares":

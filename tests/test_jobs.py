@@ -185,6 +185,8 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("corenums", []),
         ("walks", ["--walk-length", "3", "--walks-per-vertex", "2"]),
         ("node2vec", ["--walk-length", "3", "--p", "2", "--q", "3"]),
+        ("simrank", ["--walk-length", "3", "--walks-per-vertex", "4",
+                     "--num-sources", "3"]),
         ("scc", []),
         ("bowtie", []),
         ("anf", ["--max-iter", "3"]),
