@@ -5070,6 +5070,58 @@ FROM b0
     )
 
 
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall closeness + Lin's centrality (algorithms/anf.py) —
+    the same incoming-ball pass as harmonic_centrality_t4 with the
+    (r-1)/sum_dist and (r-1)^2/sum_dist projections; exact-integer
+    ratios of the deterministic sketch estimates."""
+    from gunrock_spark.algorithms.anf import closeness_centralities
+
+    cc = closeness_centralities(_graph(spark, sf_dir), radius=HC_T, m=ANF_M)
+    return cc.select(
+        "v",
+        F.round("closeness", 6).alias("closeness"),
+        F.round("lin", 6).alias("lin"),
+        "sum_dist",
+    )
+
+
+def _closeness_sql(t_max: int = HC_T, m: int = ANF_M) -> str:
+    balls = ",\n".join(
+        f"b{t} AS MATERIALIZED ({_anf_ball_select(f'r{t}', m)})"
+        for t in range(t_max + 1)
+    )
+    sdist = " + ".join(
+        f"{t} * (b{t}.ball_est - b{t - 1}.ball_est)"
+        for t in range(1, t_max + 1)
+    )
+    joins = "\n".join(f"JOIN b{t} USING (v)" for t in range(1, t_max + 1))
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + _anf_round_ctes(t_max, m, incoming=True)
+        + ",\n"
+        + balls
+        + f"""
+SELECT v,
+       ROUND(CASE WHEN sum_dist > 0
+                  THEN CAST(reached AS DOUBLE) / CAST(sum_dist AS DOUBLE)
+                  ELSE 0.0 END, 6) AS closeness,
+       ROUND(CASE WHEN sum_dist > 0
+                  THEN CAST(reached * reached AS DOUBLE) / CAST(sum_dist AS DOUBLE)
+                  ELSE 1.0 END, 6) AS lin,
+       sum_dist
+FROM (
+  SELECT v,
+         CAST(b{t_max}.ball_est - 1 AS BIGINT) AS reached,
+         CAST(0 + {sdist} AS BIGINT) AS sum_dist
+  FROM b0
+  {joins}
+) t"""
+    )
+
+
 COLOR_ROUNDS = 22  # sf0.01 minmax coloring converges in 18 rounds; margin
 
 
@@ -5938,6 +5990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_nf_t4": _q_anf_nf,
         "anf_balls_t2": _q_anf_balls,
         "harmonic_centrality_t4": _q_harmonic,
+        "closeness_t4": _q_closeness,
         "adamic_adar_top50": _q_adamic_adar,
         "linkpred_jaccard_top50": _q_linkpred_jaccard,
         "coloring_minmax": _q_coloring,
@@ -6077,6 +6130,7 @@ FROM events GROUP BY 1, 2""",
         "anf_nf_t4": _anf_nf_sql(),
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),
+        "closeness_t4": _closeness_sql(),
         "adamic_adar_top50": _adamic_adar_sql(),
         "linkpred_jaccard_top50": _linkpred_jaccard_sql(),
         "coloring_minmax": _coloring_sql(),

@@ -48,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
                              "simrank",
-                             "scc", "bowtie", "anf", "harmonic", "linkpred",
+                             "scc", "bowtie", "anf", "harmonic", "closeness",
+                             "linkpred",
                              "color", "katz", "eigenvector", "matching",
                              "trustrank", "spammass", "absorption", "squares",
                              "densest", "landmarks", "conductance"],
@@ -370,6 +371,11 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = hyperball_centralities(graph, radius=max(args.max_iter, 1))
+    elif args.algorithm == "closeness":
+        from gunrock_spark.algorithms.anf import closeness_centralities
+
+        res = None
+        out_df = closeness_centralities(graph, radius=max(args.max_iter, 1))
     elif args.algorithm == "color":
         from gunrock_spark.algorithms.coloring import greedy_coloring, minmax_coloring
 

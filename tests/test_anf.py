@@ -188,3 +188,45 @@ def test_effective_diameter_on_real_nf(spark):
     nf = neighborhood_function(g, max_radius=8)
     d = effective_diameter(nf)
     assert 0.0 <= d <= 8.0
+
+
+def test_closeness_centralities_match_python_oracle(spark):
+    from gunrock_spark.algorithms.anf import closeness_centralities
+
+    raw = [(int(s), int(d)) for s, d in rmat_edges(6, 4, seed=21)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    got = {
+        r["v"]: (r["closeness"], r["lin"], r["sum_dist"])
+        for r in closeness_centralities(g, radius=3).collect()
+    }
+    # expected from the hyperball replica plus the final ball size
+    verts = {x for e in edge_list for x in e}
+    balls3 = {
+        v: est_py(registers_py(ball))
+        for v, ball in in_balls_py(edge_list, 3).items()
+    }
+    hb = hyperball_py(edge_list, 3)
+    assert set(got) == set(verts)
+    for v in verts:
+        sdist = hb[v][1]
+        r = balls3[v] - 1
+        if sdist > 0:
+            want_c, want_l = float(r) / sdist, float(r * r) / sdist
+        else:
+            want_c, want_l = 0.0, 1.0
+        assert got[v][0] == pytest.approx(want_c, abs=1e-12), v
+        assert got[v][1] == pytest.approx(want_l, abs=1e-12), v
+        assert got[v][2] == sdist, v
+
+
+def test_closeness_isolated_conventions(spark):
+    # 0 -> 1: vertex 0 has an empty in-ball (sum_dist 0) ->
+    # closeness 0, lin 1 (the Boldi-Vigna convention).
+    from gunrock_spark.algorithms.anf import closeness_centralities
+
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1)]))
+    got = {r["v"]: r for r in closeness_centralities(g, radius=2).collect()}
+    assert got[0]["closeness"] == 0.0 and got[0]["lin"] == 1.0
+    assert got[0]["sum_dist"] == 0
+    assert got[1]["closeness"] > 0.0

@@ -191,6 +191,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("bowtie", []),
         ("anf", ["--max-iter", "3"]),
         ("harmonic", ["--max-iter", "3"]),
+        ("closeness", ["--max-iter", "3"]),
         ("linkpred", ["--k", "10"]),
         ("color", ["--impl", "minmax"]),
         ("katz", ["--max-iter", "4"]),
