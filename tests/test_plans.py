@@ -503,3 +503,19 @@ def test_redirect_resolve_round_is_hash_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simrank_meeting_join_broadcast_no_cartesian(spark):
+    """The SimRank meeting join must stream the walk table through
+    BROADCAST hash joins on the bounded query side — never a
+    cartesian/nested-loop |V|^2 pair stage, never a Python UDF."""
+    from gunrock_spark.algorithms.simrank import simrank_scores
+    from gunrock_spark.sources.tables import derived_edge_table
+
+    g = derived_edge_table(spark, SF)
+    plan = _plan(simrank_scores(g, n_queries=2, walk_length=2, walks_per_vertex=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
