@@ -147,3 +147,83 @@ def incremental_cms(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog — live distinct-count over the crawl stream
+# ---------------------------------------------------------------------------
+#
+# The register table (pipeline/sketches.hll_registers) is a MAX-merge
+# monoid, and max is idempotent — a replayed batch cannot corrupt the
+# registers the way a replayed CMS merge double-counts. The batch_id
+# guard is still kept: it makes replays free (no rewrite, one version
+# on disk) and keeps the two sketches' operational contracts
+# identical, so one runbook covers both.
+
+
+def apply_hll_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    col: str = "url",
+    m: int = 64,
+    seed: str = "hll",
+) -> bool:
+    """Max-merge one micro-batch's HLL registers into the stored
+    table; returns False for replays (batch_id <= last committed).
+    Same crash-safe versioned-commit order as :func:`apply_batch`."""
+    from gunrock_spark.pipeline.sketches import hll_merge, hll_registers
+
+    last_id, prior_path = _latest(out_dir)
+    if batch_id <= last_id:
+        return False
+    if batch.isEmpty():
+        return False
+    fs, root = _resolved(out_dir)
+    fs.create_dir(root, recursive=True)
+    delta = hll_registers(batch, col=col, m=m, seed=seed)
+    prior = None if prior_path is None else spark.read.parquet(prior_path)
+    merged = delta if prior is None else hll_merge(prior, delta)
+    version = out_dir.rstrip("/") + f"/sketch_v{batch_id}"
+    merged.write.mode("overwrite").parquet(version)
+    _commit_marker(out_dir, batch_id, version)
+    if prior_path is not None:
+        try:
+            pfs, ppath = _resolved(prior_path)
+            pfs.delete_dir(ppath)
+        except Exception:
+            pass
+    return True
+
+
+def incremental_hll(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    col: str = "url",
+    m: int = 64,
+    seed: str = "hll",
+    available_now: bool = True,
+):
+    """Stream ``pages_dir``/*.parquet into a persistent m-register HLL
+    at ``out_dir`` (default: distinct urls — the crawl's unique-page
+    counter, O(m) state forever). Returns the StreamingQuery (awaited
+    when ``available_now``)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
+    stream = spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        apply_hll_batch(
+            spark, batch, batch_id, out_dir, col=col, m=m, seed=seed
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -429,3 +429,45 @@ def test_incremental_cms_stream_matches_batch(spark, tmp_path):
         for r in load_sketch(spark, out_dir).collect()
     }
     assert after == want
+
+
+def test_incremental_hll_stream_matches_batch(spark, tmp_path):
+    """Streamed register max-merges == one batch register build over
+    the whole corpus; the estimate table matches too; replayed batch
+    ids are refused (and would be harmless anyway — max is
+    idempotent)."""
+    from gunrock_spark.pipeline.sketches import hll_estimate, hll_registers
+    from gunrock_spark.streaming.sketch_stream import (
+        apply_hll_batch,
+        incremental_hll,
+        load_sketch,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "hll_out")
+    a, _ = pages_table(spark, n_pages=64, seed=31)
+    b, _ = pages_table(spark, n_pages=32, seed=32)
+    b = b.selectExpr(
+        "concat('y', url) AS url", "warc_ts", "html", "text", "lang"
+    )
+    a.coalesce(1).write.mode("append").parquet(pages_dir)
+    incremental_hll(
+        spark, pages_dir, out_dir, checkpoint_dir=str(tmp_path / "ck2"), m=64,
+    )
+    b.coalesce(1).write.mode("append").parquet(pages_dir)
+    incremental_hll(
+        spark, pages_dir, out_dir, checkpoint_dir=str(tmp_path / "ck2"), m=64,
+    )
+    got = {(r["j"], r["rho"]) for r in load_sketch(spark, out_dir).collect()}
+    whole = a.select("url").unionByName(b.select("url"))
+    want_regs = hll_registers(whole, col="url", m=64)
+    want = {(r["j"], r["rho"]) for r in want_regs.collect()}
+    assert got == want
+    got_est = hll_estimate(load_sketch(spark, out_dir), m=64).collect()[0]
+    want_est = hll_estimate(want_regs, m=64).collect()[0]
+    assert tuple(got_est) == tuple(want_est)
+
+    # replay refused, registers unchanged
+    assert apply_hll_batch(spark, a, 0, out_dir, m=64) is False
+    after = {(r["j"], r["rho"]) for r in load_sketch(spark, out_dir).collect()}
+    assert after == want
