@@ -4791,6 +4791,78 @@ def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUSSNESS_CAP = 6
+TRUSSNESS_ROUNDS = 7  # sf0.01 levels converge in <= 5 rounds; margin
+
+
+def _q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition (algorithms/ktruss.trussness): the
+    largest k <= cap whose k-truss contains each edge, 2 for
+    triangle-free edges — nested peeling, level k+1 from level k's
+    survivors."""
+    from gunrock_spark.algorithms.ktruss import trussness
+
+    return trussness(_graph(spark, sf_dir), k_cap=TRUSSNESS_CAP)
+
+
+def _trussness_sql(
+    k_cap: int = TRUSSNESS_CAP, rounds: int = TRUSSNESS_ROUNDS
+) -> str:
+    """Chained unrolled peels: level k peels from level k-1's
+    fixpoint (rounds past a fixpoint are no-ops, so a fixed unroll
+    >= the convergence depth is exact); trussness = max surviving
+    level, assembled with one union + group-max."""
+    body = [
+        """l2 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+)"""
+    ]
+    prev_lvl = "l2"
+    lvls = []
+    for k in range(3, k_cap + 1):
+        prev = prev_lvl
+        for r in range(1, rounds + 1):
+            cur = f"k{k}r{r}"
+            body.append(
+                f"""{cur}_tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+{cur}_s AS (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM {cur}_tri
+    UNION ALL SELECT x AS a, z AS b FROM {cur}_tri
+    UNION ALL SELECT y AS a, z AS b FROM {cur}_tri
+  ) GROUP BY a, b
+),
+{cur} AS MATERIALIZED (
+  SELECT t.a, t.b FROM {prev} t
+  JOIN {cur}_s s ON s.a = t.a AND s.b = t.b AND s.sup >= {k - 2}
+)"""
+            )
+            prev = cur
+        lvl = f"l{k}"
+        body.append(f"{lvl} AS MATERIALIZED (SELECT a, b FROM {prev})")
+        lvls.append((k, lvl))
+        prev_lvl = lvl
+    unions = " UNION ALL ".join(
+        f"SELECT a, b, {k} AS k FROM {lvl}" for k, lvl in lvls
+    )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f""",
+lab AS (SELECT a, b, MAX(k) AS k FROM ({unions}) GROUP BY a, b)
+SELECT u.a, u.b, CAST(COALESCE(lab.k, 2) AS INT) AS trussness
+FROM l2 u LEFT JOIN lab ON lab.a = u.a AND lab.b = u.b"""
+    )
+
+
 def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
     """Unrolled synchronous triangle-support peel: each round
     enumerates triangles (a<b<c) over the surviving edge set, counts
@@ -5985,6 +6057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified,
         "mis_labels": _q_mis,
         "ktruss_k4_edges": _q_ktruss,
+        "trussness_cap6": _q_trussness,
         "scc_labels": _q_scc,
         "bowtie_parts": _q_bowtie,
         "anf_nf_t4": _q_anf_nf,
@@ -6125,6 +6198,7 @@ FROM events GROUP BY 1, 2""",
         "docs_stratified_sample": _docs_stratified_sql(),
         "mis_labels": _mis_sql(),
         "ktruss_k4_edges": _ktruss_sql(),
+        "trussness_cap6": _trussness_sql(),
         "scc_labels": _scc_sql(),
         "bowtie_parts": _bowtie_sql(),
         "anf_nf_t4": _anf_nf_sql(),

@@ -46,8 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algorithm", default="pagerank",
                     choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
-                             "kcore", "corenums", "ktruss", "mis", "walks", "node2vec",
-                             "simrank",
+                             "kcore", "corenums", "ktruss", "trussness", "mis",
+                             "walks", "node2vec", "simrank",
                              "scc", "bowtie", "anf", "harmonic", "closeness",
                              "linkpred",
                              "color", "katz", "eigenvector", "matching",
@@ -409,6 +409,11 @@ def main(argv: list[str] | None = None) -> int:
             walks_per_vertex=args.walks_per_vertex,
             seed=args.seed,
         )
+    elif args.algorithm == "trussness":
+        from gunrock_spark.algorithms.ktruss import trussness
+
+        res = None
+        out_df = trussness(graph, k_cap=max(args.k, 3))
     elif args.algorithm == "simrank":
         from gunrock_spark.algorithms.simrank import simrank_scores
 

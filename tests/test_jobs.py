@@ -181,6 +181,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("topk", ["--k", "3"]),
         ("kcore", ["--k", "1"]),
         ("ktruss", ["--k", "3"]),
+        ("trussness", ["--k", "4"]),
         ("mis", []),
         ("corenums", []),
         ("walks", ["--walk-length", "3", "--walks-per-vertex", "2"]),

@@ -202,3 +202,64 @@ def test_ktruss_rmat_matches_python_peel(spark):
     for k in (3, 4):
         got = {(r["a"], r["b"]) for r in k_truss(g, k).state.collect()}
         assert got == peel(und, k), f"k={k}"
+
+
+def test_trussness_matches_python_peel(spark):
+    from gunrock_spark.algorithms.ktruss import trussness
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import rmat_edges_df
+
+    g = EdgeTable.from_df(rmat_edges_df(spark, 9, 8, seed=13), num_partitions=4)
+    und = set()
+    for r in g.edges.collect():
+        a, b = r["src"], r["dst"]
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+
+    def peel(es, k):
+        es = set(es)
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {(a, b) for a, b in es if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                return es
+            es -= drop
+
+    want = {e: 2 for e in und}
+    cur, k = und, 3
+    while k <= 6:
+        cur = peel(cur, k)
+        if not cur:
+            break
+        for e in cur:
+            want[e] = k
+        k += 1
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in trussness(g, k_cap=6).collect()
+    }
+    assert got == want
+
+
+def test_trussness_triangle_free_and_k4(spark):
+    from gunrock_spark.algorithms.ktruss import trussness
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    # a path: every edge triangle-free -> trussness 2
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {tuple(r[:2]): r[2] for r in trussness(EdgeTable.from_df(df)).collect()}
+    assert got == {(0, 1): 2, (1, 2): 2, (2, 3): 2}
+
+    # K4 + dangling triangle: K4 edges 4, triangle-only edges 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 5), (3, 6), (5, 6)]
+    df2 = spark.createDataFrame(k4 + extra, "src long, dst long")
+    got2 = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in trussness(EdgeTable.from_df(df2, num_partitions=2)).collect()
+    }
+    assert all(got2[e] == 4 for e in k4)
+    assert all(got2[e] == 3 for e in [(3, 5), (3, 6), (5, 6)])
