@@ -2685,6 +2685,41 @@ ORDER BY n_occurrences DESC, term
 LIMIT {top}"""
 
 
+IDX_MIN_DF = 2
+IDX_MAX_DF = 450
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped posting lists (pipeline/text.inverted_index) — the
+    materialized search-index artifact; postings projected to a
+    comma-joined string so the engine/oracle value compare is
+    representation-stable."""
+    from gunrock_spark.pipeline.text import inverted_index
+
+    idx = inverted_index(_docs(spark, sf_dir), min_df=IDX_MIN_DF, max_df=IDX_MAX_DF)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("postings"),
+    )
+
+
+def _inverted_index_sql(min_df: int = IDX_MIN_DF, max_df: int = IDX_MAX_DF) -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+  )
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+keep AS (SELECT term, df FROM dfq WHERE df >= {min_df} AND df <= {max_df})
+SELECT k.term, k.df,
+       string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+FROM keep k JOIN tok t ON t.term = k.term
+GROUP BY k.term, k.df"""
+
+
 def _q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gunrock_spark.pipeline.text import ngram_counts
 
@@ -6019,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": _q_host_components,
         "host_pagerank_w10": _q_host_pagerank,
         "term_counts_top100": _q_term_counts,
+        "inverted_index": _q_inverted_index,
         "bigram_counts_top100": _q_bigram_counts,
         "pii_flags": _q_pii_flags,
         "line_dedup": _q_line_dedup,
@@ -6160,6 +6196,7 @@ FROM events GROUP BY 1, 2""",
         "host_components": _host_components_sql(),
         "host_pagerank_w10": _host_pagerank_sql(),
         "term_counts_top100": _term_counts_sql(),
+        "inverted_index": _inverted_index_sql(),
         "bigram_counts_top100": _bigram_counts_sql(),
         "pii_flags": _pii_flags_sql(),
         "line_dedup": _line_dedup_sql(),

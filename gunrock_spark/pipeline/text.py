@@ -389,3 +389,38 @@ def cooccurrence_pmi(
         )
     )
     return out
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1_000,
+    min_df: int = 1,
+) -> DataFrame:
+    """(term, df, doc_ids array<long> sorted asc) — document-frequency-
+    capped posting lists, the materialized search-index artifact behind
+    tfidf/bm25 scoring.
+
+    Scale shape: the document-frequency table is computed FIRST (one
+    distinct + one partial-agg count), and only terms with
+    min_df <= df <= max_df reach the collect_list — a stopword's
+    |corpus|-row posting list is never buffered anywhere (the same
+    prune-before-the-expensive-stage discipline as dedup's
+    stop-shingle cap). Posting lists are therefore bounded at max_df
+    entries per term, and the final aggregation is keyed on term with
+    per-list memory <= max_df * 8 bytes.
+    """
+    toks = _token_col(text_col)
+    pairs = (
+        df.select(F.col(id_col).cast("long").alias("_id"), F.explode(toks).alias("term"))
+        .distinct()
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfreq.where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    return (
+        pairs.join(keep, "term")
+        .groupBy("term", "df")
+        .agg(F.sort_array(F.collect_list("_id")).alias("doc_ids"))
+        .select("term", "df", "doc_ids")
+    )

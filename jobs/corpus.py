@@ -56,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
             "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
+            "inverted-index",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -76,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="semdedup: embedding column")
     ap.add_argument("--min-pair-count", type=int, default=5,
                     help="cooc-pmi: minimum co-occurrence count kept")
+    ap.add_argument("--max-df", type=int, default=1000,
+                    help="inverted-index: stopword document-frequency cap")
+    ap.add_argument("--min-df", type=int, default=1,
+                    help="inverted-index: hapax document-frequency floor")
     ap.add_argument("--semdedup-threshold", type=float, default=0.95,
                     help="semdedup: within-cluster cosine cut")
     args = ap.parse_args(argv)
@@ -177,6 +182,13 @@ def main(argv: list[str] | None = None) -> int:
 
         out = cooccurrence_pmi(
             docs, text_col=txc, min_pair_count=args.min_pair_count
+        )
+    elif args.op == "inverted-index":
+        from gunrock_spark.pipeline.text import inverted_index
+
+        out = inverted_index(
+            docs, id_col=idc, text_col=txc,
+            max_df=args.max_df, min_df=args.min_df,
         )
     elif args.op == "length-filter":
         from gunrock_spark.pipeline.text import length_percentile_filter

@@ -216,3 +216,17 @@ def test_cooc_pmi_op(spark, tmp_path, capsys):
                  "--min-pair-count", "1", "--out", out]) == 0
     got = {(r.a, r.b): r.n_pairs for r in spark.read.parquet(out).collect()}
     assert got[("a", "b")] == 4
+
+
+def test_inverted_index_op(spark, tmp_path, capsys):
+    rows = [(1, "a b a c"), (2, "b a b"), (3, "c d")]
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    assert _run(["--input", inp, "--op", "inverted-index",
+                 "--max-df", "2", "--out", out]) == 0
+    got = {r.term: (r.df, list(r.doc_ids)) for r in spark.read.parquet(out).collect()}
+    # "a" and "b" have df 2, "c" df 2, "d" df 1 — all within the cap
+    assert got["a"] == (2, [1, 2])
+    assert got["c"] == (2, [1, 3])
+    assert got["d"] == (1, [3])

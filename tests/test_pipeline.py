@@ -920,3 +920,29 @@ def test_window_dup_stats_matches_python(spark):
     # the planted exact dup shares every window; doc 3 has none
     assert got[4][2] == 1.0 and got[0][2] == 1.0
     assert got[3] == (0, 0, 0.0)
+
+
+def test_inverted_index_postings_and_df_caps(spark, docs):
+    from gunrock_spark.pipeline.text import inverted_index
+
+    got = {
+        r["term"]: (r["df"], list(r["doc_ids"]))
+        for r in inverted_index(docs, max_df=100).collect()
+    }
+    # "the" appears in docs 0,1,2 (distinct doc frequency, not occurrences)
+    assert got["the"] == (3, [0, 1, 2])
+    assert got["spark"] == (1, [3])
+    assert got["der"] == (1, [4])
+    # postings are sorted asc
+    assert all(ids == sorted(ids) for _, ids in got.values())
+
+    # max_df prunes the stopword hub BEFORE any posting list is built
+    capped = {
+        r["term"] for r in inverted_index(docs, max_df=2).collect()
+    }
+    assert "the" not in capped and "spark" in capped
+    # min_df trims hapax terms
+    common = {
+        r["term"] for r in inverted_index(docs, min_df=3, max_df=100).collect()
+    }
+    assert "the" in common and "spark" not in common
