@@ -519,3 +519,18 @@ def test_simrank_meeting_join_broadcast_no_cartesian(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_inverted_index_prune_before_collect(spark):
+    """The DF filter must reach the posting-list aggregation as a
+    BROADCAST of the kept vocabulary — stopword lists are pruned
+    before any collect_list buffer exists; no Python, no window."""
+    from gunrock_spark.pipeline.text import inverted_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(inverted_index(docs, max_df=100))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan and "rangepartitioning" not in plan.lower()
+    assert "BroadcastExchange" in plan  # kept-vocab side of the join
+    assert "ObjectHashAggregate" in plan  # partial-agg collect_list
