@@ -1950,6 +1950,80 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.where(F.col("dist") != float("inf")).select("v", "dist")
 
 
+MSF_ROUNDS = 10  # components at least halve per round; 2^10 > |V| at sf0.01
+MSF_JUMPS = 10   # pointer-doubling depth, 2^10 > any merge-chain length
+
+
+def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (algorithms/msf.py) over the
+    weighted derived graph — unique under the (w, a, b) total edge
+    order, so the SQL replay must match edge-for-edge."""
+    from gunrock_spark.algorithms.msf import minimum_spanning_forest
+
+    g = derived_edge_table(spark, sf_dir, weighted=True)
+    return minimum_spanning_forest(g)
+
+
+def _msf_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
+    """Unrolled Borůvka: per round, arg-min edge per component
+    (window over the component-keyed candidates), mutual-min 2-cycle
+    break, ``jumps`` pointer doublings, relabel. Rounds past the
+    fixpoint are no-ops (no cross edges -> empty selection)."""
+    body = [
+        """undw AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MIN(CAST((src * 7 + dst * 13) % 19 + 1 AS DOUBLE)) AS w
+  FROM edges GROUP BY 1, 2
+)""",
+        "lab0 AS MATERIALIZED (SELECT v, v AS l FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        body.append(
+            f"""e{r} AS (
+  SELECT u.a, u.b, u.w, x.l AS la, y.l AS lb
+  FROM undw u JOIN lab{p} x ON x.v = u.a JOIN lab{p} y ON y.v = u.b
+  WHERE x.l <> y.l
+),
+c{r} AS (
+  SELECT la AS l, w, a, b, lb AS other FROM e{r}
+  UNION ALL SELECT lb AS l, w, a, b, la AS other FROM e{r}
+),
+s{r} AS MATERIALIZED (
+  SELECT l, w, a, b, other FROM (
+    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY l ORDER BY w, a, b) AS rn
+    FROM c{r} c
+  ) WHERE rn = 1
+),
+p{r}j0 AS MATERIALIZED (
+  SELECT s.l,
+         CASE WHEN t.other = s.l AND s.l < s.other THEN s.l ELSE s.other END AS p
+  FROM s{r} s JOIN s{r} t ON t.l = s.other
+)"""
+        )
+        for j in range(1, jumps + 1):
+            body.append(
+                f"p{r}j{j} AS (SELECT x.l, y.p FROM p{r}j{j - 1} x"
+                f" JOIN p{r}j{j - 1} y ON y.l = x.p)"
+            )
+        body.append(
+            f"""lab{r} AS MATERIALIZED (
+  SELECT lb.v, COALESCE(m.p, lb.l) AS l
+  FROM lab{p} lb LEFT JOIN p{r}j{jumps} m ON m.l = lb.l
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT a, b, w FROM s{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT DISTINCT a, b, w FROM ({unions})"
+    )
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     res = hits(g, src=_min_vertex(g), delta=0.85, max_iter=HITS_ITERS)
@@ -6014,6 +6088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depths": _q_bfs,
         "bfs_pull_depths": _q_bfs_pull,
         "sssp_dist": _q_sssp,
+        "msf_edges": _q_msf,
         "hits_k5": _q_hits,
         "salsa_k4": _q_salsa,
         "wtf_refscores": _q_wtf,
@@ -6152,6 +6227,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_depths": _bfs_sql(),
         "bfs_pull_depths": _bfs_sql(),
         "sssp_dist": _sssp_sql(),
+        "msf_edges": _msf_sql(),
         "hits_k5": _hits_sql(),
         "salsa_k4": _salsa_sql(),
         "wtf_refscores": _wtf_sql(),

@@ -52,6 +52,7 @@ def main(argv: list[str] | None = None) -> int:
                              "linkpred",
                              "color", "katz", "eigenvector", "matching",
                              "trustrank", "spammass", "absorption", "squares",
+                             "msf",
                              "densest", "landmarks", "conductance"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
@@ -170,7 +171,7 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         weight = "weight"
-    if args.algorithm == "sssp":
+    if args.algorithm in ("sssp", "msf"):
         if "weight" not in edges_df.columns:
             from pyspark.sql import functions as F
 
@@ -409,6 +410,11 @@ def main(argv: list[str] | None = None) -> int:
             walks_per_vertex=args.walks_per_vertex,
             seed=args.seed,
         )
+    elif args.algorithm == "msf":
+        from gunrock_spark.algorithms.msf import minimum_spanning_forest
+
+        res = None
+        out_df = minimum_spanning_forest(graph)
     elif args.algorithm == "trussness":
         from gunrock_spark.algorithms.ktruss import trussness
 

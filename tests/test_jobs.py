@@ -182,6 +182,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("kcore", ["--k", "1"]),
         ("ktruss", ["--k", "3"]),
         ("trussness", ["--k", "4"]),
+        ("msf", []),
         ("mis", []),
         ("corenums", []),
         ("walks", ["--walk-length", "3", "--walks-per-vertex", "2"]),
