@@ -1950,6 +1950,56 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.where(F.col("dist") != float("inf")).select("v", "dist")
 
 
+IC_SEEDS = 4
+IC_P_MILLI = 300
+IC_ROUNDS_CAP = 60  # live-edge subgraph diameter margin (p=0.3 sparsify)
+
+
+def _q_ic_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-cascade influence spread (algorithms/influence.py):
+    deterministic h60 per-edge coin keeps ~30% of edges live, then a
+    multi-source frontier BFS from the 4 smallest-h60 seed vertices;
+    (v, round) = activation round in the live-edge subgraph."""
+    from gunrock_spark.algorithms.bc import sample_sources
+    from gunrock_spark.algorithms.influence import ic_spread
+
+    g = _graph(spark, sf_dir)
+    res = ic_spread(
+        g,
+        sample_sources(g, IC_SEEDS),
+        p_milli=IC_P_MILLI,
+        max_rounds=IC_ROUNDS_CAP,
+    )
+    return res.state.select("v", F.col("round").cast("int").alias("round"))
+
+
+def _ic_spread_sql(
+    k: int = IC_SEEDS, p_milli: int = IC_P_MILLI, cap: int = IC_ROUNDS_CAP
+) -> str:
+    coin = _H60.format(
+        x="'ic:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+    )
+    seed_key = _H60.format(x="'0:' || v::VARCHAR")
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + f""",
+live AS MATERIALIZED (SELECT src, dst FROM edges WHERE ({coin}) % 1000 < {p_milli}),
+seeds AS MATERIALIZED (
+  SELECT v FROM (SELECT DISTINCT v FROM verts)
+  ORDER BY {seed_key}, v
+  LIMIT {k}
+),
+walk(v, r) AS (
+  SELECT v, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.r + 1 FROM walk w JOIN live e ON e.src = w.v
+  WHERE w.r < {cap}
+)
+SELECT v, CAST(MIN(r) AS INT) AS round FROM walk GROUP BY v"""
+    )
+
+
 MSF_ROUNDS = 10  # components at least halve per round; 2^10 > |V| at sf0.01
 MSF_JUMPS = 10   # pointer-doubling depth, 2^10 > any merge-chain length
 
@@ -2757,6 +2807,39 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
 FROM tok GROUP BY term
 ORDER BY n_occurrences DESC, term
 LIMIT {top}"""
+
+
+TOP_TERMS_K = 5
+
+
+def _q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy hitters (pipeline/text.grouped_top_terms):
+    the 5 most frequent terms within each source, rank ordered by
+    (count desc, term asc) — two-stage bucketed top-k so no task ever
+    sorts a whole group's vocabulary."""
+    from gunrock_spark.pipeline.text import grouped_top_terms
+
+    return grouped_top_terms(
+        _docs(spark, sf_dir), group_col="source", k=TOP_TERMS_K
+    )
+
+
+def _source_top_terms_sql(k: int = TOP_TERMS_K) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM tok GROUP BY source, term
+)
+SELECT source, term, n_occurrences, rank FROM (
+  SELECT source, term, n_occurrences,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_occurrences DESC, term ASC) AS INT) AS rank
+  FROM counts
+) t WHERE rank <= {k}"""
 
 
 IDX_MIN_DF = 2
@@ -5303,6 +5386,68 @@ FROM (
     )
 
 
+def _q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distance distribution (algorithms/anf.py
+    distance_histogram): first differences of the HyperANF
+    neighborhood function — exact BIGINT subtraction over the same
+    deterministic sketch estimates as anf_nf_t4."""
+    from gunrock_spark.algorithms.anf import (
+        distance_histogram,
+        neighborhood_function,
+    )
+
+    nf = neighborhood_function(_graph(spark, sf_dir), max_radius=ANF_NF_T, m=ANF_M)
+    return distance_histogram(nf)
+
+
+def _distance_histogram_sql(t_max: int = ANF_NF_T, m: int = ANF_M) -> str:
+    return f"""
+WITH nf AS ({_anf_nf_sql(t_max, m)})
+SELECT a.t,
+       CAST(a.n_pairs_est - COALESCE(b.n_pairs_est, 0) AS BIGINT) AS n_pairs_at_t
+FROM nf a LEFT JOIN nf b ON b.t = a.t - 1"""
+
+
+EFF_DIAM_ALPHA = 0.9
+
+
+def _q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF effective diameter at alpha=0.9 (algorithms/anf.py
+    effective_diameter_df): the interpolated radius where N(t) first
+    reaches 90% of saturation (Palmer et al. KDD 2002 §3;
+    Boldi-Rosa-Vigna's four-degrees statistic). Fixed left-to-right
+    float chain over exact BIGINT sketch values — bit-replayable."""
+    from gunrock_spark.algorithms.anf import (
+        effective_diameter_df,
+        neighborhood_function,
+    )
+
+    nf = neighborhood_function(_graph(spark, sf_dir), max_radius=ANF_NF_T, m=ANF_M)
+    return effective_diameter_df(nf, alpha=EFF_DIAM_ALPHA)
+
+
+def _eff_diameter_sql(
+    alpha: float = EFF_DIAM_ALPHA, t_max: int = ANF_NF_T, m: int = ANF_M
+) -> str:
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    return f"""
+WITH nf AS ({_anf_nf_sql(t_max, m)}),
+aug AS (
+  SELECT t, n_pairs_est,
+         COALESCE(LAG(n_pairs_est) OVER (ORDER BY t), 0) AS n_prev,
+         MAX(n_pairs_est) OVER () AS n_max
+  FROM nf
+)
+SELECT {a} AS alpha,
+       ROUND(CASE WHEN t = 0 THEN 0.0
+             ELSE CAST(t - 1 AS DOUBLE)
+                  + ({a} * CAST(n_max AS DOUBLE) - CAST(n_prev AS DOUBLE))
+                    / CAST(n_pairs_est - n_prev AS DOUBLE) END, 6) AS eff_diameter
+FROM aug
+WHERE CAST(n_pairs_est AS DOUBLE) >= {a} * CAST(n_max AS DOUBLE)
+ORDER BY t LIMIT 1"""
+
+
 COLOR_ROUNDS = 22  # sf0.01 minmax coloring converges in 18 rounds; margin
 
 
@@ -6173,6 +6318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_parts": _q_bowtie,
         "anf_nf_t4": _q_anf_nf,
         "anf_balls_t2": _q_anf_balls,
+        "distance_histogram_t4": _q_distance_histogram,
+        "effective_diameter_q90": _q_eff_diameter,
+        "ic_spread_p30": _q_ic_spread,
+        "source_top_terms_k5": _q_source_top_terms,
         "harmonic_centrality_t4": _q_harmonic,
         "closeness_t4": _q_closeness,
         "adamic_adar_top50": _q_adamic_adar,
@@ -6315,6 +6464,10 @@ FROM events GROUP BY 1, 2""",
         "scc_labels": _scc_sql(),
         "bowtie_parts": _bowtie_sql(),
         "anf_nf_t4": _anf_nf_sql(),
+        "distance_histogram_t4": _distance_histogram_sql(),
+        "effective_diameter_q90": _eff_diameter_sql(),
+        "ic_spread_p30": _ic_spread_sql(),
+        "source_top_terms_k5": _source_top_terms_sql(),
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),
         "closeness_t4": _closeness_sql(),

@@ -338,6 +338,68 @@ def closeness_centralities(
     )
 
 
+def distance_histogram(nf: DataFrame) -> DataFrame:
+    """DataFrame[t int, n_pairs_at_t long]: the approximate distance
+    distribution — first differences of the neighborhood function,
+    n_pairs_at_t = N(t) - N(t-1) with N(-1) = 0 (the "degrees of
+    separation" histogram of Boldi-Rosa-Vigna's four-degrees study).
+    Pure projection over the <= max_radius+1-row nf table: one
+    self-join on consecutive t, exact BIGINT subtraction — no extra
+    pass over the graph, SQL-replayable bit-for-bit."""
+    prev = nf.select(
+        F.col("t").alias("_pt"), F.col("n_pairs_est").alias("_pn")
+    )
+    return nf.join(prev, nf["t"] == prev["_pt"] + 1, "left").select(
+        "t",
+        (F.col("n_pairs_est") - F.coalesce(F.col("_pn"), F.lit(0)))
+        .cast("long")
+        .alias("n_pairs_at_t"),
+    )
+
+
+def effective_diameter_df(nf: DataFrame, alpha: float = 0.9) -> DataFrame:
+    """One-row DataFrame[alpha double, eff_diameter double]: the
+    DataFrame-native twin of :func:`effective_diameter` — the linearly
+    interpolated radius at which N(t) first reaches ``alpha`` of its
+    saturation value, computed declaratively so driver harnesses can
+    consume it as a query result. The float chain is a fixed
+    left-to-right sequence over exact BIGINT inputs (target =
+    alpha * max(N); interp = (t-1) + (target - N(t-1)) / (N(t) -
+    N(t-1))), so a SQL oracle replays it bit-for-bit. The windows run
+    over the <= max_radius+1-row nf table — driver-scale data, not
+    graph-scale."""
+    from pyspark.sql.window import Window
+
+    w_ord = Window.orderBy("t")
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    aug = nf.select(
+        "t",
+        "n_pairs_est",
+        F.coalesce(
+            F.lag("n_pairs_est").over(w_ord), F.lit(0).cast("long")
+        ).alias("n_prev"),
+        F.max("n_pairs_est").over(w_all).alias("n_max"),
+    )
+    target = F.lit(alpha) * F.col("n_max").cast("double")
+    # first t with N(t) >= target: N is monotone, so n_prev < target
+    # there and the interpolation denominator is strictly positive.
+    first = (
+        aug.where(F.col("n_pairs_est").cast("double") >= target)
+        .orderBy("t")
+        .limit(1)
+    )
+    eff = F.when(F.col("t") == 0, F.lit(0.0)).otherwise(
+        (F.col("t") - 1).cast("double")
+        + (target - F.col("n_prev").cast("double"))
+        / (F.col("n_pairs_est") - F.col("n_prev")).cast("double")
+    )
+    return first.select(
+        F.lit(alpha).alias("alpha"), F.round(eff, 6).alias("eff_diameter")
+    )
+
+
 def effective_diameter(
     nf: DataFrame | list[tuple[int, int]], alpha: float = 0.9
 ) -> float:

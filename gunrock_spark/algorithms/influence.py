@@ -1,0 +1,124 @@
+"""Independent-cascade influence spread over the live-edge subgraph.
+
+The reference has no influence primitive (its traversal apps stop at
+BFS/SSSP depth semantics, gunrock/app/bfs/bfs_enactor.cuh); this is
+the Independent Cascade model of Kempe-Kleinberg-Tardos ("Maximizing
+the spread of influence through a social network", KDD 2003) in its
+live-edge / triggering-set formulation: flip ONE coin per edge —
+(u, v) is "live" with probability p — and the influence spread of a
+seed set S is exactly the set of vertices reachable from S through
+live edges, with activation round = live-edge BFS depth from S.
+Sampling the coin per EDGE (not per traversal attempt) is what makes
+the two formulations equivalent (KKT Claim 2.3), and a deterministic
+hash coin makes the whole cascade replayable in any engine — the
+same seeded-reproducibility contract as the engine's walks and
+samplers (functions/hashing.py h60).
+
+Spark mapping: one Catalyst filter over the edge table (the h60 coin
+— JVM-side, scan-bound, no Python, no shuffle) followed by a
+multi-source frontier loop of the engine's usual advance/filter
+shape: frontier ⋈ live-edges advance, distinct-dedup, anti-join cull
+against the activated set, stop on empty frontier (the reference's
+zero queue_length rule, problem_base.cuh:413 analog).
+
+Scale notes (100 TB link graph): the coin filter prunes ~(1-p) of
+the edges BEFORE any traversal state exists and pushes to the scan;
+each round shuffles only frontier-out-edge rows joined against the
+cached forward layout; the activated set is the only persisted state
+(|V|-bounded rows), checkpointed per round to cut lineage like every
+other frontier loop in the engine.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from gunrock_spark.engine.iterate import IterationResult
+from gunrock_spark.functions.hashing import h60
+from gunrock_spark.graph.edge_table import EdgeTable
+
+IC_COIN_MOD = 1000
+
+
+def live_edges(
+    graph: EdgeTable, p_milli: int = 300, seed: str = "ic"
+) -> DataFrame:
+    """The deterministic live-edge subgraph: edge (src, dst) survives
+    iff h60('{seed}:src:dst') mod 1000 < p_milli — the per-edge coin
+    of the IC triggering-set view, expressed as a pure Catalyst
+    predicate so it rides the edge scan."""
+    if not 0 <= p_milli <= IC_COIN_MOD:
+        raise ValueError("p_milli must be in [0, 1000]")
+    coin = F.pmod(
+        h60(
+            F.concat_ws(
+                ":",
+                F.lit(seed),
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+            )
+        ),
+        F.lit(IC_COIN_MOD),
+    )
+    return graph.edges.where(coin < F.lit(p_milli))
+
+
+def ic_spread(
+    graph: EdgeTable,
+    seeds: DataFrame,
+    p_milli: int = 300,
+    max_rounds: int = 30,
+    seed: str = "ic",
+) -> IterationResult:
+    """Influence spread of ``seeds`` (DataFrame[source long], e.g.
+    bc.sample_sources) under IC with edge probability p_milli/1000.
+
+    Result state: (v long, round int) — activated vertices only;
+    seeds activate at round 0. Metrics per round record the newly
+    activated count (the frontier size the reference's enactor logs
+    as queue_length)."""
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    t0 = time.monotonic()
+    live = live_edges(graph, p_milli=p_milli, seed=seed)
+
+    state = (
+        seeds.select(
+            F.col("source").cast("long").alias("v"),
+            F.lit(0).cast("int").alias("round"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = state.select("v")
+    metrics: list[dict] = [{"iteration": 0, "activated": state.count()}]
+    converged = False
+    rounds = 0
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(live, frontier["v"] == live["src"])
+            .select(live["dst"].alias("v"))
+            .distinct()
+        )
+        new = (
+            nxt.join(state, "v", "left_anti")
+            .select("v", F.lit(r).cast("int").alias("round"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = new.count()
+        if n_new == 0:
+            converged = True
+            break
+        rounds = r
+        metrics.append({"iteration": r, "activated": n_new})
+        state = state.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("v")
+    return IterationResult(
+        state=state,
+        iterations=rounds,
+        converged=converged,
+        metrics=metrics,
+        elapsed_sec=time.monotonic() - t0,
+    )

@@ -173,6 +173,53 @@ def ngram_counts(
     return out
 
 
+def grouped_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(group, term, n_occurrences, rank) — per-group heavy hitters:
+    the k most frequent terms within each group (per-host/per-source
+    vocabulary profiling, template detection, per-domain stopword
+    discovery). rank is 1..k ordered by (count desc, term asc) — a
+    deterministic total order, so the result is unique and
+    SQL-replayable.
+
+    Scale shape (100 TB): explode + groupBy(group, term) map-side
+    combines the Zipf head exactly like term_counts; then top-k is
+    TWO-STAGE so no single task ever sorts a whole group's vocabulary
+    — stage 1 takes the top-k within (group, h60(term) mod n_buckets)
+    slices, stage 2 re-ranks the surviving <= n_buckets*k rows per
+    group. Every global per-group top-k term is its bucket's top-k
+    too, so the pre-prune is lossless."""
+    from pyspark.sql.window import Window
+
+    from gunrock_spark.functions.hashing import h60
+
+    toks = _token_col(text_col)
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = [F.col("n_occurrences").desc(), F.col("term").asc()]
+    bucket = F.pmod(h60(F.col("term")), F.lit(n_buckets))
+    w_bucket = Window.partitionBy("grp", bucket).orderBy(*order)
+    pruned = counts.withColumn("_br", F.row_number().over(w_bucket)).where(
+        F.col("_br") <= k
+    )
+    w_grp = Window.partitionBy("grp").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_grp))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col), "term", "n_occurrences", "rank"
+        )
+    )
+
+
 # deliberately simple, deterministic patterns (production would plug
 # in a real PII library; the PIPELINE contract — scan-bound Catalyst
 # regexp counting, no UDF — is what this engine provides)

@@ -56,11 +56,15 @@ def main(argv: list[str] | None = None) -> int:
             "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
-            "inverted-index",
+            "inverted-index", "top-terms",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--group-col", default="source",
+                    help="top-terms: grouping column")
+    ap.add_argument("--top-k", type=int, default=5,
+                    help="top-terms: terms kept per group")
     ap.add_argument("--eval-input", help="eval/benchmark parquet (decontaminate)")
     ap.add_argument("--ngram", type=int, default=3, help="decontaminate n-gram order")
     ap.add_argument("--threshold", type=float, default=0.8,
@@ -157,6 +161,12 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.pipeline.text import pii_flags
 
         out = pii_flags(docs, id_col=idc, text_col=txc)
+    elif args.op == "top-terms":
+        from gunrock_spark.pipeline.text import grouped_top_terms
+
+        out = grouped_top_terms(
+            docs, group_col=args.group_col, k=args.top_k, text_col=txc
+        )
     elif args.op == "canonicalize":
         from gunrock_spark.ingest.urls import canonicalize
 

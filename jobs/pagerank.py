@@ -48,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "trussness", "mis",
                              "walks", "node2vec", "simrank",
-                             "scc", "bowtie", "anf", "harmonic", "closeness",
+                             "scc", "bowtie", "anf", "disthist", "effdiam",
+                             "harmonic", "closeness", "icspread",
                              "linkpred",
                              "color", "katz", "eigenvector", "matching",
                              "trustrank", "spammass", "absorption", "squares",
@@ -96,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
                          "smallest vertex id)")
     ap.add_argument("--k", type=int, default=10,
                     help="top-k size (topk) / minimum degree (kcore)")
+    ap.add_argument("--ic-p-milli", type=int, default=300,
+                    help="icspread: per-edge live probability in 1/1000ths")
     ap.add_argument("--num-sources", type=int, default=32,
                     help="bc: seeded source-sample size when --source unset")
     ap.add_argument("--mark-pred", action="store_true",
@@ -367,6 +370,39 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = neighborhood_function(graph, max_radius=args.max_iter)
+    elif args.algorithm == "disthist":
+        from gunrock_spark.algorithms.anf import (
+            distance_histogram,
+            neighborhood_function,
+        )
+
+        res = None
+        out_df = distance_histogram(
+            neighborhood_function(graph, max_radius=args.max_iter)
+        )
+    elif args.algorithm == "effdiam":
+        from gunrock_spark.algorithms.anf import (
+            effective_diameter_df,
+            neighborhood_function,
+        )
+
+        res = None
+        out_df = effective_diameter_df(
+            neighborhood_function(graph, max_radius=args.max_iter)
+        )
+    elif args.algorithm == "icspread":
+        from gunrock_spark.algorithms.bc import sample_sources
+        from gunrock_spark.algorithms.influence import ic_spread
+
+        seeds = (
+            spark.createDataFrame([(args.source,)], "source long")
+            if args.source is not None
+            else sample_sources(graph, args.num_sources)
+        )
+        res = ic_spread(
+            graph, seeds, p_milli=args.ic_p_milli, max_rounds=args.max_iter
+        )
+        out_df = res.state
     elif args.algorithm == "harmonic":
         from gunrock_spark.algorithms.anf import hyperball_centralities
 

@@ -230,3 +230,49 @@ def test_closeness_isolated_conventions(spark):
     assert got[0]["closeness"] == 0.0 and got[0]["lin"] == 1.0
     assert got[0]["sum_dist"] == 0
     assert got[1]["closeness"] > 0.0
+
+
+def test_distance_histogram_matches_nf_differences(spark):
+    from gunrock_spark.algorithms.anf import distance_histogram
+
+    g = EdgeTable.from_df(edges_df(spark, G))
+    nf = neighborhood_function(g, max_radius=4)
+    nf_rows = dict((r["t"], r["n_pairs_est"]) for r in nf.collect())
+    got = {
+        r["t"]: r["n_pairs_at_t"]
+        for r in distance_histogram(nf).collect()
+    }
+    want = {
+        t: nf_rows[t] - nf_rows.get(t - 1, 0) for t in nf_rows
+    }
+    assert got == want
+    # t=0 bucket is N(0) itself; buckets are nonnegative (N monotone)
+    assert got[0] == nf_rows[0]
+    assert all(x >= 0 for x in got.values())
+
+
+def test_effective_diameter_df_matches_scalar(spark):
+    from gunrock_spark.algorithms.anf import effective_diameter_df
+
+    for seed in (13, 21):
+        raw = [(int(s), int(d)) for s, d in rmat_edges(6, 4, seed=seed)]
+        edge_list = clean_edges(raw)
+        g = EdgeTable.from_df(edges_df(spark, edge_list))
+        nf = neighborhood_function(g, max_radius=5)
+        want = effective_diameter(nf, alpha=0.9)
+        row = effective_diameter_df(nf, alpha=0.9).collect()
+        assert len(row) == 1
+        assert row[0]["alpha"] == 0.9
+        assert row[0]["eff_diameter"] == pytest.approx(want, abs=5e-7)
+
+
+def test_effective_diameter_df_saturated_at_zero(spark):
+    # single edge 0 -> 1: N(0)=2, N(t)=3 for t>=1; target=2.7 ->
+    # interpolation between t=0 and t=1 at (2.7-2)/(3-2)=0.7
+    from gunrock_spark.algorithms.anf import effective_diameter_df
+
+    g = EdgeTable.from_df(edges_df(spark, [(0, 1)]))
+    nf = neighborhood_function(g, max_radius=3)
+    want = effective_diameter(nf, alpha=0.9)
+    got = effective_diameter_df(nf, alpha=0.9).collect()[0]["eff_diameter"]
+    assert got == pytest.approx(want, abs=5e-7)

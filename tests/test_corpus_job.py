@@ -230,3 +230,18 @@ def test_inverted_index_op(spark, tmp_path, capsys):
     assert got["a"] == (2, [1, 2])
     assert got["c"] == (2, [1, 3])
     assert got["d"] == (1, [3])
+
+
+def test_top_terms_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "topterms")
+    assert _run(["--input", docs_parquet, "--op", "top-terms",
+                 "--top-k", "2", "--out", out]) == 0
+    got = {
+        (r.source, r.rank): r.term for r in spark.read.parquet(out).collect()
+    }
+    # web: 'the' (x4) then alphabetical among count-2 terms -> 'brown'
+    assert got[("web", 1)] == "the"
+    assert got[("web", 2)] == "brown"
+    # books: 'der' (x2) then alphabetical among count-1 terms -> 'auf'
+    assert got[("books", 1)] == "der"
+    assert got[("books", 2)] == "auf"

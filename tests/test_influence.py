@@ -1,0 +1,85 @@
+"""Independent-cascade spread vs a pure-Python live-edge BFS oracle."""
+
+from collections import deque
+
+from gunrock_spark.algorithms.influence import IC_COIN_MOD, ic_spread, live_edges
+from gunrock_spark.functions.hashing import h60_py
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.graph.generators import edges_df, rmat_edges
+from tests.oracles import clean_edges
+
+
+def coin_py(s, d, seed="ic"):
+    return h60_py(f"{seed}:{s}:{d}") % IC_COIN_MOD
+
+
+def live_py(edge_list, p_milli, seed="ic"):
+    return [(s, d) for s, d in edge_list if coin_py(s, d, seed) < p_milli]
+
+
+def spread_py(edge_list, seeds, p_milli, seed="ic"):
+    """{v: activation round} — multi-source BFS over the live edges."""
+    adj: dict[int, list[int]] = {}
+    for s, d in live_py(edge_list, p_milli, seed):
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for w in adj.get(u, ()):
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+def _seeds_df(spark, vs):
+    return spark.createDataFrame([(int(v),) for v in vs], "source long")
+
+
+def test_ic_spread_matches_python_oracle(spark):
+    raw = [(int(s), int(d)) for s, d in rmat_edges(7, 4, seed=5)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    seeds = sorted({s for s, _ in edge_list})[:3]
+    res = ic_spread(g, _seeds_df(g.edges.sparkSession, seeds), p_milli=400)
+    got = {r["v"]: r["round"] for r in res.state.collect()}
+    assert got == spread_py(edge_list, seeds, 400)
+    assert res.converged
+
+
+def test_ic_spread_p_zero_activates_only_seeds(spark):
+    edge_list = [(0, 1), (1, 2), (2, 3)]
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    res = ic_spread(g, _seeds_df(spark, [0, 2]), p_milli=0)
+    got = {r["v"]: r["round"] for r in res.state.collect()}
+    assert got == {0: 0, 2: 0}
+
+
+def test_ic_spread_p_full_is_plain_bfs(spark):
+    edge_list = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 4)]
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    res = ic_spread(g, _seeds_df(spark, [0]), p_milli=IC_COIN_MOD)
+    got = {r["v"]: r["round"] for r in res.state.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_live_edges_deterministic_and_monotone_in_p(spark):
+    raw = [(int(s), int(d)) for s, d in rmat_edges(7, 4, seed=9)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    small = {(r["src"], r["dst"]) for r in live_edges(g, 200).collect()}
+    big = {(r["src"], r["dst"]) for r in live_edges(g, 600).collect()}
+    assert small == {e for e in edge_list if coin_py(*e) < 200}
+    assert big == {e for e in edge_list if coin_py(*e) < 600}
+    # nested coin thresholds -> nested live subgraphs
+    assert small <= big
+
+
+def test_ic_spread_round_cap_truncates(spark):
+    edge_list = [(i, i + 1) for i in range(6)]
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    res = ic_spread(g, _seeds_df(spark, [0]), p_milli=IC_COIN_MOD, max_rounds=2)
+    got = {r["v"]: r["round"] for r in res.state.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    assert not res.converged

@@ -946,3 +946,55 @@ def test_inverted_index_postings_and_df_caps(spark, docs):
         r["term"] for r in inverted_index(docs, min_df=3, max_df=100).collect()
     }
     assert "the" in common and "spark" not in common
+
+
+def test_grouped_top_terms_matches_python(spark):
+    from collections import Counter
+    import re
+
+    from gunrock_spark.pipeline.text import grouped_top_terms
+
+    rows = [
+        (1, "the cat sat on the mat the cat", "a"),
+        (2, "dogs and cats and dogs", "a"),
+        (3, "alpha beta alpha Gamma beta alpha", "b"),
+        (4, "beta beta gamma delta", "b"),
+        (5, "solo", "c"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    got = {
+        (r["source"], r["rank"]): (r["term"], r["n_occurrences"])
+        for r in grouped_top_terms(df, group_col="source", k=3).collect()
+    }
+    want = {}
+    texts: dict[str, Counter] = {}
+    for _, text, src in rows:
+        texts.setdefault(src, Counter()).update(
+            re.findall("[a-z0-9]+", text.lower())
+        )
+    for src, cnt in texts.items():
+        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for i, (term, n) in enumerate(ordered, start=1):
+            want[(src, i)] = (term, n)
+    assert got == want
+
+
+def test_grouped_top_terms_bucket_prune_lossless(spark):
+    # force heavy bucket collisions (n_buckets=1 and 2): the two-stage
+    # prune must still return the exact global per-group top-k
+    from gunrock_spark.pipeline.text import grouped_top_terms
+
+    rows = [(i, " ".join(f"t{j}" for j in range(i % 7 + 1)), "g") for i in range(20)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    base = {
+        (r["rank"]): (r["term"], r["n_occurrences"])
+        for r in grouped_top_terms(df, group_col="source", k=4, n_buckets=64).collect()
+    }
+    for nb in (1, 2):
+        got = {
+            (r["rank"]): (r["term"], r["n_occurrences"])
+            for r in grouped_top_terms(
+                df, group_col="source", k=4, n_buckets=nb
+            ).collect()
+        }
+        assert got == base, nb
