@@ -2000,6 +2000,53 @@ SELECT v, CAST(MIN(r) AS INT) AS round FROM walk GROUP BY v"""
     )
 
 
+PERC_PS = (100, 300, 600, 900)
+
+
+def _q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation robustness curve (algorithms/influence.py):
+    per retention probability p, the live-edge count and the giant
+    weakly-connected-component size of the coin-filtered subgraph."""
+    from gunrock_spark.algorithms.influence import percolation_curve
+
+    return percolation_curve(_graph(spark, sf_dir), p_millis=PERC_PS)
+
+
+def _percolation_sql(ps: tuple[int, ...] = PERC_PS) -> str:
+    coin = _H60.format(
+        x="'ic:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+    )
+    parts, selects = [], []
+    for p in ps:
+        parts.append(
+            f"""
+live{p} AS MATERIALIZED (SELECT src, dst FROM edges WHERE ({coin}) % 1000 < {p}),
+sym{p} AS MATERIALIZED (SELECT src, dst FROM live{p} UNION SELECT dst, src FROM live{p}),
+lv{p} AS MATERIALIZED (SELECT src AS v FROM live{p} UNION SELECT dst AS v FROM live{p}),
+reach{p}(v, label) AS (
+  SELECT v, v AS label FROM lv{p}
+  UNION
+  SELECT s.dst AS v, r.label FROM reach{p} r JOIN sym{p} s ON s.src = r.v
+),
+lab{p} AS MATERIALIZED (SELECT v, MIN(label) AS label FROM reach{p} GROUP BY v)"""
+        )
+        selects.append(
+            f"SELECT CAST({p} AS INT) AS p_milli,\n"
+            f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM live{p}) AS n_live_edges,\n"
+            f"       COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM lab{p}\n"
+            f"                 GROUP BY label ORDER BY COUNT(*) DESC, label LIMIT 1),\n"
+            f"                0) AS giant_size"
+        )
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + ","
+        + ",".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 MSF_ROUNDS = 10  # components at least halve per round; 2^10 > |V| at sf0.01
 MSF_JUMPS = 10   # pointer-doubling depth, 2^10 > any merge-chain length
 
@@ -2840,6 +2887,71 @@ SELECT source, term, n_occurrences, rank FROM (
                                  ORDER BY n_occurrences DESC, term ASC) AS INT) AS rank
   FROM counts
 ) t WHERE rank <= {k}"""
+
+
+DOC_SIM_MIN_DF = 2
+DOC_SIM_MAX_DF = 450
+DOC_SIM_SCALE = 1 << 20
+DOC_SIM_TOP = 50
+
+
+def _q_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity, top-50 pairs
+    (pipeline/text.sparse_cosine_pairs, Bayardo WWW 2007) — integer-
+    quantized weights make dot/norms exact BIGINTs, cosine is one
+    fixed float expression; df caps bound the term self-join."""
+    from gunrock_spark.pipeline.text import sparse_cosine_pairs
+
+    return (
+        sparse_cosine_pairs(
+            _docs(spark, sf_dir),
+            min_df=DOC_SIM_MIN_DF,
+            max_df=DOC_SIM_MAX_DF,
+            scale=DOC_SIM_SCALE,
+        )
+        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+        .limit(DOC_SIM_TOP)
+    )
+
+
+def _doc_sim_sql(
+    min_df: int = DOC_SIM_MIN_DF,
+    max_df: int = DOC_SIM_MAX_DF,
+    scale: int = DOC_SIM_SCALE,
+    top: int = DOC_SIM_TOP,
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs
+  FROM tf GROUP BY term
+  HAVING COUNT(*) >= {min_df} AND COUNT(*) <= {max_df}
+),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * (CAST({scale} AS BIGINT) // df_docs) AS w
+  FROM tf JOIN dfq USING (term)
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, dot,
+       ROUND(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+ORDER BY cosine DESC, id_a, id_b
+LIMIT {top}"""
 
 
 IDX_MIN_DF = 2
@@ -6321,6 +6433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram_t4": _q_distance_histogram,
         "effective_diameter_q90": _q_eff_diameter,
         "ic_spread_p30": _q_ic_spread,
+        "percolation_curve": _q_percolation,
+        "doc_sim_pairs_top50": _q_doc_sim,
         "source_top_terms_k5": _q_source_top_terms,
         "harmonic_centrality_t4": _q_harmonic,
         "closeness_t4": _q_closeness,
@@ -6467,6 +6581,8 @@ FROM events GROUP BY 1, 2""",
         "distance_histogram_t4": _distance_histogram_sql(),
         "effective_diameter_q90": _eff_diameter_sql(),
         "ic_spread_p30": _ic_spread_sql(),
+        "percolation_curve": _percolation_sql(),
+        "doc_sim_pairs_top50": _doc_sim_sql(),
         "source_top_terms_k5": _source_top_terms_sql(),
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),

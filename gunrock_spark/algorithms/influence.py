@@ -65,6 +65,49 @@ def live_edges(
     return graph.edges.where(coin < F.lit(p_milli))
 
 
+def percolation_curve(
+    graph: EdgeTable,
+    p_millis: tuple[int, ...] = (100, 300, 600, 900),
+    seed: str = "ic",
+) -> DataFrame:
+    """DataFrame[p_milli int, n_live_edges long, giant_size long]:
+    the bond-percolation robustness curve of the link graph — for
+    each retention probability p, keep each edge with the
+    deterministic h60 coin and report the size of the largest weakly
+    connected component of the surviving subgraph (the classic
+    web-graph resilience analysis of Albert-Jeong-Barabási, "Error
+    and attack tolerance of complex networks", Nature 2000 — random
+    failure = random bond removal; nested coins make the curve
+    monotone in p by construction).
+
+    One hash-min CC run per sampled p over the coin-filtered edge
+    table (the filter rides the scan; the CC loop is the engine's
+    usual |E_live| join + partial-min shuffle) — the curve costs
+    len(p_millis) CC runs, never a per-edge simulation."""
+    spark = graph.edges.sparkSession
+    from gunrock_spark.algorithms.components import connected_components
+
+    rows = []
+    for p in p_millis:
+        live = live_edges(graph, p_milli=p, seed=seed)
+        n_live = live.count()
+        if n_live == 0:
+            rows.append((int(p), 0, 0))
+            continue
+        sub = EdgeTable.from_df(live)
+        labels = connected_components(sub).state
+        giant = (
+            labels.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("g"))
+            .collect()[0]["g"]
+        )
+        rows.append((int(p), int(n_live), int(giant)))
+    return spark.createDataFrame(
+        rows, schema="p_milli int, n_live_edges long, giant_size long"
+    )
+
+
 def ic_spread(
     graph: EdgeTable,
     seeds: DataFrame,

@@ -287,6 +287,73 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
     )
 
 
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 1000,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """(id_a, id_b, dot, cosine) — all-pairs document similarity over
+    sparse TF-IDF-weighted term vectors (the inverted-index similarity
+    join of Bayardo et al., "Scaling up all pairs similarity search",
+    WWW 2007): documents share a candidate pair iff they share a
+    surviving term, scored by the dot product of their weighted
+    vectors.
+
+    Determinism contract: weights are INTEGER-quantized — w(d, t) =
+    tf · (scale DIV df) — so dot products and squared norms are exact
+    BIGINT sums (partition-order-invariant, no float accumulation),
+    and cosine = dot / (√n_a·√n_b) is ONE fixed float expression over
+    exact integers, SQL-replayable bit-for-bit. DIV-quantized idf
+    preserves the idf ordering (rarer term => larger weight) without
+    ln() rounding hazards at quantization boundaries.
+
+    Scale shape (100 TB): the df filter [min_df, max_df] is THE
+    quadratic-head control — dropping df>max_df stop-terms bounds
+    every posting list, so the term self-join generates at most
+    Σ_t |posting(t)|² ≤ max_df · |postings| candidate rows (the same
+    escape hatch as jaccard's max_shingle_df); min_df≥2 drops the
+    singleton tail that can never pair. Everything else is two
+    partial-agg shuffles + one groupBy(pair) sum."""
+    if min_df < 1 or max_df < min_df:
+        raise ValueError("need 1 <= min_df <= max_df")
+    pairs = df.select(
+        F.col(id_col).alias("_id"), F.explode(_token_col(text_col)).alias("term")
+    )
+    tf = pairs.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .where(
+            (F.col("df_docs") >= min_df) & (F.col("df_docs") <= max_df)
+        )
+    )
+    w = (
+        F.col("tf").cast("long")
+        * F.expr(f"CAST({scale} AS BIGINT) DIV df_docs")
+    ).alias("w")
+    weights = tf.join(dfreq, "term").select("_id", "term", w)
+    norms = weights.groupBy("_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = weights.alias("a"), weights.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("_na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("n2").alias("_nb"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", "dot", F.round(cosine, 6).alias("cosine"))
+    )
+
+
 def bm25(
     df: DataFrame,
     query_terms: list[str],

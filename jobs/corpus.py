@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
             "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
-            "inverted-index", "top-terms",
+            "inverted-index", "top-terms", "doc-sim",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -166,6 +166,13 @@ def main(argv: list[str] | None = None) -> int:
 
         out = grouped_top_terms(
             docs, group_col=args.group_col, k=args.top_k, text_col=txc
+        )
+    elif args.op == "doc-sim":
+        from gunrock_spark.pipeline.text import sparse_cosine_pairs
+
+        out = sparse_cosine_pairs(
+            docs, id_col=idc, text_col=txc,
+            min_df=args.min_df, max_df=args.max_df,
         )
     elif args.op == "canonicalize":
         from gunrock_spark.ingest.urls import canonicalize

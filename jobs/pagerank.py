@@ -49,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
                              "kcore", "corenums", "ktruss", "trussness", "mis",
                              "walks", "node2vec", "simrank",
                              "scc", "bowtie", "anf", "disthist", "effdiam",
-                             "harmonic", "closeness", "icspread",
+                             "harmonic", "closeness", "icspread", "percolation",
                              "linkpred",
                              "color", "katz", "eigenvector", "matching",
                              "trustrank", "spammass", "absorption", "squares",
@@ -403,6 +403,11 @@ def main(argv: list[str] | None = None) -> int:
             graph, seeds, p_milli=args.ic_p_milli, max_rounds=args.max_iter
         )
         out_df = res.state
+    elif args.algorithm == "percolation":
+        from gunrock_spark.algorithms.influence import percolation_curve
+
+        res = None
+        out_df = percolation_curve(graph)
     elif args.algorithm == "harmonic":
         from gunrock_spark.algorithms.anf import hyperball_centralities
 

@@ -245,3 +245,14 @@ def test_top_terms_op(spark, docs_parquet, tmp_path, capsys):
     # books: 'der' (x2) then alphabetical among count-1 terms -> 'auf'
     assert got[("books", 1)] == "der"
     assert got[("books", 2)] == "auf"
+
+
+def test_doc_sim_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "docsim")
+    assert _run(["--input", docs_parquet, "--op", "doc-sim",
+                 "--min-df", "2", "--max-df", "4", "--out", out]) == 0
+    got = {(r.id_a, r.id_b): r.cosine for r in spark.read.parquet(out).collect()}
+    # docs 0 and 1 are exact duplicates -> cosine 1.0 on shared terms
+    assert got[(0, 1)] == 1.0
+    # every pair sharing a surviving term appears with 0 < cosine <= 1
+    assert all(0.0 < c <= 1.0 for c in got.values())

@@ -83,3 +83,46 @@ def test_ic_spread_round_cap_truncates(spark):
     got = {r["v"]: r["round"] for r in res.state.collect()}
     assert got == {0: 0, 1: 1, 2: 2}
     assert not res.converged
+
+
+def cc_giant_py(edge_list):
+    """Size of the largest weakly connected component."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edge_list:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    from collections import Counter
+
+    if not parent:
+        return 0
+    return max(Counter(find(x) for x in parent).values())
+
+
+def test_percolation_curve_matches_python_oracle(spark):
+    from gunrock_spark.algorithms.influence import percolation_curve
+
+    raw = [(int(s), int(d)) for s, d in rmat_edges(7, 6, seed=3)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    ps = (0, 250, 700, 1000)
+    got = {
+        r["p_milli"]: (r["n_live_edges"], r["giant_size"])
+        for r in percolation_curve(g, p_millis=ps).collect()
+    }
+    for p in ps:
+        live = live_py(edge_list, p)
+        assert got[p] == (len(live), cc_giant_py(live)), p
+    # nested coins -> live sets nest -> both readouts monotone in p
+    ns = [got[p][0] for p in ps]
+    gs = [got[p][1] for p in ps]
+    assert ns == sorted(ns) and gs == sorted(gs)
+    # p=1000 keeps everything
+    assert got[1000] == (len(edge_list), cc_giant_py(edge_list))

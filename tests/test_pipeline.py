@@ -998,3 +998,49 @@ def test_grouped_top_terms_bucket_prune_lossless(spark):
             ).collect()
         }
         assert got == base, nb
+
+
+def test_sparse_cosine_pairs_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from gunrock_spark.pipeline.text import sparse_cosine_pairs
+
+    rows = [
+        (1, "spark shuffles spill to disk under memory pressure", "web"),
+        (2, "spark shuffles spill to disk when memory is low", "web"),
+        (3, "the cat sat on the mat", "web"),
+        (4, "a cat and a dog sat on a mat", "web"),
+        (5, "unique singleton vocabulary here", "web"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    scale = 1 << 20
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cosine"])
+        for r in sparse_cosine_pairs(df, min_df=2, max_df=4, scale=scale).collect()
+    }
+    tf = {i: Counter(re.findall("[a-z0-9]+", t.lower())) for i, t, _ in rows}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    kept = {t for t, n in dfreq.items() if 2 <= n <= 4}
+    w = {
+        i: {t: c * (scale // dfreq[t]) for t, c in cnt.items() if t in kept}
+        for i, cnt in tf.items()
+    }
+    want = {}
+    ids = sorted(w)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+            if dot == 0:
+                continue
+            na = math.sqrt(sum(x * x for x in w[a].values()))
+            nb = math.sqrt(sum(x * x for x in w[b].values()))
+            want[(a, b)] = (dot, round(dot / (na * nb), 6))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 2e-6, k
+    # doc 5's vocabulary is all-singleton -> it pairs with nobody
+    assert not any(5 in k for k in got)
