@@ -2000,6 +2000,50 @@ SELECT v, CAST(MIN(r) AS INT) AS round FROM walk GROUP BY v"""
     )
 
 
+DD_K = 4
+
+
+def _q_degree_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DegreeDiscount influence-maximization seeds (algorithms/
+    influence.degree_discount_seeds, Chen et al. KDD 2009): k rounds
+    of exact-integer discounted-degree argmax over the undirected
+    view, ties by smallest v."""
+    from gunrock_spark.algorithms.influence import degree_discount_seeds
+
+    return degree_discount_seeds(
+        _graph(spark, sf_dir), k=DD_K, p_milli=IC_P_MILLI
+    )
+
+
+def _degree_discount_sql(k: int = DD_K, p_milli: int = IC_P_MILLI) -> str:
+    score = f"1000 * (d - 2 * t) - (d - t) * t * {p_milli}"
+    parts = [
+        """
+st0 AS MATERIALIZED (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d, CAST(0 AS BIGINT) AS t
+  FROM sym GROUP BY src
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+s{i} AS MATERIALIZED (SELECT v FROM st{i - 1} ORDER BY {score} DESC, v LIMIT 1),
+st{i} AS MATERIALIZED (
+  SELECT st.v, st.d,
+         st.t + CASE WHEN n.dst IS NOT NULL THEN 1 ELSE 0 END AS t
+  FROM st{i - 1} st
+  LEFT JOIN (SELECT dst FROM sym WHERE src = (SELECT v FROM s{i})) n
+    ON n.dst = st.v
+  WHERE st.v <> (SELECT v FROM s{i})
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, v AS seed FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + _EDGES_CTES + "," + ",".join(parts) + "\n" + finals
+
+
 PERC_PS = (100, 300, 600, 900)
 
 
@@ -6433,6 +6477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram_t4": _q_distance_histogram,
         "effective_diameter_q90": _q_eff_diameter,
         "ic_spread_p30": _q_ic_spread,
+        "degree_discount_seeds_k4": _q_degree_discount,
         "percolation_curve": _q_percolation,
         "doc_sim_pairs_top50": _q_doc_sim,
         "source_top_terms_k5": _q_source_top_terms,
@@ -6581,6 +6626,7 @@ FROM events GROUP BY 1, 2""",
         "distance_histogram_t4": _distance_histogram_sql(),
         "effective_diameter_q90": _eff_diameter_sql(),
         "ic_spread_p30": _ic_spread_sql(),
+        "degree_discount_seeds_k4": _degree_discount_sql(),
         "percolation_curve": _percolation_sql(),
         "doc_sim_pairs_top50": _doc_sim_sql(),
         "source_top_terms_k5": _source_top_terms_sql(),

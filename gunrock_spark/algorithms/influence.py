@@ -108,6 +108,68 @@ def percolation_curve(
     )
 
 
+def degree_discount_seeds(
+    graph: EdgeTable, k: int = 4, p_milli: int = 300
+) -> DataFrame:
+    """DataFrame[rank int, seed long]: influence-maximization seed
+    selection by DegreeDiscount (Chen-Wang-Yang, "Efficient influence
+    maximization in social networks", KDD 2009 Alg. 4) — the
+    practical near-greedy heuristic: pick the vertex with the highest
+    DISCOUNTED degree, discounting each vertex by its already-selected
+    neighbors t_v (they no longer need to be reached through v):
+
+        ddv = d_v - 2·t_v - (d_v - t_v)·t_v·p
+
+    over the undirected (symmetrized, deduped) view. Determinism
+    contract: the score is kept in exact integer arithmetic — scaled
+    by 1000, score = 1000·(d - 2t) - (d - t)·t·p_milli — argmax ties
+    broken by smallest v, so every round is SQL-replayable with no
+    float comparisons.
+
+    Scale shape: k rounds, each ONE |V|-row arg-max (TakeOrdered —
+    per-partition top-1, no global sort) plus a broadcast semi-join
+    update touching only the chosen seed's neighbor rows; state is
+    the |V|-row (v, d, t) table, checkpointed per round."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = graph.edges.sparkSession
+    sym = graph.symmetrized().edges
+    state = (
+        sym.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select("v", "d", F.lit(0).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    score = (
+        F.lit(1000) * (F.col("d") - 2 * F.col("t"))
+        - (F.col("d") - F.col("t")) * F.col("t") * F.lit(p_milli)
+    )
+    seeds: list[tuple[int, int]] = []
+    for i in range(1, k + 1):
+        top = (
+            state.orderBy(score.desc(), F.col("v").asc()).limit(1).collect()
+        )
+        if not top:
+            break
+        s = int(top[0]["v"])
+        seeds.append((i, s))
+        nbrs = sym.where(F.col("src") == s).select(F.col("dst").alias("_n"))
+        state = (
+            state.where(F.col("v") != s)
+            .join(F.broadcast(nbrs), state["v"] == F.col("_n"), "left")
+            .select(
+                "v",
+                "d",
+                (
+                    F.col("t")
+                    + F.when(F.col("_n").isNotNull(), 1).otherwise(0)
+                ).cast("long").alias("t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(seeds, schema="rank int, seed long")
+
+
 def ic_spread(
     graph: EdgeTable,
     seeds: DataFrame,

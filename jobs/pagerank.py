@@ -50,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
                              "walks", "node2vec", "simrank",
                              "scc", "bowtie", "anf", "disthist", "effdiam",
                              "harmonic", "closeness", "icspread", "percolation",
+                             "ddseeds",
                              "linkpred",
                              "color", "katz", "eigenvector", "matching",
                              "trustrank", "spammass", "absorption", "squares",
@@ -403,6 +404,11 @@ def main(argv: list[str] | None = None) -> int:
             graph, seeds, p_milli=args.ic_p_milli, max_rounds=args.max_iter
         )
         out_df = res.state
+    elif args.algorithm == "ddseeds":
+        from gunrock_spark.algorithms.influence import degree_discount_seeds
+
+        res = None
+        out_df = degree_discount_seeds(graph, k=args.k, p_milli=args.ic_p_milli)
     elif args.algorithm == "percolation":
         from gunrock_spark.algorithms.influence import percolation_curve
 

@@ -126,3 +126,64 @@ def test_percolation_curve_matches_python_oracle(spark):
     assert ns == sorted(ns) and gs == sorted(gs)
     # p=1000 keeps everything
     assert got[1000] == (len(edge_list), cc_giant_py(edge_list))
+
+
+def degree_discount_py(edge_list, k, p_milli):
+    """Replica of influence.degree_discount_seeds (undirected,
+    integer-scaled scores, ties by smallest v)."""
+    nbrs: dict[int, set] = {}
+    for s, d in edge_list:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    t = {v: 0 for v in deg}
+    picked = []
+    for _ in range(k):
+        if not t:
+            break
+        best = min(
+            t,
+            key=lambda v: (
+                -(1000 * (deg[v] - 2 * t[v]) - (deg[v] - t[v]) * t[v] * p_milli),
+                v,
+            ),
+        )
+        picked.append(best)
+        del t[best]
+        for w in nbrs[best]:
+            if w in t:
+                t[w] += 1
+    return picked
+
+
+def test_degree_discount_matches_python_oracle(spark):
+    from gunrock_spark.algorithms.influence import degree_discount_seeds
+
+    raw = [(int(s), int(d)) for s, d in rmat_edges(7, 6, seed=11)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    got = [
+        r["seed"]
+        for r in degree_discount_seeds(g, k=5, p_milli=300)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == degree_discount_py(edge_list, 5, 300)
+
+
+def test_degree_discount_star_picks_hub_then_spreads(spark):
+    # star 0-{1..5} plus pendant 5-6: hub first; after the hub every
+    # leaf is discounted, the pendant-adjacent leaf wins only if its
+    # discounted score says so — replicate with the python oracle.
+    edge_list = [(0, i) for i in range(1, 6)] + [(5, 6)]
+    from gunrock_spark.algorithms.influence import degree_discount_seeds
+
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    got = [
+        r["seed"]
+        for r in degree_discount_seeds(g, k=3, p_milli=500)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got[0] == 0
+    assert got == degree_discount_py(edge_list, 3, 500)

@@ -196,6 +196,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("effdiam", ["--max-iter", "3"]),
         ("icspread", ["--num-sources", "2", "--ic-p-milli", "600"]),
         ("percolation", []),
+        ("ddseeds", ["--k", "3", "--ic-p-milli", "300"]),
         ("harmonic", ["--max-iter", "3"]),
         ("closeness", ["--max-iter", "3"]),
         ("linkpred", ["--k", "10"]),
