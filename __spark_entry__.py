@@ -5058,6 +5058,101 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence (pipeline/events.event_transitions) — (ts, event_id)
+    ordering makes the pair multiset deterministic; p is one float
+    division of exact BIGINTs."""
+    from gunrock_spark.pipeline.events import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _event_transitions_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, p.n,
+       ROUND(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+FROM pairs p JOIN tot t USING (prev_type)"""
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle (pipeline/events.retention_cohorts):
+    distinct users per (first-seen day, day offset) — exact integer
+    date arithmetic."""
+    from gunrock_spark.pipeline.events import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events")).select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    )
+
+
+def _retention_cohorts_sql() -> str:
+    return """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)"""
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel view -> click -> purchase
+    (pipeline/events.funnel_counts): strictly-increasing timestamps
+    qualify a user for the next step."""
+    from gunrock_spark.pipeline.events import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"), steps=list(FUNNEL_STEPS)
+    )
+
+
+def _funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    parts = [
+        f"""
+r1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        parts.append(
+            f"""
+r{i} AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN r{i - 1} r ON r.user_id = e.user_id
+  WHERE e.event_type = '{step}' AND e.ts > r.t
+  GROUP BY e.user_id
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS step, '{s}' AS step_type,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_users FROM r{i}"
+        for i, s in enumerate(steps, start=1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + finals
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6420,6 +6515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embed_near_dup,
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
         "events_hourly": _q_events_hourly,
+        "event_transitions": _q_event_transitions,
+        "retention_cohorts": _q_retention_cohorts,
+        "funnel_view_click_purchase": _q_funnel,
         "sessions_gap": _q_sessions_gap,
         "jaccard_near_dups": _q_jaccard_near_dups,
         "containment_near_dups": _q_containment_near_dups,
@@ -6571,6 +6669,9 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "event_transitions": _event_transitions_sql(),
+        "retention_cohorts": _retention_cohorts_sql(),
+        "funnel_view_click_purchase": _funnel_sql(),
         "jaccard_near_dups": _jaccard_near_dups_sql(),
         "containment_near_dups": _containment_near_dups_sql(),
         "source_overlap": _source_overlap_sql(),
