@@ -534,3 +534,86 @@ def test_inverted_index_prune_before_collect(spark):
     assert "Window" not in plan and "rangepartitioning" not in plan.lower()
     assert "BroadcastExchange" in plan  # kept-vocab side of the join
     assert "ObjectHashAggregate" in plan  # partial-agg collect_list
+
+
+def test_live_edges_coin_filter_rides_scan_no_python(spark):
+    """The IC live-edge coin is a pure Catalyst predicate evaluated at
+    the edge-table projection — no Python eval, no extra exchange
+    beyond the edge derivation itself."""
+    from gunrock_spark.algorithms.influence import live_edges
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.sources.tables import derived_edges_df
+
+    g = EdgeTable.from_df(derived_edges_df(spark, SF))
+    plan = _plan(live_edges(g, 300))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the coin shows up as a Filter over the cached layout, not a join
+    assert "Filter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sparse_cosine_pairs_partial_agg_no_cartesian_no_sort(spark):
+    """The similarity join must stay an equi-join on term with
+    map-side-combined pair sums — never a cartesian/NLJ, never a
+    global sort."""
+    from gunrock_spark.pipeline.text import sparse_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(sparse_cosine_pairs(docs, min_df=2, max_df=400))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "rangepartitioning" not in plan.lower()
+    # df caps must reach the term-frequency side as a Filter
+    assert "df_docs" in plan
+
+
+def test_grouped_top_terms_bucketed_no_global_sort(spark):
+    """Per-group top-k must not range-partition (global sort): both
+    rank stages are hash-partitioned windows."""
+    from gunrock_spark.pipeline.text import grouped_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(grouped_top_terms(docs, group_col="source", k=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("Window") >= 2  # bucket stage + final stage
+
+
+def test_event_transitions_single_user_shuffle_partial_agg(spark):
+    """The Markov pass is ONE hash exchange on user_id for the window
+    plus partial-aggregated pair counts — no range partitioning, no
+    Python."""
+    from gunrock_spark.pipeline.events import event_transitions
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(event_transitions(ev))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "HashAggregate" in plan
+
+
+def test_degree_discount_update_is_broadcast_join(spark):
+    """Each DegreeDiscount round's neighbor update must broadcast the
+    single seed's adjacency, never shuffle the |V|-row state against
+    it."""
+    from gunrock_spark.algorithms.influence import degree_discount_seeds
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.sources.tables import derived_edges_df
+
+    g = EdgeTable.from_df(derived_edges_df(spark, SF))
+    out = degree_discount_seeds(g, k=2, p_milli=300)
+    # the returned frame is a local createDataFrame of driver scalars;
+    # gate the STATE update plan instead by reconstructing one round
+    sym = g.symmetrized().edges
+    state = (
+        sym.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select("v", "d", F.lit(0).cast("long").alias("t"))
+    )
+    nbrs = sym.where(F.col("src") == 0).select(F.col("dst").alias("_n"))
+    upd = state.join(F.broadcast(nbrs), state["v"] == F.col("_n"), "left")
+    plan = _plan(upd)
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 2
