@@ -4724,6 +4724,61 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional first-order walks (algorithms/walks.
+    weighted_walks) over the deterministic weighted view — inverse
+    integer CDF over the per-src cumulative weights, same hash
+    contract as random_walks_k3."""
+    from gunrock_spark.algorithms.walks import weighted_walks
+
+    g = derived_edge_table(spark, sf_dir, weighted=True)
+    return weighted_walks(
+        g, walk_length=WALKS_LEN, walks_per_vertex=WALKS_PER_VERTEX, seed=WALKS_SEED
+    )
+
+
+def _weighted_walks_sql(
+    k: int = WALKS_LEN, walks: int = WALKS_PER_VERTEX, seed: int = WALKS_SEED
+) -> str:
+    walk_rows = " UNION ALL ".join(f"SELECT {w} AS walk" for w in range(walks))
+    body = [
+        """wadjr AS MATERIALIZED (
+  SELECT src, dst, CAST(w AS BIGINT) AS w,
+         SUM(CAST(w AS BIGINT)) OVER (PARTITION BY src ORDER BY dst
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(CAST(w AS BIGINT)) OVER (PARTITION BY src) AS tot
+  FROM edges_w
+)""",
+        f"wk AS ({walk_rows})",
+        "s0 AS (SELECT v AS start, walk, v AS cur FROM verts CROSS JOIN wk)",
+    ]
+    for t in range(1, k + 1):
+        h = _walk_hash_sql("s.cur", t, walks, seed)
+        body.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT s.start, s.walk, r.dst AS cur
+  FROM s{t - 1} s
+  JOIN wadjr r ON r.src = s.cur
+   AND ({h}) % r.tot >= r.cum - r.w
+   AND ({h}) % r.tot < r.cum
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, CAST({t} AS INT) AS step, cur AS v FROM s{t}"
+        for t in range(0, k + 1)
+    )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ","
+        + _WEDGES_CTE
+        + ",\n"
+        + ",\n".join(body)
+        + "\n"
+        + selects
+    )
+
+
 SKIPGRAM_WINDOW = 2
 
 
@@ -6560,6 +6615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "cms_estimates": _q_cms_estimates,
         "random_walks_k3": _q_random_walks,
+        "weighted_walks_k3": _q_weighted_walks,
         "skipgram_pairs_w2": _q_skipgram,
         "node2vec_walks_k3": _q_node2vec_walks,
         "simrank_q3": _q_simrank,
@@ -6713,6 +6769,7 @@ FROM events GROUP BY 1, 2""",
         "hll_distinct": _hll_distinct_sql(),
         "cms_estimates": _cms_estimates_sql(),
         "random_walks_k3": _walks_sql(),
+        "weighted_walks_k3": _weighted_walks_sql(),
         "skipgram_pairs_w2": _skipgram_sql(),
         "node2vec_walks_k3": _node2vec_sql(),
         "simrank_q3": _simrank_sql(),

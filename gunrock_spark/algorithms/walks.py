@@ -174,6 +174,89 @@ def random_walks(
     return _finish(levels, persisted)
 
 
+def weighted_ranked_adjacency(graph: EdgeTable) -> DataFrame:
+    """DataFrame[src, dst, w, cum, tot] — out-edges ranked by dst asc
+    with exact per-src cumulative integer weights: cum is the running
+    sum in dst order, tot the per-src total. Weights are cast to
+    BIGINT (the engine's weighted views carry small integral weights;
+    pre-quantize anything else) so the inverse-CDF draw is exact
+    64-bit arithmetic. Built ONCE per graph — two windows over the
+    edge table, the weighted twin of :func:`ranked_adjacency`."""
+    if not graph.weighted:
+        raise ValueError("weighted_ranked_adjacency needs a weighted EdgeTable")
+    w_cum = (
+        Window.partitionBy("src")
+        .orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("src")
+    base = graph.edges.select(
+        "src", "dst", F.col("weight").cast("long").alias("w")
+    ).where(F.col("w") > 0)  # zero-weight edges are never traversable
+    return base.select(
+        "src",
+        "dst",
+        "w",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+
+
+def weighted_walks(
+    graph: EdgeTable,
+    walk_length: int = 4,
+    *,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """DataFrame[start, walk, step, v]: first-order walks with
+    next-hop probability proportional to the INTEGER edge weight —
+    the weighted-DeepWalk / weighted-graph embedding sampler. Draw at
+    (cur, step, wid): r = hash % tot(cur); the chosen edge is the one
+    whose cumulative-weight interval [cum - w, cum) covers r (inverse
+    CDF in dst order) — all-integer, so SQL oracles replay every
+    trajectory bit-for-bit; unit weights degenerate to
+    :func:`random_walks` (r = h % d picks rank r).
+
+    Scale shape: the cumulative layout is built once (two windows,
+    same cost class as ranked_adjacency); each step expands the
+    frontier by deg(cur) candidate rows through ONE equi-join on src
+    and keeps the single covering row — the same irreducible
+    expansion as the node2vec step, without the edge-probe join."""
+    if walk_length < 0:
+        raise ValueError("walk_length must be >= 0")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    wadj = weighted_ranked_adjacency(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted: list[DataFrame] = [wadj]
+
+    state = _start_state(graph, starts, walks_per_vertex)
+    levels = [
+        state.select(
+            "start", "walk", F.lit(0).cast("int").alias("step"), F.col("cur").alias("v")
+        )
+    ]
+    for t in range(1, walk_length + 1):
+        joined = state.join(wadj, state["cur"] == wadj["src"])
+        r = F.pmod(
+            _step_hash(F.col("cur"), t, _wid(walks_per_vertex), seed),
+            F.col("tot"),
+        )
+        state = (
+            joined.where((F.col("cum") > r) & (F.col("cum") - F.col("w") <= r))
+            .select("start", "walk", F.col("dst").alias("cur"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        persisted.append(state)
+        levels.append(
+            state.select(
+                "start", "walk", F.lit(t).cast("int").alias("step"), F.col("cur").alias("v")
+            )
+        )
+    return _finish(levels, persisted)
+
+
 def node2vec_walks(
     graph: EdgeTable,
     walk_length: int = 4,

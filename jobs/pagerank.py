@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "trussness", "mis",
-                             "walks", "node2vec", "simrank",
+                             "walks", "node2vec", "wwalks", "simrank",
                              "scc", "bowtie", "anf", "disthist", "effdiam",
                              "harmonic", "closeness", "icspread", "percolation",
                              "ddseeds",
@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         weight = "weight"
-    if args.algorithm in ("sssp", "msf"):
+    if args.algorithm in ("sssp", "msf", "wwalks"):
         if "weight" not in edges_df.columns:
             from pyspark.sql import functions as F
 
@@ -440,6 +440,16 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = random_walks(
+            graph,
+            walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed,
+        )
+    elif args.algorithm == "wwalks":
+        from gunrock_spark.algorithms.walks import weighted_walks
+
+        res = None
+        out_df = weighted_walks(
             graph,
             walk_length=args.walk_length,
             walks_per_vertex=args.walks_per_vertex,

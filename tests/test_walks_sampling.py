@@ -345,3 +345,100 @@ def test_negative_samples_weight_proportionality(spark):
     rows = negative_samples(pdf, wdf, m=4, seed=3).collect()
     frac0 = sum(1 for r in rows if r.neg == 0) / len(rows)
     assert frac0 > 0.75
+
+
+def _py_weighted_walks(wedges, walk_length, walks_per_vertex, seed):
+    """weighted_walks contract: inverse integer CDF over out-edges in
+    dst order; zero-weight edges never traversable."""
+    adj: dict[int, list[tuple[int, int]]] = {}
+    verts = set()
+    for s, d, w in wedges:
+        verts.update((s, d))
+        if w > 0:
+            adj.setdefault(s, []).append((d, w))
+    for v in adj:
+        adj[v].sort()
+    out = []
+    for v in sorted(verts):
+        for wk in range(walks_per_vertex):
+            wid = v * walks_per_vertex + wk
+            cur = v
+            out.append((v, wk, 0, v))
+            for t in range(1, walk_length + 1):
+                cand = adj.get(cur)
+                if not cand:
+                    break
+                r = _hash(cur, t, wid, seed) % sum(w for _, w in cand)
+                acc = 0
+                for d, w in cand:
+                    acc += w
+                    if acc > r:
+                        cur = d
+                        break
+                out.append((v, wk, t, cur))
+    return sorted(out)
+
+
+def _wgraph(spark, wedges):
+    return EdgeTable.from_df(
+        spark.createDataFrame(wedges, "src long, dst long, weight double"),
+        weight="weight",
+    )
+
+
+def test_weighted_walks_match_python_oracle(spark):
+    from gunrock_spark.algorithms.walks import weighted_walks
+
+    rng = random.Random(17)
+    wedges = [(s, d, float(rng.randrange(0, 5))) for s, d in _rand_edges(seed=17)]
+    g = _wgraph(spark, wedges)
+    got = sorted(
+        (r["start"], r["walk"], r["step"], r["v"])
+        for r in weighted_walks(g, walk_length=3, walks_per_vertex=2, seed=9).collect()
+    )
+    want = _py_weighted_walks(
+        [(s, d, int(w)) for s, d, w in wedges], 3, 2, 9
+    )
+    assert got == want
+
+
+def test_weighted_walks_unit_weights_equal_uniform(spark):
+    from gunrock_spark.algorithms.walks import weighted_walks
+
+    edges = _rand_edges(seed=23)
+    wedges = [(s, d, 1.0) for s, d in edges]
+    got = sorted(
+        (r["start"], r["walk"], r["step"], r["v"])
+        for r in weighted_walks(
+            _wgraph(spark, wedges), walk_length=3, walks_per_vertex=2, seed=5
+        ).collect()
+    )
+    want = sorted(
+        (r["start"], r["walk"], r["step"], r["v"])
+        for r in random_walks(
+            _graph(spark, edges), walk_length=3, walks_per_vertex=2, seed=5
+        ).collect()
+    )
+    assert got == want
+
+
+def test_weighted_walks_requires_weighted_graph(spark):
+    from gunrock_spark.algorithms.walks import weighted_walks
+
+    with pytest.raises(ValueError):
+        weighted_walks(_graph(spark, _rand_edges()), walk_length=2)
+
+
+def test_weighted_walks_heavy_edge_dominates(spark):
+    # 0 -> 1 (w 1000) vs 0 -> 2 (w 1): nearly every draw lands on 1
+    from gunrock_spark.algorithms.walks import weighted_walks
+
+    wedges = [(0, 1, 1000.0), (0, 2, 1.0)]
+    g = _wgraph(spark, wedges)
+    hops = [
+        r["v"]
+        for r in weighted_walks(g, walk_length=1, walks_per_vertex=20, seed=1)
+        .where("start = 0 AND step = 1")
+        .collect()
+    ]
+    assert len(hops) == 20 and hops.count(1) >= 19
