@@ -471,3 +471,68 @@ def test_incremental_hll_stream_matches_batch(spark, tmp_path):
     assert apply_hll_batch(spark, a, 0, out_dir, m=64) is False
     after = {(r["j"], r["rho"]) for r in load_sketch(spark, out_dir).collect()}
     assert after == want
+
+
+def test_transitions_stream_matches_batch(spark, tmp_path):
+    """Stateful per-user last-event tracking: the streamed pair log,
+    aggregated, must equal the batch Markov matrix when per-user
+    delivery is in order across micro-batches."""
+    import datetime as dt
+
+    from gunrock_spark.pipeline.events import event_transitions
+    from gunrock_spark.streaming.transitions import transitions_stream
+
+    events_dir = str(tmp_path / "tr_events")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    # explicit event ids to keep them globally unique across batches
+    def rows_ids(*evts):
+        return spark.createDataFrame(
+            [(eid, t0 + dt.timedelta(minutes=m), u, et, 1.0)
+             for eid, m, u, et in evts],
+            schema="event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+
+    batches = [
+        rows_ids((0, 0, 1, "view"), (1, 5, 1, "click"), (2, 0, 2, "view")),
+        rows_ids((3, 9, 1, "purchase"), (4, 2, 2, "view"), (5, 7, 2, "click")),
+        rows_ids((6, 12, 1, "view"), (7, 12, 2, "error")),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(events_dir)
+        if i == 0:
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir)
+            )
+            q = (
+                transitions_stream(stream, watermark_delay="0 seconds")
+                .writeStream.format("memory")
+                .queryName("transitions_out")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "tr_ck"))
+                .start()
+            )
+        q.processAllAvailable()
+    q.stop()
+
+    got_pairs = spark.sql(
+        "SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM transitions_out GROUP BY 1, 2"
+    ).collect()
+    got = {(r["prev_type"], r["next_type"]): r["n"] for r in got_pairs}
+    all_events = batches[0]
+    for b in batches[1:]:
+        all_events = all_events.unionByName(b)
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(all_events).collect()
+    }
+    assert got == want
+    # user 1: view->click->purchase->view; user 2: view->view->click->error
+    assert got[("purchase", "view")] == 1 and got[("view", "view")] == 1
