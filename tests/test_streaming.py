@@ -536,3 +536,74 @@ def test_transitions_stream_matches_batch(spark, tmp_path):
     assert got == want
     # user 1: view->click->purchase->view; user 2: view->view->click->error
     assert got[("purchase", "view")] == 1 and got[("view", "view")] == 1
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Per-user stage-machine state: counting the streamed completion
+    rows per step must equal the batch first-touch funnel, including
+    the strict-> chaining under equal timestamps."""
+    import datetime as dt
+
+    from gunrock_spark.pipeline.events import funnel_counts
+    from gunrock_spark.streaming.funnel import funnel_stream
+
+    events_dir = str(tmp_path / "fn_events")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2026, 1, 2, 9, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    def rows_ids(*evts):
+        return spark.createDataFrame(
+            [(eid, t0 + dt.timedelta(minutes=m), u, et, 1.0)
+             for eid, m, u, et in evts],
+            schema=schema,
+        )
+
+    batches = [
+        # user 1 completes all three; user 2 stalls after click;
+        # user 3's click shares its view's timestamp -> NOT qualifying
+        rows_ids((0, 0, 1, "view"), (1, 2, 1, "click"), (2, 0, 2, "view")),
+        rows_ids((3, 5, 1, "purchase"), (4, 4, 2, "click"),
+                 (5, 0, 3, "view"), (6, 0, 3, "click")),
+        rows_ids((7, 9, 2, "error"), (8, 30, 3, "click")),
+    ]
+    steps = ["view", "click", "purchase"]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(events_dir)
+        if i == 0:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir)
+            )
+            q = (
+                funnel_stream(stream, steps, watermark_delay="0 seconds")
+                .writeStream.format("memory")
+                .queryName("funnel_out")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "fn_ck"))
+                .start()
+            )
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["step"], r["step_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT step, step_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM funnel_out GROUP BY 1, 2"
+        ).collect()
+    }
+    all_events = batches[0]
+    for b in batches[1:]:
+        all_events = all_events.unionByName(b)
+    want = {
+        (r["step"], r["step_type"]): r["n_users"]
+        for r in funnel_counts(all_events, steps).collect()
+        if r["n_users"] > 0
+    }
+    assert got == want
+    # user 3's same-ts click never qualifies; their minute-30 click does
+    assert got[(2, "click")] == 3
+    assert got[(3, "purchase")] == 1
