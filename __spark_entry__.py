@@ -2091,6 +2091,76 @@ lab{p} AS MATERIALIZED (SELECT v, MIN(label) AS label FROM reach{p} GROUP BY v)"
     )
 
 
+ATTACK_KS = (0, 8, 32)
+
+
+def _q_attack_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness curve (algorithms/influence.
+    attack_curve): delete the k highest-degree vertices (undirected
+    degree, ties by smallest v), report surviving edges + giant WCC —
+    the fragile half of the Albert-Jeong-Barabási pair."""
+    from gunrock_spark.algorithms.influence import attack_curve
+
+    return attack_curve(_graph(spark, sf_dir), ks=ATTACK_KS)
+
+
+def _attack_curve_sql(ks: tuple[int, ...] = ATTACK_KS) -> str:
+    # COUNT(DISTINCT dst), not COUNT(*): under WITH RECURSIVE DuckDB
+    # evaluates the non-recursive `sym` UNION CTE as UNION ALL (quirk,
+    # see SURVEY §8.11) — the distinct count is insensitive to that.
+    parts = [
+        """adeg AS MATERIALIZED (
+  SELECT src AS v, CAST(COUNT(DISTINCT dst) AS BIGINT) AS d FROM sym GROUP BY src
+)"""
+    ]
+    selects = []
+    for k in ks:
+        if k > 0:
+            parts.append(
+                f"""
+hub{k} AS MATERIALIZED (
+  SELECT v FROM (SELECT v, d FROM adeg) ORDER BY d DESC, v LIMIT {k}
+),
+alive{k} AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  WHERE src NOT IN (SELECT v FROM hub{k})
+    AND dst NOT IN (SELECT v FROM hub{k})
+)"""
+            )
+        else:
+            parts.append(f"alive{k} AS MATERIALIZED (SELECT src, dst FROM edges)")
+        parts.append(
+            f"""
+asym{k} AS MATERIALIZED (SELECT src, dst FROM alive{k}
+  UNION SELECT dst, src FROM alive{k}),
+av{k} AS MATERIALIZED (SELECT src AS v FROM alive{k}
+  UNION SELECT dst AS v FROM alive{k}),
+areach{k}(v, label) AS (
+  SELECT v, v AS label FROM av{k}
+  UNION
+  SELECT s.dst AS v, r.label FROM areach{k} r JOIN asym{k} s ON s.src = r.v
+),
+alab{k} AS MATERIALIZED (
+  SELECT v, MIN(label) AS label FROM areach{k} GROUP BY v
+)"""
+        )
+        selects.append(
+            f"SELECT CAST({k} AS INT) AS k,\n"
+            f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM alive{k}) AS n_live_edges,\n"
+            f"       COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM alab{k}\n"
+            f"                 GROUP BY label ORDER BY COUNT(*) DESC, label LIMIT 1),\n"
+            f"                0) AS giant_size"
+        )
+    return (
+        "WITH RECURSIVE "
+        + _EDGES_CTES
+        + ","
+        + ",".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 MSF_ROUNDS = 10  # components at least halve per round; 2^10 > |V| at sf0.01
 MSF_JUMPS = 10   # pointer-doubling depth, 2^10 > any merge-chain length
 
@@ -6633,6 +6703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ic_spread_p30": _q_ic_spread,
         "degree_discount_seeds_k4": _q_degree_discount,
         "percolation_curve": _q_percolation,
+        "attack_curve_k32": _q_attack_curve,
         "doc_sim_pairs_top50": _q_doc_sim,
         "source_top_terms_k5": _q_source_top_terms,
         "harmonic_centrality_t4": _q_harmonic,
@@ -6786,6 +6857,7 @@ FROM events GROUP BY 1, 2""",
         "ic_spread_p30": _ic_spread_sql(),
         "degree_discount_seeds_k4": _degree_discount_sql(),
         "percolation_curve": _percolation_sql(),
+        "attack_curve_k32": _attack_curve_sql(),
         "doc_sim_pairs_top50": _doc_sim_sql(),
         "source_top_terms_k5": _source_top_terms_sql(),
         "anf_balls_t2": _anf_balls_sql(),

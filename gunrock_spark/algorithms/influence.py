@@ -108,6 +108,59 @@ def percolation_curve(
     )
 
 
+def attack_curve(
+    graph: EdgeTable, ks: tuple[int, ...] = (0, 8, 32)
+) -> DataFrame:
+    """DataFrame[k int, n_live_edges long, giant_size long]: the
+    targeted-attack half of the Albert-Jeong-Barabási robustness
+    analysis — for each k, delete the k highest-degree vertices
+    (undirected degree, ties by smallest v) and report the largest
+    weakly connected component of what remains. Scale-free graphs are
+    resilient to the random-failure curve (:func:`percolation_curve`)
+    but fragile here — the pair of curves is the standard resilience
+    readout for a web crawl.
+
+    Per sampled k: the hub set is one TakeOrdered over the |V|-row
+    degree table (bounded by k, broadcast into two anti-joins that
+    ride the edge scan), then one CC run over the surviving edges."""
+    spark = graph.edges.sparkSession
+    from gunrock_spark.algorithms.components import connected_components
+
+    sym = graph.symmetrized().edges
+    degs = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    rows = []
+    for k in ks:
+        if k > 0:
+            hubs = F.broadcast(
+                degs.orderBy(F.col("d").desc(), F.col("v").asc())
+                .limit(int(k))
+                .select("v")
+            )
+            live = (
+                graph.edges.join(hubs, graph.edges["src"] == hubs["v"], "left_anti")
+                .join(hubs, F.col("dst") == hubs["v"], "left_anti")
+            )
+        else:
+            live = graph.edges
+        n_live = live.count()
+        if n_live == 0:
+            rows.append((int(k), 0, 0))
+            continue
+        labels = connected_components(EdgeTable.from_df(live)).state
+        giant = (
+            labels.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("g"))
+            .collect()[0]["g"]
+        )
+        rows.append((int(k), int(n_live), int(giant)))
+    return spark.createDataFrame(
+        rows, schema="k int, n_live_edges long, giant_size long"
+    )
+
+
 def degree_discount_seeds(
     graph: EdgeTable, k: int = 4, p_milli: int = 300
 ) -> DataFrame:

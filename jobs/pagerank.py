@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
                              "walks", "node2vec", "wwalks", "simrank",
                              "scc", "bowtie", "anf", "disthist", "effdiam",
                              "harmonic", "closeness", "icspread", "percolation",
-                             "ddseeds",
+                             "ddseeds", "attack",
                              "linkpred",
                              "color", "katz", "eigenvector", "matching",
                              "trustrank", "spammass", "absorption", "squares",
@@ -414,6 +414,11 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = percolation_curve(graph)
+    elif args.algorithm == "attack":
+        from gunrock_spark.algorithms.influence import attack_curve
+
+        res = None
+        out_df = attack_curve(graph, ks=(0, args.k))
     elif args.algorithm == "harmonic":
         from gunrock_spark.algorithms.anf import hyperball_centralities
 

@@ -187,3 +187,31 @@ def test_degree_discount_star_picks_hub_then_spreads(spark):
     ]
     assert got[0] == 0
     assert got == degree_discount_py(edge_list, 3, 500)
+
+
+def test_attack_curve_matches_python_oracle(spark):
+    from collections import Counter
+
+    from gunrock_spark.algorithms.influence import attack_curve
+
+    raw = [(int(s), int(d)) for s, d in rmat_edges(7, 6, seed=29)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    ks = (0, 2, 8)
+    got = {
+        r["k"]: (r["n_live_edges"], r["giant_size"])
+        for r in attack_curve(g, ks=ks).collect()
+    }
+    nbrs: dict[int, set] = {}
+    for s, d in edge_list:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    order = sorted(nbrs, key=lambda v: (-len(nbrs[v]), v))
+    for k in ks:
+        hubs = set(order[:k])
+        live = [(s, d) for s, d in edge_list if s not in hubs and d not in hubs]
+        assert got[k] == (len(live), cc_giant_py(live)), k
+    # removing hubs can only shrink both readouts
+    ns = [got[k][0] for k in ks]
+    gs = [got[k][1] for k in ks]
+    assert ns == sorted(ns, reverse=True) and gs == sorted(gs, reverse=True)

@@ -198,6 +198,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("icspread", ["--num-sources", "2", "--ic-p-milli", "600"]),
         ("percolation", []),
         ("ddseeds", ["--k", "3", "--ic-p-milli", "300"]),
+        ("attack", ["--k", "4"]),
         ("harmonic", ["--max-iter", "3"]),
         ("closeness", ["--max-iter", "3"]),
         ("linkpred", ["--k", "10"]),
