@@ -3003,6 +3003,34 @@ SELECT source, term, n_occurrences, rank FROM (
 ) t WHERE rank <= {k}"""
 
 
+ZIPF_XMIN = 2
+
+
+def _q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus term-frequency distribution
+    (pipeline/text.zipf_alpha, CSN MLE — the vocabulary-side twin of
+    powerlaw_alpha)."""
+    from gunrock_spark.pipeline.text import zipf_alpha
+
+    a = zipf_alpha(_docs(spark, sf_dir), x_min=ZIPF_XMIN)
+    return a.select("n_tail", "x_min", F.round("alpha", 6).alias("alpha"))
+
+
+def _zipf_alpha_sql(x_min: int = ZIPF_XMIN) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY term
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       CAST({x_min} AS BIGINT) AS x_min,
+       ROUND(1.0 + COUNT(*) / SUM(ln(f / {float(x_min - 0.5)!r})), 6) AS alpha
+FROM tf WHERE f >= {x_min}"""
+
+
 DOC_SIM_MIN_DF = 2
 DOC_SIM_MAX_DF = 450
 DOC_SIM_SCALE = 1 << 20
@@ -6705,6 +6733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_curve": _q_percolation,
         "attack_curve_k32": _q_attack_curve,
         "doc_sim_pairs_top50": _q_doc_sim,
+        "zipf_alpha_terms": _q_zipf_alpha,
         "source_top_terms_k5": _q_source_top_terms,
         "harmonic_centrality_t4": _q_harmonic,
         "closeness_t4": _q_closeness,
@@ -6859,6 +6888,7 @@ FROM events GROUP BY 1, 2""",
         "percolation_curve": _percolation_sql(),
         "attack_curve_k32": _attack_curve_sql(),
         "doc_sim_pairs_top50": _doc_sim_sql(),
+        "zipf_alpha_terms": _zipf_alpha_sql(),
         "source_top_terms_k5": _source_top_terms_sql(),
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),

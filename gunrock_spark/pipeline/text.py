@@ -173,6 +173,36 @@ def ngram_counts(
     return out
 
 
+def zipf_alpha(
+    df: DataFrame, text_col: str = "text", x_min: int = 2
+) -> DataFrame:
+    """One row (n_tail, x_min, alpha) — the Zipf exponent of the TERM
+    frequency distribution by the same Clauset-Shalizi-Newman discrete
+    MLE as gstats.powerlaw_alpha (alpha ≈ 1 + n / Σ ln(f / (x_min -
+    0.5)) over terms with frequency >= x_min): the one-pass corpus
+    health check that tokenized web text kept its expected Zipf tail
+    (alpha ≈ 2 for natural language; a template-dominated or
+    boilerplate-heavy crawl flattens it). One explode + two
+    partial-agg aggregates — vocabulary-sized, never corpus-sized,
+    after the first combine."""
+    toks = _token_col(text_col)
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .where(F.col("f") >= x_min)
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.lit(x_min).cast("long").alias("x_min"),
+        (
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("f") / F.lit(x_min - 0.5)))
+        ).alias("alpha"),
+    )
+
+
 def grouped_top_terms(
     df: DataFrame,
     group_col: str = "source",

@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
             "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
-            "inverted-index", "top-terms", "doc-sim",
+            "inverted-index", "top-terms", "doc-sim", "zipf",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -167,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
         out = grouped_top_terms(
             docs, group_col=args.group_col, k=args.top_k, text_col=txc
         )
+    elif args.op == "zipf":
+        from gunrock_spark.pipeline.text import zipf_alpha
+
+        out = zipf_alpha(docs, text_col=txc)
     elif args.op == "doc-sim":
         from gunrock_spark.pipeline.text import sparse_cosine_pairs
 

@@ -256,3 +256,10 @@ def test_doc_sim_op(spark, docs_parquet, tmp_path, capsys):
     assert got[(0, 1)] == 1.0
     # every pair sharing a surviving term appears with 0 < cosine <= 1
     assert all(0.0 < c <= 1.0 for c in got.values())
+
+
+def test_zipf_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "zipf")
+    assert _run(["--input", docs_parquet, "--op", "zipf", "--out", out]) == 0
+    row = spark.read.parquet(out).collect()[0]
+    assert row.n_tail > 0 and row.alpha > 1.0

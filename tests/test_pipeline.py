@@ -1044,3 +1044,25 @@ def test_sparse_cosine_pairs_matches_python(spark):
         assert abs(got[k][1] - want[k][1]) < 2e-6, k
     # doc 5's vocabulary is all-singleton -> it pairs with nobody
     assert not any(5 in k for k in got)
+
+
+def test_zipf_alpha_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from gunrock_spark.pipeline.text import zipf_alpha
+
+    rows = [
+        (1, "the the the cat cat sat mat mat mat mat", "web"),
+        (2, "the cat dog dog unique", "web"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    got = zipf_alpha(df, x_min=2).collect()[0]
+    cnt = Counter(
+        t for _, text, _ in rows for t in re.findall("[a-z0-9]+", text.lower())
+    )
+    tail = [f for f in cnt.values() if f >= 2]
+    want = 1.0 + len(tail) / sum(math.log(f / 1.5) for f in tail)
+    assert got["n_tail"] == len(tail)
+    assert got["alpha"] == pytest.approx(want, rel=1e-9)
