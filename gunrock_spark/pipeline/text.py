@@ -224,6 +224,10 @@ def grouped_top_terms(
     slices, stage 2 re-ranks the surviving <= n_buckets*k rows per
     group. Every global per-group top-k term is its bucket's top-k
     too, so the pre-prune is lossless."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     from pyspark.sql.window import Window
 
     from gunrock_spark.functions.hashing import h60
@@ -346,7 +350,13 @@ def sparse_cosine_pairs(
     Σ_t |posting(t)|² ≤ max_df · |postings| candidate rows (the same
     escape hatch as jaccard's max_shingle_df); min_df≥2 drops the
     singleton tail that can never pair. Everything else is two
-    partial-agg shuffles + one groupBy(pair) sum."""
+    partial-agg shuffles + one groupBy(pair) sum.
+
+    Overflow bound: choose ``scale`` so max(tf·(scale DIV min_df))²
+    times the max shared-term count stays below 2^63 — the default
+    2^20 leaves ~2e4 headroom for tf=50, df=2, 100 shared terms;
+    shrink scale for pathological corpora (long docs of one rare
+    term)."""
     if min_df < 1 or max_df < min_df:
         raise ValueError("need 1 <= min_df <= max_df")
     pairs = df.select(
