@@ -1950,6 +1950,55 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.where(F.col("dist") != float("inf")).select("v", "dist")
 
 
+WIDEST_ROUNDS = 25  # sf0.01 SSSP converges in 13 frontier rounds; margin
+
+
+def _q_widest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottleneck/widest-path capacities (algorithms/sssp.
+    widest_paths): (max, min) relaxation over exact integer weights;
+    cap = 0 rows (unreached) are filtered, the source carries the
+    CAP_INF sentinel."""
+    from gunrock_spark.algorithms.sssp import widest_paths
+
+    g = derived_edge_table(spark, sf_dir, weighted=True)
+    res = widest_paths(g, source=_min_vertex(g))
+    assert res.iterations <= WIDEST_ROUNDS, res.iterations
+    return res.state.where(F.col("cap") > 0).select("v", "cap")
+
+
+def _widest_paths_sql(rounds: int = WIDEST_ROUNDS) -> str:
+    from gunrock_spark.algorithms.sssp import CAP_INF
+
+    body = [
+        f"""c0 AS (
+  SELECT v, CAST(CASE WHEN v = (SELECT s FROM srcv) THEN {CAP_INF}
+            ELSE 0 END AS BIGINT) AS cap
+  FROM verts
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        body.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.v, GREATEST(c.cap, COALESCE(m.nc, 0)) AS cap
+  FROM c{i - 1} c
+  LEFT JOIN (
+    SELECT e.dst AS v, MAX(LEAST(c.cap, CAST(e.w AS BIGINT))) AS nc
+    FROM edges_w e JOIN c{i - 1} c ON c.v = e.src
+    GROUP BY e.dst
+  ) m ON m.v = c.v
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ","
+        + _WEDGES_CTE
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, cap FROM c{rounds} WHERE cap > 0"
+    )
+
+
 IC_SEEDS = 4
 IC_P_MILLI = 300
 IC_ROUNDS_CAP = 60  # live-edge subgraph diameter margin (p=0.3 sparsify)
@@ -6729,6 +6778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram_t4": _q_distance_histogram,
         "effective_diameter_q90": _q_eff_diameter,
         "ic_spread_p30": _q_ic_spread,
+        "widest_path_caps": _q_widest_paths,
         "degree_discount_seeds_k4": _q_degree_discount,
         "percolation_curve": _q_percolation,
         "attack_curve_k32": _q_attack_curve,
@@ -6884,6 +6934,7 @@ FROM events GROUP BY 1, 2""",
         "distance_histogram_t4": _distance_histogram_sql(),
         "effective_diameter_q90": _eff_diameter_sql(),
         "ic_spread_p30": _ic_spread_sql(),
+        "widest_path_caps": _widest_paths_sql(),
         "degree_discount_seeds_k4": _degree_discount_sql(),
         "percolation_curve": _percolation_sql(),
         "attack_curve_k32": _attack_curve_sql(),

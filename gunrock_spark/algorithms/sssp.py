@@ -139,3 +139,84 @@ def sssp(
 def distances(result_state: DataFrame) -> DataFrame:
     """(v, dist) for reached vertices only."""
     return result_state.where(F.col("dist") != INF).select("v", "dist")
+
+
+CAP_INF = 1 << 62  # source sentinel: larger than any integer weight
+
+
+def widest_paths(
+    graph: EdgeTable, source: int, max_iter: int = 10_000
+) -> IterationResult:
+    """Bottleneck (widest-path) capacities from ``source`` — the
+    max-min dual of SSSP: cap(v) = max over paths of the minimum edge
+    weight along the path (max-bandwidth routing; for a link graph,
+    the strongest chain of endorsement weights). The reference has no
+    bottleneck variant (its SSSP is min-plus only, gunrock/app/sssp/
+    sssp_functor.cuh:59-82); the relaxation swaps (min, +) for
+    (max, min):
+
+        cap(v) <- max over in-edges (u, v): min(cap(u), w(u, v))
+
+    which is monotone non-decreasing and converges in at most
+    longest-simple-path rounds — the same frontier loop shape as
+    sssp (one equi-join + one partial max-agg per round, only
+    improved vertices re-enter the frontier).
+
+    Determinism contract: weights must be POSITIVE INTEGERS (cast to
+    BIGINT); every capacity is then an exact integer — cap = 0 means
+    unreached, the source carries the CAP_INF sentinel — so a SQL
+    oracle unrolling the rounds replays the table bit-for-bit.
+
+    Result state: (v long, cap long, active boolean)."""
+    if not graph.weighted:
+        raise ValueError("widest_paths requires a weighted EdgeTable")
+    spark = graph.edges.sparkSession
+    edges = graph.edges
+
+    state = graph.vertices.select(
+        "v",
+        F.when(F.col("v") == source, F.lit(CAP_INF))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cap"),
+        (F.col("v") == source).alias("active"),
+    )
+    state = state.repartition(
+        spark.sparkContext.defaultParallelism, "v"
+    ).localCheckpoint(eager=True)
+
+    def step(cur: DataFrame, i: int):
+        frontier = cur.where(F.col("active"))
+        cand = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select(
+                edges["dst"].alias("nv"),
+                F.least(
+                    F.col("cap"), F.col("weight").cast("long")
+                ).alias("ncap"),
+            )
+            .groupBy("nv")
+            .agg(F.max("ncap").alias("ncap"))
+        )
+        new = (
+            cur.join(cand, cur["v"] == cand["nv"], "left")
+            .select(
+                "v",
+                F.greatest(
+                    F.col("cap"), F.coalesce(F.col("ncap"), F.lit(0))
+                ).alias("cap"),
+                F.coalesce(
+                    F.col("ncap") > F.col("cap"), F.lit(False)
+                ).alias("active"),
+            )
+        )
+
+        def metrics(materialized: DataFrame) -> dict:
+            improved = materialized.where(F.col("active")).count()
+            return {"improved": improved, "edges_traversed": improved}
+
+        return new, metrics
+
+    return iterate(
+        state, step, stop=lambda m: m["improved"] == 0, max_iter=max_iter
+    )

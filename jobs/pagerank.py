@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--pages-generate", type=int, metavar="N",
                      help="generate a deterministic N-page table (power of two)")
     ap.add_argument("--algorithm", default="pagerank",
-                    choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp",
+                    choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp", "widest",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "trussness", "mis",
                              "walks", "node2vec", "wwalks", "simrank",
@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         weight = "weight"
-    if args.algorithm in ("sssp", "msf", "wwalks"):
+    if args.algorithm in ("sssp", "msf", "wwalks", "widest"):
         if "weight" not in edges_df.columns:
             from pyspark.sql import functions as F
 
@@ -266,6 +266,16 @@ def main(argv: list[str] | None = None) -> int:
         res = bfs(graph, source=_default_source(), max_depth=args.max_iter,
                   mark_predecessors=args.mark_pred)
         out_df = res.state
+    elif args.algorithm == "widest":
+        from gunrock_spark.algorithms.sssp import widest_paths
+
+        src = args.source
+        if src is None:
+            from pyspark.sql import functions as F
+
+            src = graph.vertices.agg(F.min("v")).collect()[0][0]
+        res = widest_paths(graph, source=int(src), max_iter=args.max_iter)
+        out_df = res.state.where("cap > 0").select("v", "cap")
     elif args.algorithm == "sssp":
         from gunrock_spark.algorithms.sssp import distances, sssp
 

@@ -174,6 +174,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
     [
         ("bfs", ["--mark-pred"]),
         ("sssp", []),
+        ("widest", []),
         ("bc", ["--num-sources", "2"]),
         ("hits", ["--max-iter", "3"]),
         ("salsa", ["--max-iter", "3"]),
