@@ -3105,14 +3105,14 @@ def _q_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_sim_sql(
+def _doc_sim_ctes(
     min_df: int = DOC_SIM_MIN_DF,
     max_df: int = DOC_SIM_MAX_DF,
     scale: int = DOC_SIM_SCALE,
-    top: int = DOC_SIM_TOP,
 ) -> str:
-    return f"""
-WITH tok AS (
+    """The tok/tf/dfq/w/norms/dots/scored CTE prologue shared by the
+    top-k pair oracle and the similarity-cluster oracle."""
+    return f"""tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
   FROM documents
 ),
@@ -3134,15 +3134,84 @@ dots AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
   FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b, dot,
-       ROUND(CAST(dot AS DOUBLE)
-             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
-FROM dots
-JOIN norms na ON na.doc_id = id_a
-JOIN norms nb ON nb.doc_id = id_b
+),
+scored AS (
+  SELECT id_a, id_b, dot,
+         ROUND(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b
+)"""
+
+
+def _doc_sim_sql(
+    min_df: int = DOC_SIM_MIN_DF,
+    max_df: int = DOC_SIM_MAX_DF,
+    scale: int = DOC_SIM_SCALE,
+    top: int = DOC_SIM_TOP,
+) -> str:
+    return (
+        "WITH "
+        + _doc_sim_ctes(min_df, max_df, scale)
+        + f"""
+SELECT id_a, id_b, dot, cosine FROM scored
 ORDER BY cosine DESC, id_a, id_b
 LIMIT {top}"""
+    )
+
+
+DOC_SIM_CLUSTER_T = 0.9
+
+
+def _q_doc_sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic document clusters WITHOUT embeddings: connected
+    components over the sparse TF-IDF similarity graph at cosine >=
+    0.9 (pipeline composition: sparse_cosine_pairs -> EdgeTable ->
+    connected_components; cluster id = smallest member doc_id, the
+    CC label convention). The rounded cosine is bit-identical in both
+    engines, so the threshold selects the same pair set."""
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.pipeline.text import sparse_cosine_pairs
+
+    pairs = (
+        sparse_cosine_pairs(
+            _docs(spark, sf_dir),
+            min_df=DOC_SIM_MIN_DF,
+            max_df=DOC_SIM_MAX_DF,
+            scale=DOC_SIM_SCALE,
+        )
+        .where(F.col("cosine") >= DOC_SIM_CLUSTER_T)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    g = EdgeTable.from_df(pairs)
+    return connected_components(g).state.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+
+def _doc_sim_clusters_sql(threshold: float = DOC_SIM_CLUSTER_T) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _doc_sim_ctes()
+        + f""",
+simpairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM scored WHERE cosine >= {threshold}
+),
+simsym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM simpairs
+  UNION SELECT id_b AS a, id_a AS b FROM simpairs
+),
+simv AS MATERIALIZED (SELECT DISTINCT a AS v FROM simsym),
+simreach(v, label) AS (
+  SELECT v, v AS label FROM simv
+  UNION
+  SELECT s.b AS v, r.label FROM simreach r JOIN simsym s ON s.a = r.v
+)
+SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
+FROM simreach GROUP BY v"""
+    )
 
 
 IDX_MIN_DF = 2
@@ -6783,6 +6852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_curve": _q_percolation,
         "attack_curve_k32": _q_attack_curve,
         "doc_sim_pairs_top50": _q_doc_sim,
+        "doc_sim_clusters": _q_doc_sim_clusters,
         "zipf_alpha_terms": _q_zipf_alpha,
         "source_top_terms_k5": _q_source_top_terms,
         "harmonic_centrality_t4": _q_harmonic,
@@ -6939,6 +7009,7 @@ FROM events GROUP BY 1, 2""",
         "percolation_curve": _percolation_sql(),
         "attack_curve_k32": _attack_curve_sql(),
         "doc_sim_pairs_top50": _doc_sim_sql(),
+        "doc_sim_clusters": _doc_sim_clusters_sql(),
         "zipf_alpha_terms": _zipf_alpha_sql(),
         "source_top_terms_k5": _source_top_terms_sql(),
         "anf_balls_t2": _anf_balls_sql(),

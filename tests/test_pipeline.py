@@ -1066,3 +1066,30 @@ def test_zipf_alpha_matches_python(spark):
     want = 1.0 + len(tail) / sum(math.log(f / 1.5) for f in tail)
     assert got["n_tail"] == len(tail)
     assert got["alpha"] == pytest.approx(want, rel=1e-9)
+
+
+def test_doc_sim_clusters_composition(spark):
+    # two near-identical pairs plus one singleton: CC over the
+    # similarity graph groups the pairs, labels by smallest member
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.pipeline.text import sparse_cosine_pairs
+
+    rows = [
+        (1, "spark shuffles spill to disk", "w"),
+        (2, "spark shuffles spill to disk", "w"),
+        (3, "cats sat on mats quietly", "w"),
+        (4, "cats sat on mats quietly", "w"),
+        (5, "entirely unrelated text here", "w"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    pairs = (
+        sparse_cosine_pairs(df, min_df=2, max_df=5)
+        .where("cosine >= 0.9")
+        .selectExpr("id_a AS src", "id_b AS dst")
+    )
+    got = {
+        r["v"]: r["label"]
+        for r in connected_components(EdgeTable.from_df(pairs)).state.collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
