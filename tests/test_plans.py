@@ -617,3 +617,58 @@ def test_degree_discount_update_is_broadcast_join(spark):
     plan = _plan(upd)
     assert "BroadcastHashJoin" in plan
     assert out.count() == 2
+
+
+def test_widest_round_partial_max_agg_no_python(spark):
+    """One widest-path round = frontier equi-join + partial max-agg —
+    no Python, no cartesian, no global sort."""
+    from gunrock_spark.algorithms.sssp import CAP_INF
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.sources.tables import derived_edges_df
+
+    edges = derived_edges_df(spark, SF).withColumn(
+        "weight", (F.col("src") * 7 + F.col("dst") * 13) % 19 + 1
+    )
+    g = EdgeTable.from_df(edges, weight="weight")
+    # the real loop localCheckpoints state per round (lineage cut);
+    # mirror that so the frontier doesn't share g.edges' lineage
+    frontier = (
+        g.vertices.limit(5)
+        .select("v", F.lit(CAP_INF).cast("long").alias("cap"))
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        frontier.join(g.edges, frontier["v"] == g.edges["src"])
+        .select(
+            g.edges["dst"].alias("nv"),
+            F.least(F.col("cap"), F.col("weight").cast("long")).alias("ncap"),
+        )
+        .groupBy("nv")
+        .agg(F.max("ncap").alias("ncap"))
+    )
+    plan = _plan(cand)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "rangepartitioning" not in plan.lower()
+
+
+def test_attack_hub_removal_is_broadcast_anti_join(spark):
+    """Hub deletion must broadcast the bounded hub set into anti-joins
+    that ride the edge scan — never shuffle |E| against it."""
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.sources.tables import derived_edges_df
+
+    g = EdgeTable.from_df(derived_edges_df(spark, SF))
+    sym = g.symmetrized().edges
+    degs = sym.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    hubs = F.broadcast(
+        degs.orderBy(F.col("d").desc(), F.col("v").asc()).limit(8).select("v")
+    )
+    live = (
+        g.edges.join(hubs, g.edges["src"] == hubs["v"], "left_anti")
+        .join(hubs, F.col("dst") == hubs["v"], "left_anti")
+    )
+    plan = _plan(live)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
