@@ -291,3 +291,42 @@ def read_clustered_edges(
         )
         df = df.where((F.col("cbucket") == int(bucket)) & (F.col("label") == community))
     return df
+
+
+def save_edge_table_bucketed(
+    graph: EdgeTable,
+    table: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Hive-bucketed edge store: ``bucketBy(num_buckets, src) +
+    sortBy(src)`` via ``saveAsTable`` — the storage-level twin of
+    EdgeTable's in-memory CSR-analog layout (hash-partition by src,
+    sort within partitions). A table read back from this store
+    carries its bucketing spec into the physical plan, so EVERY
+    src-keyed aggregation and EVERY src-src self-join over it runs
+    WITHOUT an Exchange on the bucketed side(s) — the shuffle is paid
+    once at write time and amortized over every later job, exactly
+    the co-located-join layout a standing 100 TB edge table should
+    ship in (the plan gate in tests/test_plans.py asserts the absent
+    Exchange). ``path`` makes it an external table (tests use a tmp
+    dir); bucket count should match the cluster's target parallelism
+    class, not the data size."""
+    cols = ["src", "dst"] + (["weight"] if graph.weighted else [])
+    writer = (
+        graph.edges.select(*cols)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "src")
+        .sortBy("src")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed_edges(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed edge store — MUST go through the catalog
+    (``spark.table``), not ``read.parquet``: only the catalog carries
+    the bucketing spec that lets the planner drop the Exchange."""
+    return spark.table(table)

@@ -672,3 +672,52 @@ def test_attack_hub_removal_is_broadcast_anti_join(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_edge_store_skips_exchange(spark, tmp_path):
+    """The Hive-bucketed edge store (graph/io.save_edge_table_bucketed)
+    must come back with a bucket-aware scan: src-keyed aggregation and
+    the src-src self-join plan WITHOUT an Exchange on the bucketed
+    side, while the plain parquet copy of the same data needs one."""
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.io import read_bucketed_edges, save_edge_table_bucketed
+    from gunrock_spark.sources.tables import derived_edges_df
+
+    g = EdgeTable.from_df(derived_edges_df(spark, SF))
+    table = "bucketed_edges_gate"
+    try:
+        save_edge_table_bucketed(
+            g, table, num_buckets=8, path=str(tmp_path / "bucketed")
+        )
+        bucketed = read_bucketed_edges(spark, table)
+        agg_plan = _plan(bucketed.groupBy("src").count())
+        agg_tree = agg_plan.split("\n\n")[0]
+        assert "Exchange" not in agg_tree, agg_plan
+        assert "Bucketed: true" in agg_plan
+
+        plain_path = str(tmp_path / "plain")
+        bucketed.write.parquet(plain_path)
+        plain = spark.read.parquet(plain_path)
+        plain_tree = _plan(plain.groupBy("src").count()).split("\n\n")[0]
+        assert "Exchange" in plain_tree
+
+        # co-located self-join: force SMJ (no broadcast shortcut) and
+        # assert NO shuffle exchange on either side
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            a, b = bucketed.alias("a"), bucketed.alias("b")
+            join_plan = _plan(
+                a.join(b, F.col("a.src") == F.col("b.src")).select(
+                    F.col("a.dst"), F.col("b.dst")
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        join_tree = join_plan.split("\n\n")[0]
+        assert "SortMergeJoin" in join_tree, join_plan
+        assert "Exchange" not in join_tree, join_plan
+        # results identical to the unbucketed read
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
