@@ -3080,6 +3080,77 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
 FROM tf WHERE f >= {x_min}"""
 
 
+PACK_SEQ_LEN = 512
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing map (pipeline/packing
+    .pack_chunks): every document's tokens laid end-to-end in doc_id
+    order, cut into 512-token training sequences; one row per
+    (doc, chunk) intersection. Global offsets via the two-level scan
+    (the reference's multi_scan shape, gunrock/util/multi_scan/
+    multi_scan.cuh) — never a corpus-wide single-partition window.
+    bucket_size=64 exercises both scan levels at test scale."""
+    from gunrock_spark.pipeline.packing import pack_chunks
+
+    return pack_chunks(_docs(spark, sf_dir), PACK_SEQ_LEN, bucket_size=64)
+
+
+def _q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-sequence composition over the packing map: docs
+    contributing + fill fraction (exactly 1.0 for all but the final
+    chunk — the packing invariant, asserted by the oracle)."""
+    from gunrock_spark.pipeline.packing import chunk_stats, pack_chunks
+
+    return chunk_stats(
+        pack_chunks(_docs(spark, sf_dir), PACK_SEQ_LEN, bucket_size=64),
+        PACK_SEQ_LEN,
+    )
+
+
+_PACK_MAP_SQL = f"""
+counts AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks WHERE len(t) > 0
+),
+pos AS (
+  SELECT doc_id, n,
+    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM counts
+),
+packmap AS (
+  SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+    CAST(GREATEST(s, c*{PACK_SEQ_LEN}) - c*{PACK_SEQ_LEN} AS BIGINT) AS chunk_off,
+    CAST(GREATEST(s, c*{PACK_SEQ_LEN}) - s AS BIGINT) AS doc_off,
+    CAST(LEAST(s+n, (c+1)*{PACK_SEQ_LEN}) - GREATEST(s, c*{PACK_SEQ_LEN}) AS BIGINT) AS n_tok
+  FROM pos, UNNEST(range(s//{PACK_SEQ_LEN}, (s+n-1)//{PACK_SEQ_LEN} + 1)) AS u(c)
+)
+"""
+
+
+def _pack_chunks_sql() -> str:
+    return (
+        "WITH "
+        + _DOCS_CTES
+        + ","
+        + _PACK_MAP_SQL
+        + "SELECT doc_id, chunk_id, chunk_off, doc_off, n_tok FROM packmap"
+    )
+
+
+def _chunk_stats_sql() -> str:
+    return (
+        "WITH "
+        + _DOCS_CTES
+        + ","
+        + _PACK_MAP_SQL
+        + f"""
+SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(n_tok) / CAST({PACK_SEQ_LEN} AS DOUBLE), 6) AS fill
+FROM packmap GROUP BY chunk_id"""
+    )
+
+
 DOC_SIM_MIN_DF = 2
 DOC_SIM_MAX_DF = 450
 DOC_SIM_SCALE = 1 << 20
@@ -6854,6 +6925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sim_pairs_top50": _q_doc_sim,
         "doc_sim_clusters": _q_doc_sim_clusters,
         "zipf_alpha_terms": _q_zipf_alpha,
+        "pack_chunks_512": _q_pack_chunks,
+        "chunk_stats_512": _q_chunk_stats,
         "source_top_terms_k5": _q_source_top_terms,
         "harmonic_centrality_t4": _q_harmonic,
         "closeness_t4": _q_closeness,
@@ -7011,6 +7084,8 @@ FROM events GROUP BY 1, 2""",
         "doc_sim_pairs_top50": _doc_sim_sql(),
         "doc_sim_clusters": _doc_sim_clusters_sql(),
         "zipf_alpha_terms": _zipf_alpha_sql(),
+        "pack_chunks_512": _pack_chunks_sql(),
+        "chunk_stats_512": _chunk_stats_sql(),
         "source_top_terms_k5": _source_top_terms_sql(),
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),

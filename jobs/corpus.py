@@ -33,6 +33,7 @@ Ops:
   extract-content boilerplate removal: append main_text + density stats
   resolve-redirects collapse a (url, target) 3xx map by pointer doubling
   cooc-pmi        windowed token co-occurrence counts + PMI
+  pack            concat-and-chunk sequence-packing map (--seq-len)
 """
 
 from __future__ import annotations
@@ -56,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
             "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
-            "inverted-index", "top-terms", "doc-sim", "zipf",
+            "inverted-index", "top-terms", "doc-sim", "zipf", "pack",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -87,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="inverted-index: hapax document-frequency floor")
     ap.add_argument("--semdedup-threshold", type=float, default=0.95,
                     help="semdedup: within-cluster cosine cut")
+    ap.add_argument("--seq-len", type=int, default=2048,
+                    help="pack: training-sequence length in tokens")
     args = ap.parse_args(argv)
 
     if args.op == "decontaminate" and not args.eval_input:
@@ -171,6 +174,10 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.pipeline.text import zipf_alpha
 
         out = zipf_alpha(docs, text_col=txc)
+    elif args.op == "pack":
+        from gunrock_spark.pipeline.packing import pack_chunks
+
+        out = pack_chunks(docs, args.seq_len, id_col=idc, text_col=txc)
     elif args.op == "doc-sim":
         from gunrock_spark.pipeline.text import sparse_cosine_pairs
 

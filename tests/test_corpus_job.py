@@ -263,3 +263,20 @@ def test_zipf_op(spark, docs_parquet, tmp_path, capsys):
     assert _run(["--input", docs_parquet, "--op", "zipf", "--out", out]) == 0
     row = spark.read.parquet(out).collect()[0]
     assert row.n_tail > 0 and row.alpha > 1.0
+
+
+def test_pack_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "pack")
+    assert _run(["--input", docs_parquet, "--op", "pack",
+                 "--seq-len", "8", "--out", out]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert rows  # non-empty map over the fixture docs
+    # stream invariant: chunk 0 starts at offset 0, spans are in-range
+    assert any(r.chunk_id == 0 and r.chunk_off == 0 for r in rows)
+    assert all(0 <= r.chunk_off < 8 and r.n_tok >= 1 for r in rows)
+    # every chunk but the last is exactly full
+    fill = {}
+    for r in rows:
+        fill[r.chunk_id] = fill.get(r.chunk_id, 0) + r.n_tok
+    last = max(fill)
+    assert all(v == 8 for c, v in fill.items() if c != last)

@@ -1093,3 +1093,80 @@ def test_doc_sim_clusters_composition(spark):
         for r in connected_components(EdgeTable.from_df(pairs)).state.collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def _pack_oracle(rows, seq_len):
+    # pure-Python concat-and-chunk oracle: rows = [(doc_id, n_tokens)]
+    import re as _re
+
+    out, start = [], 0
+    for doc_id, n in rows:
+        if n <= 0:
+            continue
+        for c in range(start // seq_len, (start + n - 1) // seq_len + 1):
+            b = max(start, c * seq_len)
+            e = min(start + n, (c + 1) * seq_len)
+            out.append((doc_id, c, b - c * seq_len, b - start, e - b))
+        start += n
+    return sorted(out)
+
+
+def test_pack_chunks_matches_python_oracle(spark):
+    import re as _re
+
+    from gunrock_spark.pipeline.packing import chunk_stats, pack_chunks
+
+    rows = [
+        (0, "a b c d e"),            # 5 tokens
+        (1, ""),                      # empty: no span
+        (2, " ".join(["tok"] * 23)),  # spans many chunks at L=4
+        (3, "x"),
+        (7, "y z"),                   # id gap: offsets follow id order, not density
+        (64, " ".join(["q"] * 6)),    # lands in a second bucket at bucket_size=64
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    L = 4
+    got = sorted(
+        tuple(r) for r in pack_chunks(df, L, bucket_size=64)
+        .select("doc_id", "chunk_id", "chunk_off", "doc_off", "n_tok")
+        .collect()
+    )
+    counts = [
+        (i, len(_re.findall("[A-Za-z0-9]+", t.lower()))) for i, t in rows
+    ]
+    assert got == _pack_oracle(counts, L)
+
+    # packing invariant: every chunk but the last is exactly full
+    stats = {
+        r["chunk_id"]: (r["n_docs"], r["fill"])
+        for r in chunk_stats(pack_chunks(df, L, bucket_size=64), L).collect()
+    }
+    last = max(stats)
+    assert all(fill == 1.0 for cid, (_, fill) in stats.items() if cid != last)
+    total = sum(n for _, n in counts)
+    assert sorted(stats) == list(range((total + L - 1) // L))
+
+
+def test_pack_chunks_bucket_size_invariance(spark):
+    # the two-level scan must produce identical offsets at any bucket
+    # geometry (1 = every doc its own bucket; huge = single bucket)
+    from gunrock_spark.pipeline.packing import pack_chunks
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 7) % 13))) for i in range(50)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    ref = sorted(tuple(r) for r in pack_chunks(df, 8, bucket_size=1 << 20).collect())
+    for bs in (1, 3, 16):
+        assert (
+            sorted(tuple(r) for r in pack_chunks(df, 8, bucket_size=bs).collect())
+            == ref
+        )
+
+
+def test_pack_chunks_seq_len_one(spark):
+    from gunrock_spark.pipeline.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], schema="doc_id long, text string"
+    )
+    got = sorted(tuple(r) for r in pack_chunks(df, 1).collect())
+    assert got == [(1, 0, 0, 0, 1), (1, 1, 0, 1, 1), (2, 2, 0, 0, 1)]

@@ -721,3 +721,23 @@ def test_bucketed_edge_store_skips_exchange(spark, tmp_path):
         assert bucketed.count() == plain.count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pack_chunks_two_level_scan_no_global_window(spark):
+    """Sequence packing's global prefix sum must compile to the
+    two-level scan: the ONLY single-partition exchange feeds the
+    window over the per-bucket totals (one row per bucket, post
+    partial-agg), the per-doc window is hash-partitioned by bucket,
+    and the bucket offsets come back via broadcast — never a
+    corpus-wide SinglePartition sort. No Python, no cartesian."""
+    from gunrock_spark.pipeline.packing import pack_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_chunks(docs, 512, bucket_size=64))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # two-level scan shape
+    assert plan.count("SinglePartition") == 1  # bucket-totals window only
+    assert "partial_sum" in plan  # map-side combine of bucket totals
+    assert "hashpartitioning(__b" in plan  # distributed within-bucket window
+    assert "BroadcastExchange" in plan  # bucket offsets join back broadcast
