@@ -3151,6 +3151,116 @@ FROM packmap GROUP BY chunk_id"""
     )
 
 
+BPE_MERGES = 6
+BPE_TOP_WORDS = 50
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (pipeline/bpe.bpe_learn, Sennrich ACL
+    2016): the 6 highest-count adjacent-symbol merges over the corpus
+    word-frequency table — pair counting is explode + partial-agg sum
+    over the bounded vocab table, fusion is one Catalyst fold
+    projection, and the only driver traffic is the argmax pair per
+    round (the stop-metric convention)."""
+    from gunrock_spark.pipeline.bpe import bpe_learn
+
+    merges, _ = bpe_learn(_docs(spark, sf_dir), BPE_MERGES)
+    return merges
+
+
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segmented vocabulary after the 6 learned merges: top-50
+    corpus words by (freq DESC, word ASC) with their BPE segmentation
+    — the encode lookup table a tokenizer broadcasts."""
+    from gunrock_spark.pipeline.bpe import bpe_learn
+
+    _, vocab = bpe_learn(_docs(spark, sf_dir), BPE_MERGES)
+    return (
+        vocab.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(BPE_TOP_WORDS)
+        .select(
+            "word", "freq", F.array_join("syms", " ").alias("segmentation")
+        )
+    )
+
+
+def _bpe_ctes(k: int) -> str:
+    """Unrolled BPE rounds as MATERIALIZED CTEs (DuckDB inlines plain
+    CTEs at every reference — the per-round scalar subqueries would
+    re-evaluate the whole prior chain exponentially without the
+    MATERIALIZED marks). Each round: pair counts (UNNEST over adjacent
+    positions), argmax with the (cnt DESC, pair ASC) tie-break, then
+    the greedy left-to-right fusion as a recursive-CTE fold carrying
+    (carry, done) — the exact fold semantics of
+    pipeline/bpe.merge_pair_expr."""
+    parts = [
+        """bvocab AS MATERIALIZED (
+  SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+),
+sym0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS s
+  FROM bvocab
+)"""
+    ]
+    for r in range(k):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM sym{r}, UNNEST(range(1, len(s))) AS u(i) GROUP BY 1
+),
+b{r} AS MATERIALIZED (
+  SELECT string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs, cnt
+  FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+f{r} AS (
+  SELECT word, freq, len(s) AS n, 1 AS i, s[1] AS carry,
+         CAST([] AS VARCHAR[]) AS done, s
+  FROM sym{r}
+  UNION ALL
+  SELECT word, freq, n, i + 1,
+    CASE WHEN carry = (SELECT lhs FROM b{r}) AND s[i+1] = (SELECT rhs FROM b{r})
+         THEN (SELECT lhs || rhs FROM b{r}) ELSE s[i+1] END,
+    CASE WHEN carry = (SELECT lhs FROM b{r}) AND s[i+1] = (SELECT rhs FROM b{r})
+         THEN done ELSE list_append(done, carry) END,
+    s
+  FROM f{r} WHERE i < n
+),
+sym{r+1} AS MATERIALIZED (
+  SELECT word, freq, list_append(done, carry) AS s FROM f{r} WHERE i = n
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(k: int = BPE_MERGES) -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_idx, lhs, rhs, cnt AS pair_count FROM b{r}"
+        for r in range(k)
+    )
+    return (
+        "WITH RECURSIVE "
+        + _DOCS_CTES
+        + ",\n"
+        + _bpe_ctes(k)
+        + "\n"
+        + union
+    )
+
+
+def _bpe_vocab_sql(k: int = BPE_MERGES, top: int = BPE_TOP_WORDS) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _DOCS_CTES
+        + ",\n"
+        + _bpe_ctes(k)
+        + f"""
+SELECT word, freq, array_to_string(s, ' ') AS segmentation
+FROM sym{k} ORDER BY freq DESC, word ASC LIMIT {top}"""
+    )
+
+
 DOC_SIM_MIN_DF = 2
 DOC_SIM_MAX_DF = 450
 DOC_SIM_SCALE = 1 << 20
@@ -6927,6 +7037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha_terms": _q_zipf_alpha,
         "pack_chunks_512": _q_pack_chunks,
         "chunk_stats_512": _q_chunk_stats,
+        "bpe_merges_6": _q_bpe_merges,
+        "bpe_vocab_top50": _q_bpe_vocab,
         "source_top_terms_k5": _q_source_top_terms,
         "harmonic_centrality_t4": _q_harmonic,
         "closeness_t4": _q_closeness,
@@ -7086,6 +7198,8 @@ FROM events GROUP BY 1, 2""",
         "zipf_alpha_terms": _zipf_alpha_sql(),
         "pack_chunks_512": _pack_chunks_sql(),
         "chunk_stats_512": _chunk_stats_sql(),
+        "bpe_merges_6": _bpe_merges_sql(),
+        "bpe_vocab_top50": _bpe_vocab_sql(),
         "source_top_terms_k5": _source_top_terms_sql(),
         "anf_balls_t2": _anf_balls_sql(),
         "harmonic_centrality_t4": _harmonic_sql(),

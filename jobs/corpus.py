@@ -34,6 +34,7 @@ Ops:
   resolve-redirects collapse a (url, target) 3xx map by pointer doubling
   cooc-pmi        windowed token co-occurrence counts + PMI
   pack            concat-and-chunk sequence-packing map (--seq-len)
+  bpe-learn       BPE tokenizer merge learning (--n-merges)
 """
 
 from __future__ import annotations
@@ -58,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
             "inverted-index", "top-terms", "doc-sim", "zipf", "pack",
+            "bpe-learn",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -90,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="semdedup: within-cluster cosine cut")
     ap.add_argument("--seq-len", type=int, default=2048,
                     help="pack: training-sequence length in tokens")
+    ap.add_argument("--n-merges", type=int, default=64,
+                    help="bpe-learn: merge rounds to learn")
     args = ap.parse_args(argv)
 
     if args.op == "decontaminate" and not args.eval_input:
@@ -178,6 +182,10 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.pipeline.packing import pack_chunks
 
         out = pack_chunks(docs, args.seq_len, id_col=idc, text_col=txc)
+    elif args.op == "bpe-learn":
+        from gunrock_spark.pipeline.bpe import bpe_learn
+
+        out, _ = bpe_learn(docs, args.n_merges, id_col=idc, text_col=txc)
     elif args.op == "doc-sim":
         from gunrock_spark.pipeline.text import sparse_cosine_pairs
 

@@ -280,3 +280,14 @@ def test_pack_op(spark, docs_parquet, tmp_path, capsys):
         fill[r.chunk_id] = fill.get(r.chunk_id, 0) + r.n_tok
     last = max(fill)
     assert all(v == 8 for c, v in fill.items() if c != last)
+
+
+def test_bpe_learn_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "bpe")
+    assert _run(["--input", docs_parquet, "--op", "bpe-learn",
+                 "--n-merges", "3", "--out", out]) == 0
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r.merge_idx)
+    assert [r.merge_idx for r in rows] == list(range(len(rows))) and rows
+    # counts are non-increasing in learn order only per-round argmax;
+    # every merge must have been the round's max, hence count >= 1
+    assert all(r.pair_count >= 1 and r.lhs and r.rhs for r in rows)

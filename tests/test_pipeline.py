@@ -1170,3 +1170,79 @@ def test_pack_chunks_seq_len_one(spark):
     )
     got = sorted(tuple(r) for r in pack_chunks(df, 1).collect())
     assert got == [(1, 0, 0, 0, 1), (1, 1, 0, 1, 1), (2, 2, 0, 0, 1)]
+
+
+def _py_bpe(texts, k):
+    # Sennrich reference: count all adjacent pairs (overlaps included)
+    # weighted by word freq; fuse argmax greedy left-to-right
+    import re as _re
+    from collections import Counter
+
+    vocab = Counter(
+        w for t in texts for w in _re.findall("[a-z0-9]+", t.lower())
+    )
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for r in range(k):
+        stats = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += f
+        if not stats:
+            break
+        (a, b), c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((r, a, b, c))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_learn_matches_sennrich_reference(spark):
+    from gunrock_spark.pipeline.bpe import bpe_learn
+
+    texts = [
+        "the cat sat on the mat with the other cat",
+        "low lower lowest newer newest wider wide widest",
+        "aaaa aaa aa a banana bandana",  # overlap counting + chain fusion
+        "2048 tokens and 2048 more tokens",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    k = 6
+    merges, vocab = bpe_learn(df, k)
+    got = sorted(tuple(r) for r in merges.collect())
+    want, want_syms = _py_bpe(texts, k)
+    assert got == sorted(want)
+    got_syms = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert got_syms == want_syms
+    # the aaaa chain must fuse pairwise: 4 a's -> [aa, aa] after (a,a)
+    assert got_syms["aaaa"][:1] == ["aa"] or "aa" in got_syms["aaaa"]
+
+
+def test_bpe_segment_joins_vocab(spark):
+    from gunrock_spark.pipeline.bpe import bpe_learn, bpe_segment
+
+    df = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana")], schema="doc_id long, text string"
+    )
+    _, vocab = bpe_learn(df, 3)
+    seg = {
+        (r["doc_id"], r["word_pos"]): (r["word"], list(r["syms"]))
+        for r in bpe_segment(df, vocab).collect()
+    }
+    assert seg[(1, 0)][0] == "banana" and seg[(2, 0)] == seg[(1, 0)]
+    assert seg[(1, 1)][0] == "bandana"
+    # every symbol concatenates back to the word (lossless segmentation)
+    assert all("".join(s) == w for w, s in seg.values())
