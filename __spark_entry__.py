@@ -4191,6 +4191,59 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""
 
 
+def _q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (pipeline/dedup.remove_duplicated_spans)
+    — the transform half of window-hash substring dedup: the
+    globally-first instance of each duplicated window is kept, every
+    other instance's token span is cut from its document."""
+    from gunrock_spark.pipeline.dedup import remove_duplicated_spans
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return remove_duplicated_spans(docs, window=WDUP_WINDOW, stride=WDUP_STRIDE)
+
+
+def _remove_dup_spans_sql(
+    window: int = WDUP_WINDOW, stride: int = WDUP_STRIDE
+) -> str:
+    h = _H60.format(x="wtext")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+inst AS MATERIALIZED (
+  SELECT doc_id, start, ({h}) AS h FROM (
+    SELECT doc_id, i * {stride} AS start,
+           array_to_string(t[(i*{stride}+1):(i*{stride}+{window})], ' ')
+             AS wtext
+    FROM (SELECT doc_id, t,
+                 unnest(range(0, ((len(t) - {window}) // {stride}) + 1)) AS i
+          FROM tk WHERE len(t) >= {window})
+  )
+),
+rm AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+    FROM inst) WHERE rn > 1
+),
+rmtok AS (
+  SELECT doc_id, list(DISTINCT idx) AS rmidx FROM (
+    SELECT doc_id, unnest(range(start, start + {window})) AS idx FROM rm)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+FROM tk d LEFT JOIN rmtok p USING (doc_id),
+LATERAL (SELECT list_filter(
+           d.t, (x, i) -> NOT list_contains(COALESCE(p.rmidx, []), i - 1)
+         ) AS kept) k"""
+
+
 DSIR_BUCKETS = 4096
 DSIR_K = 0.5
 DSIR_SOURCES = ("src1", "src2", "src3")  # the "target domain" corpus
@@ -6998,6 +7051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl": _q_lm_ppl,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
+        "remove_dup_spans": _q_remove_dup_spans,
         "dsir_sample_top50": _q_dsir_sample,
         "docs_mixture_sample": _q_mixture_sample,
         "latest_crawl": _q_latest_crawl,
@@ -7160,6 +7214,7 @@ FROM events GROUP BY 1, 2""",
         "lm_ppl": _lm_ppl_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),
+        "remove_dup_spans": _remove_dup_spans_sql(),
         "dsir_sample_top50": _dsir_sample_sql(),
         "docs_mixture_sample": _mixture_sample_sql(),
         "latest_crawl": _latest_crawl_sql(),

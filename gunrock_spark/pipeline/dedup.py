@@ -628,3 +628,95 @@ def window_dup_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    window: int = 8,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The TRANSFORM half of window-hash substring dedup: where
+    ``window_dup_stats`` only measures duplicated spans, this removes
+    them — the distributed counterpart of Lee et al. 2021's
+    suffix-array pass over the training corpus (reference analog: the
+    per-frontier dedup cull, gunrock/oprtr/filter_kernel — here the
+    "frontier" is window instances). Every ``stride`` tokens, hash the
+    next ``window`` tokens; for each corpus-wide duplicated window
+    hash, the globally-first instance (smallest (id, start)) is the
+    canonical keeper and every OTHER instance's token span is removed
+    from its document. Returns (id, n_tokens, n_removed,
+    cleaned_text) for every input row; short/windowless docs pass
+    through untouched.
+
+    Deterministic: the keeper rule is a pure min over (id, start), so
+    the output is invariant to partitioning/retries and replayable by
+    the DuckDB oracle row-for-row.
+
+    Scale shape: windows built in-array (codegen, no self-join); ONE
+    hash groupBy with partial min/count (map-side combine absorbs the
+    duplicate mass = the Zipf head); one hash-keyed join back; the
+    removed-token-index set per doc is collected as an array bounded
+    by the doc's own token count (never corpus-sized state); the
+    rebuild is a per-row array filter — scan-bound. Nothing quadratic.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("t")).where(
+        F.size("t") >= window
+    )
+    inst = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("t") - F.lit(window)) / F.lit(stride)).cast("int"),
+                ),
+                lambda i: F.struct(
+                    (i * stride).cast("int").alias("start"),
+                    h60(
+                        F.concat_ws(" ", F.slice(F.col("t"), i * stride + 1, window))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("_id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    # keeper = globally-first instance per duplicated hash; everything
+    # else is a removal. ONE partial-agg exchange on h.
+    agg = inst.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.min(F.struct(F.col("_id"), F.col("start"))).alias("keep"),
+    )
+    removed = (
+        inst.join(agg.where(F.col("n_h") > 1), "h")
+        .where(
+            ~(
+                (F.col("_id") == F.col("keep._id"))
+                & (F.col("start") == F.col("keep.start"))
+            )
+        )
+        .select("_id", F.explode(F.sequence(F.col("start"), F.col("start") + window - 1)).alias("idx"))
+        .groupBy("_id")
+        .agg(F.collect_set("idx").alias("rmidx"))
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.array_contains(F.col("rmidx"), i.cast("int")),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("t"))
+        .join(removed.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("t").cast("long").alias("n_tokens"),
+            "t",
+            F.coalesce("rmidx", F.array().cast("array<int>")).alias("rmidx"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )

@@ -1246,3 +1246,59 @@ def test_bpe_segment_joins_vocab(spark):
     assert seg[(1, 1)][0] == "bandana"
     # every symbol concatenates back to the word (lossless segmentation)
     assert all("".join(s) == w for w, s in seg.values())
+
+
+def _remove_spans_ref(docs, window, stride):
+    """Pure-python replica of remove_duplicated_spans."""
+    import re
+    from collections import defaultdict
+
+    inst = []  # (doc_id, start0, wtext)
+    toks = {}
+    for doc_id, text in docs:
+        t = re.findall("[a-z0-9]+", text.lower())
+        toks[doc_id] = t
+        if len(t) < window:
+            continue
+        for i in range((len(t) - window) // stride + 1):
+            s = i * stride
+            inst.append((doc_id, s, " ".join(t[s : s + window])))
+    byw = defaultdict(list)
+    for doc_id, s, w in inst:
+        byw[w].append((doc_id, s))
+    rm = defaultdict(set)
+    for w, lst in byw.items():
+        if len(lst) > 1:
+            for doc_id, s in sorted(lst)[1:]:
+                rm[doc_id].update(range(s, s + window))
+    out = {}
+    for doc_id, t in toks.items():
+        kept = [x for i, x in enumerate(t) if i not in rm[doc_id]]
+        out[doc_id] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_duplicated_spans_matches_python(spark):
+    from gunrock_spark.pipeline.dedup import remove_duplicated_spans
+
+    rows = [
+        (0, "a b c d e f g h i j k l"),
+        (1, "pre1 pre2 a b c d e f g h tail1 tail2"),  # offset-shifted copy
+        (2, "totally unique words here only once again never repeated"),
+        (3, "short"),
+        (4, "a b c d e f g h i j k l"),  # exact dup of 0
+        (5, "a b c d e f g h i j k l a b c d e f g h i j k l"),  # self-repeat
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_duplicated_spans(docs, window=4, stride=2).collect()
+    }
+    want = _remove_spans_ref(rows, window=4, stride=2)
+    assert got == want
+    # the exact dup of doc 0 is fully removed; doc 0 (the keeper) intact
+    assert got[4][2] == "" and got[0][1] == 0
+    # windowless doc passes through
+    assert got[3] == (1, 0, "short")
+    # the self-repeating doc loses both copies (doc 0 is the global keeper)
+    assert got[5][1] > 0

@@ -741,3 +741,22 @@ def test_pack_chunks_two_level_scan_no_global_window(spark):
     assert "partial_sum" in plan  # map-side combine of bucket totals
     assert "hashpartitioning(__b" in plan  # distributed within-bucket window
     assert "BroadcastExchange" in plan  # bucket offsets join back broadcast
+
+
+def test_remove_dup_spans_plan_shape(spark):
+    """remove_duplicated_spans: windows are built in-array (no
+    self-join), the keeper/count agg is partial below its exchange,
+    and the rebuild is pure Catalyst — no Python, no per-vertex sort
+    window, no cartesian product."""
+    from gunrock_spark.pipeline.dedup import remove_duplicated_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    plan = _plan(remove_duplicated_spans(docs, window=8, stride=4))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    # both aggregations (keeper-per-hash, removed-idx-per-doc) are
+    # partial before their exchange: partial_min / partial_collect_set
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "collect_set" in plan
