@@ -5151,6 +5151,163 @@ def _q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 5
+KNN_CLUSTER_T = 0.45
+
+
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force kNN graph over the embedding column
+    (pipeline/similarity.knn_graph) — the bridge that feeds embedding
+    space into the graph engine as a directed edge table."""
+    from gunrock_spark.pipeline.similarity import knn_graph
+
+    return knn_graph(_embeds(spark, sf_dir), k=KNN_K)
+
+
+def _q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed kNN graph — the scale path (banded sign-bit LSH
+    candidates, cosine only inside buckets, top-k among candidates);
+    the oracle replays the deterministic hyperplanes + band-bucket
+    candidate join exactly, so the SCALE path itself is gated."""
+    from gunrock_spark.pipeline.similarity import knn_graph
+
+    return knn_graph(
+        _embeds(spark, sf_dir),
+        k=KNN_K,
+        bucketed=True,
+        n_planes=EMBED_LSH_PLANES,
+        bands=EMBED_LSH_BANDS,
+    )
+
+
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clusters over embedding space: CC of the kNN graph at
+    cosine >= 0.45 (pipeline/similarity.embedding_clusters) — the
+    embedding-space sibling of doc_sim_clusters."""
+    from gunrock_spark.pipeline.similarity import embedding_clusters
+
+    return embedding_clusters(
+        _embeds(spark, sf_dir), k=KNN_K, threshold=KNN_CLUSTER_T
+    )
+
+
+_KNN_BRUTE_CTES = """
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+knnscored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_dot_product(a.cv, b.cv)
+         / (sqrt(list_dot_product(a.cv, a.cv))
+            * sqrt(list_dot_product(b.cv, b.cv))) AS cosine
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT src, dst, cosine, rank FROM (
+    SELECT src, dst, cosine,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cosine DESC, dst ASC) AS rank
+    FROM knnscored
+  ) WHERE rank <= {k}
+)
+"""
+
+
+def _knn_graph_sql(k: int = KNN_K) -> str:
+    return (
+        "WITH "
+        + _KNN_BRUTE_CTES.format(k=k)
+        + """
+SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM knn"""
+    )
+
+
+def _knn_graph_lsh_sql(
+    k: int = KNN_K,
+    n_planes: int = EMBED_LSH_PLANES,
+    bands: int = EMBED_LSH_BANDS,
+    dim: int = EMBED_DIM,
+) -> str:
+    """Replays knn_graph(bucketed=True): same literal hyperplanes and
+    band-bucket join as _embed_near_dup_lsh_sql, but DIRECTED
+    candidates (src <> dst) ranked per src."""
+    from gunrock_spark.pipeline.similarity import _planes
+
+    planes = _planes(dim, n_planes)
+    r = n_planes // bands
+    band_selects = []
+    for band in range(bands):
+        bits = []
+        for p in range(r):
+            lit = "[" + ", ".join(repr(x) for x in planes[band * r + p]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(cv, {lit}) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {band} AS band, {' + '.join(bits)} AS bucket FROM c"
+        )
+    buckets = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+bk AS (
+  {buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT cand.src, cand.dst,
+         list_dot_product(ca.cv, cb.cv)
+         / (sqrt(list_dot_product(ca.cv, ca.cv))
+            * sqrt(list_dot_product(cb.cv, cb.cv))) AS cosine
+  FROM cand
+  JOIN c ca ON ca.vec_id = cand.src
+  JOIN c cb ON cb.vec_id = cand.dst
+)
+SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT src, dst, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+def _embedding_clusters_sql(
+    k: int = KNN_K, threshold: float = KNN_CLUSTER_T
+) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _KNN_BRUTE_CTES.format(k=k)
+        + f""",
+kept AS MATERIALIZED (
+  SELECT src, dst FROM knn WHERE ROUND(cosine, 6) >= {threshold}
+),
+sym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM kept
+  UNION SELECT dst AS a, src AS b FROM kept
+),
+symv AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym),
+reach(v, label) AS (
+  SELECT v, v AS label FROM symv
+  UNION
+  SELECT s.b AS v, r.label FROM reach r JOIN sym s ON s.a = r.v
+),
+lbl AS (SELECT v, MIN(label) AS label FROM reach GROUP BY v)
+SELECT e.vec_id,
+       CAST(COALESCE(l.label, e.vec_id) AS BIGINT) AS cluster
+FROM embeddings e LEFT JOIN lbl l ON l.v = e.vec_id"""
+    )
+
+
 WALKS_LEN = 3
 WALKS_PER_VERTEX = 2
 WALKS_SEED = 7
@@ -7019,6 +7176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": _q_semdedup,
         "embedding_near_dups": _q_embed_near_dup,
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
+        "knn_graph_k5": _q_knn_graph,
+        "knn_graph_lsh_k5": _q_knn_graph_lsh,
+        "embedding_clusters_t45": _q_embedding_clusters,
         "events_hourly": _q_events_hourly,
         "event_transitions": _q_event_transitions,
         "retention_cohorts": _q_retention_cohorts,
@@ -7179,6 +7339,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keep": _semdedup_sql(),
         "embedding_near_dups": _embed_near_dup_sql(),
         "embedding_near_dups_lsh": _embed_near_dup_lsh_sql(),
+        "knn_graph_k5": _knn_graph_sql(),
+        "knn_graph_lsh_k5": _knn_graph_lsh_sql(),
+        "embedding_clusters_t45": _embedding_clusters_sql(),
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -509,3 +509,136 @@ def semdedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN graph — the bridge from the embedding pipeline to the graph engine
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_planes: int | None = None,
+    bands: int = 4,
+    mutual: bool = False,
+) -> DataFrame:
+    """(src, dst, cosine, rank) — each vector's k nearest neighbours
+    by cosine, as a DIRECTED edge table ready for ``EdgeTable.from_df``
+    (the bridge that lets every graph primitive — CC, Louvain, PPR,
+    coreness — run over embedding space; reference analog: building
+    the input COO from an external similarity oracle, gunrock/
+    graphio/market.cuh as the ingest seam). Ties break by dst asc.
+
+    Two paths, same contract as the near-dup family:
+    - brute (default): exact all-pairs — the correctness baseline,
+      quadratic by definition; fine up to ~10^5 vectors per run.
+    - ``bucketed=True``: the 100 TB path — banded sign-bit LSH
+      buckets (deterministic h60 hyperplanes) generate candidates,
+      cosine is computed ONLY inside buckets, top-k is taken among
+      candidates. Approximate (recall measured in tests); candidate
+      volume is bounded by bucket geometry, never n^2.
+
+    ``mutual=True`` keeps only edges whose reverse is also a kNN edge
+    (mutual-kNN — the standard noise-robust graph for clustering).
+    """
+    if not bucketed:
+        q = corpus.select(F.col(corpus_id).alias("__q"), F.col(vec_col))
+        scored = with_cosine(corpus, q, corpus_id, "__q", vec_col)
+        scored = scored.where(F.col("__q") != F.col(corpus_id))
+    else:
+        if n_planes is None:
+            n_planes, bands = default_signbit_geometry(corpus.count(), bands)
+        dim = len(corpus.select(vec_col).first()[0])
+        bk = signbit_buckets(corpus, dim, n_planes, corpus_id, vec_col, bands)
+        cand = (
+            bk.select(
+                F.col(corpus_id).alias("__q"), F.col("band"), F.col("bucket")
+            )
+            .join(
+                bk.select(
+                    F.col(corpus_id).alias(corpus_id),
+                    F.col("band").alias("b2"),
+                    F.col("bucket").alias("k2"),
+                ),
+                (F.col("band") == F.col("b2")) & (F.col("bucket") == F.col("k2")),
+            )
+            .where(F.col("__q") != F.col(corpus_id))
+            .select("__q", corpus_id)
+            .distinct()  # a pair may collide in several bands
+        )
+        c = corpus.select(F.col(corpus_id), _as_double(F.col(vec_col)).alias("cv"))
+        scored = (
+            cand.join(
+                c.select(F.col(corpus_id).alias("__q"), F.col("cv").alias("qv")),
+                "__q",
+            )
+            .join(c, corpus_id)
+            .select(
+                "__q",
+                corpus_id,
+                (
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv")))
+                ).alias("cosine"),
+            )
+        )
+    w = Window.partitionBy("__q").orderBy(F.desc("cosine"), F.asc(corpus_id))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias("src"),
+            F.col(corpus_id).alias("dst"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+    if mutual:
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        edges = edges.join(rev, ["src", "dst"], "left_semi")
+    return edges
+
+
+def embedding_clusters(
+    corpus: DataFrame,
+    k: int = 10,
+    threshold: float = 0.0,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    mutual: bool = False,
+) -> DataFrame:
+    """(vec_id, cluster) — semantic clusters over embedding space:
+    connected components of the (optionally mutual) kNN graph with
+    cosine >= threshold; cluster id = smallest member id (the CC
+    label convention). Vectors with no qualifying neighbour form
+    singleton clusters (their own id). The embedding-space sibling of
+    the TF-IDF ``doc_sim_clusters`` composition."""
+    from gunrock_spark.algorithms.components import connected_components
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    edges = (
+        knn_graph(
+            corpus, k=k, corpus_id=corpus_id, vec_col=vec_col,
+            bucketed=bucketed, mutual=mutual,
+        )
+        .where(F.col("cosine") >= float(threshold))
+        .select("src", "dst")
+    )
+    labels = connected_components(EdgeTable.from_df(edges)).state.select(
+        F.col("v").alias(corpus_id), F.col("label").alias("cluster")
+    )
+    return (
+        corpus.select(corpus_id)
+        .join(labels, corpus_id, "left")
+        .select(
+            corpus_id,
+            F.coalesce("cluster", F.col(corpus_id)).alias("cluster"),
+        )
+    )

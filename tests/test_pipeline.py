@@ -1302,3 +1302,81 @@ def test_remove_duplicated_spans_matches_python(spark):
     assert got[3] == (1, 0, "short")
     # the self-repeating doc loses both copies (doc 0 is the global keeper)
     assert got[5][1] > 0
+
+
+def _knn_ref(vecs, k):
+    """numpy replica of brute knn_graph: per src the k best (cosine
+    desc, dst asc)."""
+    import numpy as np
+
+    ids = sorted(vecs)
+    out = {}
+    for a in ids:
+        va = vecs[a]
+        scored = []
+        for b in ids:
+            if b == a:
+                continue
+            vb = vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            scored.append((-cos, b))
+        scored.sort()
+        out[a] = [b for _, b in scored[:k]]
+    return out
+
+
+def test_knn_graph_matches_numpy(spark, vectors):
+    from gunrock_spark.pipeline.similarity import knn_graph
+
+    got = {}
+    for r in knn_graph(vectors, k=4).collect():
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+    mat = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vectors.collect()
+    }
+    want = _knn_ref(mat, 4)
+    assert set(got) == set(want)
+    for src, lst in got.items():
+        assert [d for _, d in sorted(lst)] == want[src]
+    # the planted near-dup of vector 0 is its nearest neighbour
+    assert want[40][0] == 0 and got[0][0][1] == 40 or sorted(got[0])[0][1] == 40
+
+
+def test_knn_graph_bucketed_recall_and_mutual(spark, vectors):
+    from gunrock_spark.pipeline.similarity import knn_graph
+
+    brute = {(r["src"], r["dst"]) for r in knn_graph(vectors, k=4).collect()}
+    lsh = {
+        (r["src"], r["dst"])
+        for r in knn_graph(
+            vectors, k=4, bucketed=True, n_planes=8, bands=4
+        ).collect()
+    }
+    # coarse 2-bit bands on 41 vectors: candidates are plentiful, so
+    # recall has a real floor; and never more than k edges per src
+    assert len(lsh & brute) / len(brute) >= 0.5
+    # the planted near-dup pair collides in some band (cosine ~1)
+    assert (40, 0) in lsh and (0, 40) in lsh
+
+    mut = {
+        (r["src"], r["dst"])
+        for r in knn_graph(vectors, k=4, mutual=True).collect()
+    }
+    assert mut <= brute
+    assert all((d, s) in mut for s, d in mut)  # symmetric by construction
+    assert (0, 40) in mut and (40, 0) in mut
+
+
+def test_embedding_clusters_singletons_and_pair(spark, vectors):
+    from gunrock_spark.pipeline.similarity import embedding_clusters
+
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in embedding_clusters(vectors, k=4, threshold=0.999).collect()
+    }
+    # every vector is labelled; at threshold 0.999 only the planted
+    # near-dup pair joins, everything else is a singleton
+    assert len(out) == 41
+    assert out[40] == out[0] == 0
+    assert all(v == i for i, v in out.items() if i not in (0, 40))

@@ -760,3 +760,16 @@ def test_remove_dup_spans_plan_shape(spark):
     # partial before their exchange: partial_min / partial_collect_set
     assert "partial_min" in plan or "partial min" in plan.lower()
     assert "collect_set" in plan
+
+
+def test_knn_graph_bucketed_plan_never_all_pairs(spark):
+    """The bucketed kNN-graph scale path: candidates come from the
+    band-bucket equi-join — no CartesianProduct / BroadcastNestedLoop
+    anywhere in the plan, and no Python."""
+    from gunrock_spark.pipeline.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(knn_graph(emb, k=5, bucketed=True, n_planes=16, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
