@@ -4134,6 +4134,8 @@ WHERE c.n_pairs >= {PMI_MIN_PAIRS}"""
 LM_K = 0.5
 MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src17": 0.8}
 MIX_SEED = 42
+BIGRAM_K = 0.5
+C4_MOD = 8  # per-line decoration classes for the c4_clean driver query
 
 
 WDUP_WINDOW = 8
@@ -4389,6 +4391,164 @@ SELECT d.doc_id,
        ROUND(exp(-COALESCE(a.avg_logp, 0.0)), 6) AS ppl
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
 LEFT JOIN agg a USING (doc_id)"""
+
+
+def _q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram add-k LM perplexity (pipeline/lm.py bigram_lm): train on
+    the even-doc_id half of the corpus, score EVERY document — the
+    held-out half exercises both OOV fallbacks (seen context / unseen
+    pair, and unseen context)."""
+    from gunrock_spark.pipeline.lm import bigram_lm, bigram_lm_score
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    model = bigram_lm(docs.where(F.col("doc_id") % 2 == 0), k=BIGRAM_K)
+    out = bigram_lm_score(docs, model)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+def _bigram_lm_ppl_sql(k: float = BIGRAM_K) -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)
+),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+consts AS (
+  SELECT {k} * (vocab + 1) AS adds, ln(1.0 / (vocab + 1)) AS oov
+  FROM (SELECT CAST(COUNT(DISTINCT x) AS DOUBLE) AS vocab
+        FROM (SELECT unnest(t) AS x FROM d WHERE doc_id % 2 = 0))
+),
+agg AS (
+  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         AVG(CASE WHEN b.cb IS NOT NULL
+                    THEN ln((b.cb + {k}) / (c.c1 + consts.adds))
+                  WHEN c.c1 IS NOT NULL
+                    THEN ln({k} / (c.c1 + consts.adds))
+                  ELSE consts.oov END) AS avg_logp
+  FROM pairs p
+  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN ctx c ON p.w1 = c.w1
+  CROSS JOIN consts
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       ROUND(COALESCE(a.avg_logp, 0.0), 6) AS avg_logp,
+       ROUND(exp(-COALESCE(a.avg_logp, 0.0)), 6) AS ppl
+FROM (SELECT DISTINCT doc_id FROM d) d
+LEFT JOIN agg a USING (doc_id)"""
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (pipeline/c4.py) over token-lined
+    documents with a deterministic per-line web-noise decoration
+    (terminal punct / bare line / 'javascript' / braces, chosen by
+    h60(doc_id:c4:line)) so every filter class fires; the oracle
+    replays the identical decoration."""
+    from gunrock_spark.functions.hashing import h60, tokens
+    from gunrock_spark.pipeline.c4 import c4_clean
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    toks = tokens(F.col("text"))
+
+    def line(i):
+        base = F.concat_ws(" ", F.slice(toks, i * LINE_W + 1, LINE_W))
+        m = F.pmod(
+            h60(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":c4:"),
+                    i.cast("string"),
+                )
+            ),
+            F.lit(C4_MOD),
+        )
+        return (
+            F.when(m == 4, F.concat(base, F.lit("!")))
+            .when(m == 5, base)
+            .when(m == 6, F.concat(base, F.lit(" javascript.")))
+            .when(m == 7, F.concat(base, F.lit(" {x}.")))
+            .otherwise(F.concat(base, F.lit(".")))
+        )
+
+    lined = docs.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(toks) - 1) / LINE_W).cast("int")
+                ),
+                line,
+            ),
+        ).alias("text"),
+    )
+    return c4_clean(lined)
+
+
+def _c4_clean_sql(w: int = LINE_W, min_words: int = 3, min_lines: int = 2) -> str:
+    h = _H60.format(x="doc_id || ':c4:' || i")
+    return f"""
+WITH tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, i,
+         array_to_string(t[(i*{w}+1):(i*{w}+{w})], ' ') AS base,
+         ({h}) % {C4_MOD} AS m
+  FROM (SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // {w}) + 1)) AS i
+        FROM tk WHERE len(t) > 0)
+),
+dec AS (
+  SELECT doc_id, i,
+         CASE WHEN m = 4 THEN base || '!'
+              WHEN m = 5 THEN base
+              WHEN m = 6 THEN base || ' javascript.'
+              WHEN m = 7 THEN base || ' {{x}}.'
+              ELSE base || '.' END AS line
+  FROM ln
+),
+flt AS (
+  SELECT doc_id, i, line,
+         (len(regexp_extract_all(line, '[A-Za-z0-9]+')) >= {min_words}
+          AND NOT contains(lower(line), '{{')
+          AND NOT contains(lower(line), '}}')
+          AND NOT contains(lower(line), 'javascript')
+          AND NOT contains(lower(line), 'lorem ipsum')
+          AND NOT contains(lower(line), 'privacy policy')
+          AND NOT contains(lower(line), 'terms of use')
+          AND NOT contains(lower(line), 'cookie policy')
+          AND regexp_matches(line, '[.!?"'']$')) AS keep
+  FROM dec
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE keep),
+                '') AS text,
+       CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
+       CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_dropped
+FROM flt
+GROUP BY doc_id
+HAVING COUNT(*) FILTER (WHERE keep) >= {min_lines}"""
 
 
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7209,6 +7369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_c3": _q_sparsify,
         "host_template_rate": _q_host_template,
         "lm_ppl": _q_lm_ppl,
+        "bigram_lm_ppl": _q_bigram_lm_ppl,
+        "c4_clean_docs": _q_c4_clean,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
         "remove_dup_spans": _q_remove_dup_spans,
@@ -7375,6 +7537,8 @@ FROM events GROUP BY 1, 2""",
         "sparsify_c3": _sparsify_sql(),
         "host_template_rate": _host_template_sql(),
         "lm_ppl": _lm_ppl_sql(),
+        "bigram_lm_ppl": _bigram_lm_ppl_sql(),
+        "c4_clean_docs": _c4_clean_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),

@@ -270,3 +270,116 @@ def dsir_sample(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(n_keep)
     )
+
+
+@dataclass
+class BigramLM:
+    """Trained bigram model: ``bigrams`` is DataFrame[w1, w2, logp]
+    holding ln p(w2|w1) for every SEEN bigram; ``contexts`` is
+    DataFrame[w1, ctx_logp_oov] holding ln of the smoothed probability
+    of an UNSEEN continuation after a seen context (each context has
+    its own denominator, so OOV mass is per-context); ``oov_logp`` is
+    the fallback when the context itself was never seen."""
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    oov_logp: float
+    vocab_size: int
+    k: float
+
+
+def _doc_bigrams(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
+    """One row per adjacent token pair (w1, w2) per document —
+    in-array zip of the token list, no self-join."""
+    t = tokens(F.lower(F.col(text_col)))
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("w1"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w2"),
+    )
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, F.explode(zipped).alias("p")).select(
+        *cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text", k: float = 0.5) -> BigramLM:
+    """Train an add-k bigram LM: p(w2|w1) = (c(w1,w2)+k) / (c(w1,.) +
+    k*(V+1)), the per-context ``+1`` reserving one smoothed slot for
+    any unseen continuation. Two groupBys (both map-side combined) and
+    one scalar aggregate — the model stays a distributed table."""
+    import math
+
+    pairs = _doc_bigrams(df, None, text_col)
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    ctx = bi.groupBy("w1").agg(F.sum("cb").cast("long").alias("c1"))
+    vocab = int(
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+        or 0
+    )
+    denom_add = k * float(vocab + 1)
+    bigrams = bi.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.log((F.col("cb") + F.lit(k)) / (F.col("c1") + F.lit(denom_add))).alias(
+            "logp"
+        ),
+    )
+    contexts = ctx.select(
+        "w1",
+        F.log(F.lit(k) / (F.col("c1") + F.lit(denom_add))).alias("ctx_logp_oov"),
+    )
+    return BigramLM(
+        bigrams=bigrams,
+        contexts=contexts,
+        oov_logp=math.log(1.0 / float(vocab + 1)),
+        vocab_size=vocab,
+        k=k,
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp, ppl) per document, scoring every
+    adjacent-pair transition (documents with < 2 tokens score
+    avg_logp = 0, ppl = 1). Two term-keyed left joins + one per-doc
+    groupBy — all partial-agg shuffles, no Python.
+
+    OOV rule: seen (w1,w2) -> trained logp; seen w1, unseen pair ->
+    the context's smoothed OOV slot; unseen w1 -> uniform 1/(V+1)."""
+    pairs = _doc_bigrams(df, id_col, text_col)
+    scored = (
+        pairs.join(model.bigrams, ["w1", "w2"], "left")
+        .join(model.contexts, "w1", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("logp"),
+                F.col("ctx_logp_oov"),
+                F.lit(model.oov_logp),
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("lp").alias("avg_logp"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("avg_logp"), F.lit(0.0)).alias("avg_logp"),
+            F.exp(-F.coalesce(F.col("avg_logp"), F.lit(0.0))).alias("ppl"),
+        )
+    )
