@@ -35,6 +35,9 @@ Ops:
   cooc-pmi        windowed token co-occurrence counts + PMI
   pack            concat-and-chunk sequence-packing map (--seq-len)
   bpe-learn       BPE tokenizer merge learning (--n-merges)
+  c4-clean        C4-style line filtering (terminal punct / min words /
+                  brace + blocklist lines; doc floor --min-lines)
+  bigram-ppl      append bigram add-k LM perplexity columns
 """
 
 from __future__ import annotations
@@ -59,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
             "inverted-index", "top-terms", "doc-sim", "zipf", "pack",
-            "bpe-learn",
+            "bpe-learn", "c4-clean", "bigram-ppl",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -94,6 +97,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="pack: training-sequence length in tokens")
     ap.add_argument("--n-merges", type=int, default=64,
                     help="bpe-learn: merge rounds to learn")
+    ap.add_argument("--min-words", type=int, default=3,
+                    help="c4-clean: minimum words per kept line")
+    ap.add_argument("--min-lines", type=int, default=2,
+                    help="c4-clean: minimum kept lines per kept doc")
     args = ap.parse_args(argv)
 
     if args.op == "decontaminate" and not args.eval_input:
@@ -156,6 +163,20 @@ def main(argv: list[str] | None = None) -> int:
 
         model = unigram_lm(docs, text_col=txc, k=args.lm_k)
         out = docs.join(lm_score(docs, model, id_col=idc, text_col=txc), idc)
+    elif args.op == "bigram-ppl":
+        from gunrock_spark.pipeline.lm import bigram_lm, bigram_lm_score
+
+        model = bigram_lm(docs, text_col=txc, k=args.lm_k)
+        out = docs.join(
+            bigram_lm_score(docs, model, id_col=idc, text_col=txc), idc
+        )
+    elif args.op == "c4-clean":
+        from gunrock_spark.pipeline.c4 import c4_clean
+
+        out = c4_clean(
+            docs, id_col=idc, text_col=txc,
+            min_words=args.min_words, min_lines=args.min_lines,
+        )
     elif args.op == "quality":
         from gunrock_spark.pipeline.text import quality_score
 

@@ -291,3 +291,28 @@ def test_bpe_learn_op(spark, docs_parquet, tmp_path, capsys):
     # counts are non-increasing in learn order only per-round argmax;
     # every merge must have been the round's max, hence count >= 1
     assert all(r.pair_count >= 1 and r.lhs and r.rhs for r in rows)
+
+
+def test_c4_clean_and_bigram_ppl_ops(spark, tmp_path, capsys):
+    rows = [
+        (0, "good first line right here.\nno punct\ngood second line too!", "web"),
+        (1, "only { braces } here.\nshort.", "web"),
+        (2, "the quick brown fox runs fast.\nthe quick brown fox runs again.", "web"),
+    ]
+    path = str(tmp_path / "c4docs.parquet")
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, source string"
+    ).write.parquet(path)
+
+    out = str(tmp_path / "c4out")
+    assert _run(["--input", path, "--op", "c4-clean", "--out", out]) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 2}  # doc 1 has no keepable lines
+    assert got[0].n_lines_kept == 2 and got[0].n_lines_dropped == 1
+    assert "no punct" not in got[0].text
+
+    out2 = str(tmp_path / "bgout")
+    assert _run(["--input", path, "--op", "bigram-ppl", "--out", out2]) == 0
+    res = spark.read.parquet(out2)
+    assert {"text", "n_bigrams", "avg_logp", "ppl"} <= set(res.columns)
+    assert res.count() == 3
