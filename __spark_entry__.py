@@ -4393,6 +4393,69 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
 LEFT JOIN agg a USING (doc_id)"""
 
 
+NB_K = 0.5
+NB_POS_SOURCE = "src0"
+
+
+def _q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-classifier-style quality scoring (pipeline/classify.py):
+    multinomial Naive Bayes trained with source=='src0' as the trusted
+    class, every document scored with its log-odds."""
+    from gunrock_spark.pipeline.classify import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    model = nb_train(docs, F.col("source") == NB_POS_SOURCE, k=NB_K)
+    out = nb_score(docs, model)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("log_odds", 6).alias("log_odds"),
+        "pred",
+    )
+
+
+def _nb_quality_sql(k: float = NB_K, pos: str = NB_POS_SOURCE) -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source = '{pos}' AS pos,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, pos, unnest(t) AS term FROM d),
+counts AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM tok GROUP BY term
+),
+consts AS (
+  SELECT CAST(SUM(cp) AS DOUBLE) + {k} * (COUNT(*) + 1) AS dp,
+         CAST(SUM(cn) AS DOUBLE) + {k} * (COUNT(*) + 1) AS dn
+  FROM counts
+),
+model AS (
+  SELECT term, ln((cp + {k}) / consts.dp) - ln((cn + {k}) / consts.dn) AS lw
+  FROM counts CROSS JOIN consts
+),
+prior AS (
+  SELECT ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN pos THEN 0 ELSE 1 END)) AS lo
+  FROM d
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(m.lw) AS slw
+  FROM tok JOIN model m USING (term) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       ROUND((SELECT lo FROM prior) + COALESCE(a.slw, 0.0), 6) AS log_odds,
+       ((SELECT lo FROM prior) + COALESCE(a.slw, 0.0)) > 0 AS pred
+FROM (SELECT doc_id FROM d) d
+LEFT JOIN agg a USING (doc_id)"""
+
+
 def _q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram add-k LM perplexity (pipeline/lm.py bigram_lm): train on
     the even-doc_id half of the corpus, score EVERY document — the
@@ -7370,6 +7433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template_rate": _q_host_template,
         "lm_ppl": _q_lm_ppl,
         "bigram_lm_ppl": _q_bigram_lm_ppl,
+        "nb_quality_scores": _q_nb_quality,
         "c4_clean_docs": _q_c4_clean,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -7538,6 +7602,7 @@ FROM events GROUP BY 1, 2""",
         "host_template_rate": _host_template_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "bigram_lm_ppl": _bigram_lm_ppl_sql(),
+        "nb_quality_scores": _nb_quality_sql(),
         "c4_clean_docs": _c4_clean_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),

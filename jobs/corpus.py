@@ -38,6 +38,8 @@ Ops:
   c4-clean        C4-style line filtering (terminal punct / min words /
                   brace + blocklist lines; doc floor --min-lines)
   bigram-ppl      append bigram add-k LM perplexity columns
+  nb-quality      append Naive-Bayes classifier log-odds + pred
+                  (--pos-source names the trusted class)
 """
 
 from __future__ import annotations
@@ -62,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
             "inverted-index", "top-terms", "doc-sim", "zipf", "pack",
-            "bpe-learn", "c4-clean", "bigram-ppl",
+            "bpe-learn", "c4-clean", "bigram-ppl", "nb-quality",
         ],
     )
     ap.add_argument("--id-col", default="doc_id")
@@ -101,6 +103,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="c4-clean: minimum words per kept line")
     ap.add_argument("--min-lines", type=int, default=2,
                     help="c4-clean: minimum kept lines per kept doc")
+    ap.add_argument("--pos-source", help="nb-quality: source value of "
+                    "the trusted (positive) class")
     args = ap.parse_args(argv)
 
     if args.op == "decontaminate" and not args.eval_input:
@@ -109,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--op mixture-sample requires --fractions")
     if args.op == "dsir-sample" and not args.target_sources:
         ap.error("--op dsir-sample requires --target-sources")
+    if args.op == "nb-quality" and not args.pos_source:
+        ap.error("--op nb-quality requires --pos-source")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -170,6 +176,13 @@ def main(argv: list[str] | None = None) -> int:
         out = docs.join(
             bigram_lm_score(docs, model, id_col=idc, text_col=txc), idc
         )
+    elif args.op == "nb-quality":
+        from gunrock_spark.pipeline.classify import nb_score, nb_train
+
+        model = nb_train(
+            docs, F.col("source") == args.pos_source, text_col=txc, k=args.lm_k
+        )
+        out = docs.join(nb_score(docs, model, id_col=idc, text_col=txc), idc)
     elif args.op == "c4-clean":
         from gunrock_spark.pipeline.c4 import c4_clean
 

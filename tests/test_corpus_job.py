@@ -316,3 +316,21 @@ def test_c4_clean_and_bigram_ppl_ops(spark, tmp_path, capsys):
     res = spark.read.parquet(out2)
     assert {"text", "n_bigrams", "avg_logp", "ppl"} <= set(res.columns)
     assert res.count() == 3
+
+
+def test_nb_quality_op(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "nb")
+    assert (
+        _run(
+            [
+                "--input", docs_parquet, "--op", "nb-quality",
+                "--pos-source", "web", "--out", out,
+            ]
+        )
+        == 0
+    )
+    res = spark.read.parquet(out)
+    assert {"text", "log_odds", "pred"} <= set(res.columns)
+    assert res.count() == 5
+    with pytest.raises(SystemExit):
+        _run(["--input", docs_parquet, "--op", "nb-quality", "--out", "x"])
