@@ -4395,6 +4395,59 @@ LEFT JOIN agg a USING (doc_id)"""
 
 NB_K = 0.5
 NB_POS_SOURCE = "src0"
+PCA_N_ITER = 8
+
+
+def _q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embeddings table by exactly
+    PCA_N_ITER power steps from the uniform start (pipeline/pca.py) —
+    the ANN-index whitening step. The oracle unrolls the identical
+    trajectory, so the match is float-noise-only."""
+    from gunrock_spark.pipeline.pca import pca_top_component
+
+    comp = pca_top_component(
+        _embeds(spark, sf_dir), vec_col="embedding", n_iter=PCA_N_ITER
+    )
+    return comp.select(
+        "dim",
+        F.round("mu", 6).alias("mu"),
+        F.round("loading", 6).alias("loading"),
+    )
+
+
+def _pca_component_sql(n_iter: int = PCA_N_ITER) -> str:
+    parts = [
+        """
+WITH x AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+mu AS (SELECT dim, AVG(val) AS m FROM x GROUP BY dim),
+c AS MATERIALIZED (
+  SELECT x.vec_id, x.dim, x.val - mu.m AS val FROM x JOIN mu USING (dim)
+),
+v0 AS (SELECT dim, 1.0 / sqrt((SELECT COUNT(*) FROM mu)) AS w FROM mu)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+s{i} AS MATERIALIZED (
+  SELECT c.vec_id, SUM(c.val * v{i - 1}.w) AS s
+  FROM c JOIN v{i - 1} USING (dim) GROUP BY c.vec_id),
+u{i} AS MATERIALIZED (
+  SELECT c.dim, SUM(c.val * s{i}.s) AS u
+  FROM c JOIN s{i} USING (vec_id) GROUP BY c.dim),
+v{i} AS MATERIALIZED (
+  SELECT dim, u / (SELECT sqrt(SUM(u * u)) FROM u{i}) AS w
+  FROM u{i})"""
+        )
+    parts.append(
+        f"""
+SELECT mu.dim, ROUND(mu.m, 6) AS mu, ROUND(v{n_iter}.w, 6) AS loading
+FROM mu JOIN v{n_iter} USING (dim)"""
+    )
+    return "".join(parts)
 
 
 def _q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7434,6 +7487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl": _q_lm_ppl,
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "nb_quality_scores": _q_nb_quality,
+        "pca_component": _q_pca_component,
         "c4_clean_docs": _q_c4_clean,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -7603,6 +7657,7 @@ FROM events GROUP BY 1, 2""",
         "lm_ppl": _lm_ppl_sql(),
         "bigram_lm_ppl": _bigram_lm_ppl_sql(),
         "nb_quality_scores": _nb_quality_sql(),
+        "pca_component": _pca_component_sql(),
         "c4_clean_docs": _c4_clean_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),
