@@ -773,3 +773,42 @@ def test_knn_graph_bucketed_plan_never_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_clean_is_shuffle_free_scan_projection(spark):
+    """C4 line cleaning = split + HOF filter + array_join: one narrow
+    projection over the scan — no exchange, no Python, no generator
+    explosion."""
+    from gunrock_spark.pipeline.c4 import c4_clean
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(c4_clean(docs))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Generate" not in tree  # HOF filter, not explode+regroup
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bigram_and_nb_scoring_partial_agg_no_python(spark):
+    """Bigram-LM and NB scoring: term-keyed joins + per-doc aggregate,
+    all map-side-combined (partial + final HashAggregate pairs), no
+    Python, no cartesian product."""
+    from pyspark.sql import functions as F
+
+    from gunrock_spark.pipeline.classify import nb_score, nb_train
+    from gunrock_spark.pipeline.lm import bigram_lm, bigram_lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for out in (
+        bigram_lm_score(docs, bigram_lm(docs)),
+        nb_score(docs, nb_train(docs, F.col("source") == "src0")),
+    ):
+        plan = _plan(out)
+        tree = plan.split("\n\n")[0]
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in tree
+        # every aggregate is a partial/final pair: even count
+        assert tree.count("HashAggregate") % 2 == 0
+        assert tree.count("HashAggregate") >= 2
