@@ -4415,7 +4415,26 @@ def _q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_component_sql(n_iter: int = PCA_N_ITER) -> str:
+def _q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the top PC (pipeline/pca.pca_project)
+    — the 1-D whitened coordinate an IVF/PQ index would bucket on."""
+    from gunrock_spark.pipeline.pca import pca_power_iteration, pca_project
+
+    emb = _embeds(spark, sf_dir)
+    mu, v = pca_power_iteration(emb, vec_col="embedding", n_iter=PCA_N_ITER)
+    out = pca_project(emb, mu, v, id_col="vec_id", vec_col="embedding")
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _pca_scores_sql(n_iter: int = PCA_N_ITER) -> str:
+    prefix = _pca_trajectory_cte(n_iter)
+    return f"""{prefix}
+SELECT c.vec_id, ROUND(SUM(c.val * v{n_iter}.w), 6) AS score
+FROM c JOIN v{n_iter} USING (dim)
+GROUP BY c.vec_id"""
+
+
+def _pca_trajectory_cte(n_iter: int = PCA_N_ITER) -> str:
     parts = [
         """
 WITH x AS MATERIALIZED (
@@ -4442,12 +4461,14 @@ v{i} AS MATERIALIZED (
   SELECT dim, u / (SELECT sqrt(SUM(u * u)) FROM u{i}) AS w
   FROM u{i})"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _pca_component_sql(n_iter: int = PCA_N_ITER) -> str:
+    prefix = _pca_trajectory_cte(n_iter)
+    return f"""{prefix}
 SELECT mu.dim, ROUND(mu.m, 6) AS mu, ROUND(v{n_iter}.w, 6) AS loading
 FROM mu JOIN v{n_iter} USING (dim)"""
-    )
-    return "".join(parts)
 
 
 def _q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7488,6 +7509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "nb_quality_scores": _q_nb_quality,
         "pca_component": _q_pca_component,
+        "pca_scores": _q_pca_scores,
         "c4_clean_docs": _q_c4_clean,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -7658,6 +7680,7 @@ FROM events GROUP BY 1, 2""",
         "bigram_lm_ppl": _bigram_lm_ppl_sql(),
         "nb_quality_scores": _nb_quality_sql(),
         "pca_component": _pca_component_sql(),
+        "pca_scores": _pca_scores_sql(),
         "c4_clean_docs": _c4_clean_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),
