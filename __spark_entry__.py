@@ -5741,6 +5741,62 @@ GROUP BY a.v, b.v"""
     )
 
 
+KHOP_FANOUTS = [3, 2]
+KHOP_SEED = 6
+KHOP_SEED_MOD = 17
+KHOP_SEED_REM = 3
+
+
+def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style bounded-fanout k-hop neighbor sampling
+    (algorithms/walks.py::khop_neighbor_sample): layer-wise frontier,
+    fanout draws with replacement deduped, all-integer hash — the
+    DuckDB oracle replays the identical sampled blocks."""
+    from gunrock_spark.algorithms.walks import khop_neighbor_sample
+
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices.where(
+        F.pmod(F.col("v"), F.lit(KHOP_SEED_MOD)) == KHOP_SEED_REM
+    )
+    return khop_neighbor_sample(g, KHOP_FANOUTS, seeds=seeds, seed=KHOP_SEED)
+
+
+def _khop_sql(
+    fanouts: list[int] = KHOP_FANOUTS,
+    seed: int = KHOP_SEED,
+    mod: int = KHOP_SEED_MOD,
+    rem: int = KHOP_SEED_REM,
+) -> str:
+    """khop_neighbor_sample unrolled: per hop, each frontier vertex
+    draws fanout ranks with the (v, hop, j) integer hash, deduped;
+    the next frontier is the distinct sampled dst set."""
+    from gunrock_spark.algorithms.walks import HASH_A, HASH_P, HASH_STEP, HASH_WALK
+
+    body = [
+        *_WALK_BASE_CTES,
+        f"f0 AS (SELECT v FROM verts WHERE v % {mod} = {rem})",
+    ]
+    for t, fanout in enumerate(fanouts, start=1):
+        js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(fanout))
+        body.append(
+            f"""e{t} AS MATERIALIZED (
+  SELECT DISTINCT f.v AS src, r.dst AS dst
+  FROM f{t - 1} f
+  JOIN degl dg ON dg.v = f.v
+  CROSS JOIN ({js}) js
+  JOIN ranked r ON r.src = f.v
+   AND r.rnk = ((f.v % {HASH_P}) * {HASH_A} + {t * HASH_STEP}
+                + js.j * {HASH_WALK} + {seed}) % {HASH_P} % dg.d
+)"""
+        )
+        body.append(f"f{t} AS (SELECT DISTINCT dst AS v FROM e{t})")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS hop, src, dst FROM e{t}"
+        for t in range(1, len(fanouts) + 1)
+    )
+    return "WITH " + _EDGES_CTES + ",\n" + ",\n".join(body) + "\n" + selects
+
+
 def _walk_hash_sql(cur_expr: str, t: int, walks: int, seed: int) -> str:
     """The walks determinism contract's hash, as a SQL expression —
     wid = start * walks_per_vertex + walk is mixed in so walks that
@@ -7528,6 +7584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "cms_estimates": _q_cms_estimates,
         "random_walks_k3": _q_random_walks,
+        "khop_sample_f3f2": _q_khop_sample,
         "weighted_walks_k3": _q_weighted_walks,
         "skipgram_pairs_w2": _q_skipgram,
         "node2vec_walks_k3": _q_node2vec_walks,
@@ -7699,6 +7756,7 @@ FROM events GROUP BY 1, 2""",
         "hll_distinct": _hll_distinct_sql(),
         "cms_estimates": _cms_estimates_sql(),
         "random_walks_k3": _walks_sql(),
+        "khop_sample_f3f2": _khop_sql(),
         "weighted_walks_k3": _weighted_walks_sql(),
         "skipgram_pairs_w2": _skipgram_sql(),
         "node2vec_walks_k3": _node2vec_sql(),

@@ -423,6 +423,99 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     )
 
 
+def khop_neighbor_sample(
+    graph: EdgeTable,
+    fanouts: list[int],
+    *,
+    seeds: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame[hop, src, dst]: deterministic bounded-fanout k-hop
+    neighbor sampling — the mini-batch block builder for GraphSAGE /
+    layer-sampled GNN training over the link graph (Hamilton et al.
+    2017 §3.1; layer-wise frontier sharing as in FastGCN/LADIES;
+    public knowledge). ``fanouts[t-1]`` is hop t's fanout.
+
+    Contract (what makes the blocks oracle-able in ANSI SQL):
+
+      frontier_0 = distinct seed vertices (default: every vertex)
+      hop t:     for each frontier vertex v with out-degree d > 0 and
+                 each draw j = 0..fanout-1,
+                   rnk_j = H(v, t, j, seed) % d
+                   H     = ((v % P)*A + t*HASH_STEP + j*HASH_WALK
+                            + seed) % P
+                 sampled edges = DISTINCT (v, neighbor at rank rnk_j)
+                 frontier_t    = distinct sampled dst
+      output:    union over hops of (hop, src, dst)
+
+    Draws are WITH replacement then deduplicated (standard GNN-loader
+    behavior), so a vertex contributes <= min(fanout, d) distinct
+    neighbors. Draws are shared per (vertex, hop) across every seed
+    that reaches the vertex — layer-wise sampling — which is what
+    lets the frontier be a distinct vertex SET instead of a per-seed
+    multiset.
+
+    Scale shape (100 TB link graph): the ranked layout is the same
+    one-off per-src window as every walk op; each hop is one fanout-
+    explode (f rows per frontier vertex — hub adjacency is never
+    materialized), one (src, rnk) equi-join, and one distinct. The
+    frontier grows <= xf per hop but is distinct-bounded by |V|, and
+    a 10^7-degree hub costs exactly f lookups, not 10^7 rows.
+    """
+    if not fanouts:
+        raise ValueError("fanouts must be a non-empty list")
+    if any(f < 1 for f in fanouts):
+        raise ValueError("every fanout must be >= 1")
+
+    ranked = ranked_adjacency(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted: list[DataFrame] = [ranked]
+    outdeg = graph.degrees.select("v", "out_degree").where(F.col("out_degree") > 0)
+
+    if seeds is None:
+        seeds = graph.vertices
+    frontier = seeds.select(F.col("v").cast("long").alias("v")).distinct()
+
+    levels: list[DataFrame] = []
+    for t, fanout in enumerate(fanouts, start=1):
+        draws = (
+            frontier.join(outdeg, "v")
+            .select(
+                F.col("v").alias("cur"),
+                "out_degree",
+                F.explode(F.sequence(F.lit(0), F.lit(int(fanout) - 1))).alias("j"),
+            )
+            .withColumn(
+                "target",
+                F.pmod(
+                    F.pmod(
+                        F.pmod(F.col("cur"), F.lit(HASH_P)) * HASH_A
+                        + F.lit(t * HASH_STEP)
+                        + F.col("j") * HASH_WALK
+                        + F.lit(int(seed)),
+                        F.lit(HASH_P),
+                    ),
+                    F.col("out_degree"),
+                ),
+            )
+            .select("cur", "target")
+        )
+        hop_edges = (
+            draws.join(
+                ranked,
+                (draws["cur"] == ranked["src"]) & (draws["target"] == ranked["rnk"]),
+            )
+            .select("src", "dst")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        persisted.append(hop_edges)
+        levels.append(
+            hop_edges.select(F.lit(t).cast("int").alias("hop"), "src", "dst")
+        )
+        frontier = hop_edges.select(F.col("dst").alias("v")).distinct()
+    return _finish(levels, persisted)
+
+
 NEG_CTX = 104_729  # context multiplier (reuses HASH_WALK's prime)
 NEG_J = 7_919      # per-negative multiplier (reuses HASH_STEP's prime)
 

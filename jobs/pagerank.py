@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp", "widest",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "trussness", "mis",
-                             "walks", "node2vec", "wwalks", "simrank",
+                             "walks", "node2vec", "wwalks", "khop", "simrank",
                              "scc", "bowtie", "anf", "disthist", "effdiam",
                              "harmonic", "closeness", "icspread", "percolation",
                              "ddseeds", "attack",
@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="walks/node2vec: emit skip-gram (center, "
                          "context, n) pair counts within this window "
                          "instead of raw walks (0 = raw walks)")
+    ap.add_argument("--fanouts", type=int, nargs="+", default=[3, 2],
+                    metavar="F",
+                    help="khop: per-hop neighbor fanouts (GraphSAGE "
+                         "block sampling), e.g. --fanouts 10 5")
     ap.add_argument("--p", type=int, default=1,
                     help="node2vec return penalty (positive integer)")
     ap.add_argument("--q", type=int, default=1,
@@ -481,6 +485,13 @@ def main(argv: list[str] | None = None) -> int:
             q=args.q,
             walks_per_vertex=args.walks_per_vertex,
             seed=args.seed,
+        )
+    elif args.algorithm == "khop":
+        from gunrock_spark.algorithms.walks import khop_neighbor_sample
+
+        res = None
+        out_df = khop_neighbor_sample(
+            graph, args.fanouts, seed=args.seed
         )
     elif args.algorithm == "msf":
         from gunrock_spark.algorithms.msf import minimum_spanning_forest

@@ -146,6 +146,54 @@ def test_walks_same_vertex_same_step_decorrelated(spark):
     assert rows[(0, 2)] != rows[(1, 2)]
 
 
+def _py_khop(edges, fanouts, seed, seeds=None):
+    """khop_neighbor_sample's documented contract, straight-line."""
+    adj, verts = _adj(edges)
+    frontier = sorted(verts) if seeds is None else sorted(set(seeds))
+    out = []
+    for t, fanout in enumerate(fanouts, start=1):
+        hop_edges = set()
+        for v in frontier:
+            nbrs = adj.get(v)
+            if not nbrs:
+                continue
+            for j in range(fanout):
+                h = ((v % HASH_P) * HASH_A + t * HASH_STEP + j * HASH_WALK + seed) % HASH_P
+                hop_edges.add((v, nbrs[h % len(nbrs)]))
+        out.extend((t, s, d) for s, d in sorted(hop_edges))
+        frontier = sorted({d for _, d in hop_edges})
+    return sorted(out)
+
+
+def test_khop_sample_matches_python_oracle(spark):
+    from gunrock_spark.algorithms.walks import khop_neighbor_sample
+
+    edges = _rand_edges(n_v=50, n_e=260, seed=13)
+    got = khop_neighbor_sample(_graph(spark, edges), [3, 2], seed=6)
+    rows = sorted((r.hop, r.src, r.dst) for r in got.collect())
+    assert rows == _py_khop(edges, [3, 2], 6)
+
+
+def test_khop_sample_bounded_fanout_and_seeded(spark):
+    from gunrock_spark.algorithms.walks import khop_neighbor_sample
+
+    edges = _rand_edges(n_v=40, n_e=400, seed=21)
+    g = _graph(spark, edges)
+    seeds = spark.createDataFrame([(0,), (7,), (13,)], "v long")
+    got = khop_neighbor_sample(g, [2, 3], seeds=seeds, seed=1)
+    rows = [(r.hop, r.src, r.dst) for r in got.collect()]
+    assert sorted(rows) == _py_khop(edges, [2, 3], 1, seeds=[0, 7, 13])
+    # hop-1 sources are exactly the seed vertices that have out-edges
+    adj, _ = _adj(edges)
+    h1_src = {s for h, s, _ in rows if h == 1}
+    assert h1_src == {v for v in (0, 7, 13) if adj.get(v)}
+    # <= fanout distinct neighbors per (hop, src)
+    from collections import Counter
+
+    per = Counter((h, s) for h, s, _ in rows)
+    assert all(n <= (2 if h == 1 else 3) for (h, _), n in per.items())
+
+
 def test_node2vec_matches_python_oracle(spark):
     edges = _rand_edges(n_v=40, n_e=200, seed=11)
     got = node2vec_walks(
