@@ -526,10 +526,9 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM labels GROUP BY label"
     )
 
 
-def _lp_mode_sql(k: int = LP_MODE_ITERS) -> str:
-    """k rounds of synchronous mode-label propagation over the
-    undirected graph; ties -> smallest label (the engine's max_by on
-    (count, -label))."""
+def _lp_mode_body(k: int) -> list[str]:
+    """The mode-LP unroll's CTE list (l0..lk), shared by the raw-label
+    oracle and the quotient-graph oracle."""
     body = ["l0 AS (SELECT v, v AS label FROM verts)"]
     for i in range(1, k + 1):
         body.append(
@@ -549,12 +548,37 @@ def _lp_mode_sql(k: int = LP_MODE_ITERS) -> str:
   ) nb ON nb.v = l.v
 )"""
         )
+    return body
+
+
+def _lp_mode_sql(k: int = LP_MODE_ITERS) -> str:
+    """k rounds of synchronous mode-label propagation over the
+    undirected graph; ties -> smallest label (the engine's max_by on
+    (count, -label))."""
     return (
         "WITH "
         + _EDGES_CTES
         + ",\n"
-        + ",\n".join(body)
+        + ",\n".join(_lp_mode_body(k))
         + f"\nSELECT v, label FROM l{k}"
+    )
+
+
+def _community_graph_sql(k: int = LP_MODE_ITERS) -> str:
+    """graph/coarsen.py::contract_by_labels over the mode-LP labels:
+    quotient edges (label(src), label(dst)) with collapsed-edge-count
+    weights, self-loops kept (the intra-community mass)."""
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(_lp_mode_body(k))
+        + f"""
+SELECT la.label AS src, lb.label AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+FROM edges e
+JOIN l{k} la ON la.v = e.src
+JOIN l{k} lb ON lb.v = e.dst
+GROUP BY la.label, lb.label"""
     )
 
 
@@ -1756,6 +1780,16 @@ def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(_graph(spark, sf_dir), mode="mode", max_iter=LP_MODE_ITERS)
     return res.state.select("v", "label")
+
+
+def _q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient-graph contraction (graph/coarsen.py) under the mode-LP
+    labeling — the multi-level coarsening step, self-loops kept."""
+    from gunrock_spark.graph.coarsen import contract_by_labels
+
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g, mode="mode", max_iter=LP_MODE_ITERS).state
+    return contract_by_labels(g, labels.select("v", "label"))
 
 
 SEEDED_LP_ITERS = 6
@@ -7482,6 +7516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels": _q_cc,
         "component_sizes": _q_component_sizes,
         "lp_mode3": _q_lp_mode,
+        "community_graph_lp3": _q_community_graph,
         "louvain_k3": _q_louvain,
         "triangles_total": _q_triangles_total,
         "triangles_blocks": _q_triangles_blocks,
@@ -7650,6 +7685,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels": _cc_sql(),
         "component_sizes": _component_sizes_sql(),
         "lp_mode3": _lp_mode_sql(),
+        "community_graph_lp3": _community_graph_sql(),
         "louvain_k3": _louvain_sql(),
         "triangles_total": _triangles_total_sql(),
         "triangles_blocks": _triangles_total_sql(),

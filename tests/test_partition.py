@@ -109,3 +109,41 @@ def test_partial_agg_collapses_harder_on_placed_edges(spark, planted):
         assert exchange_rows(placed.edges) < 0.6 * exchange_rows(g.edges)
     finally:
         placed.unpersist()
+
+
+def test_contract_by_labels_matches_hand_oracle(spark):
+    """Quotient graph of a 6-vertex toy under a 2-community labeling:
+    weights count collapsed original edges; self-loops carry the
+    intra-community mass; drop_self_loops removes exactly them."""
+    from gunrock_spark.graph.coarsen import contract_by_labels
+
+    #  A = {0,1,2}, B = {3,4,5}
+    edges = [(0, 1), (1, 2), (2, 0),          # A-internal: 3
+             (3, 4), (4, 5),                  # B-internal: 2
+             (0, 3), (1, 4),                  # A->B: 2
+             (5, 2)]                          # B->A: 1
+    g = EdgeTable.from_df(spark.createDataFrame(edges, "src long, dst long"))
+    labels = spark.createDataFrame(
+        [(v, 10 if v < 3 else 20) for v in range(6)], "v long, label long"
+    )
+    got = {
+        (r.src, r.dst): r.weight
+        for r in contract_by_labels(g, labels).collect()
+    }
+    assert got == {(10, 10): 3, (20, 20): 2, (10, 20): 2, (20, 10): 1}
+    no_loops = {
+        (r.src, r.dst): r.weight
+        for r in contract_by_labels(g, labels, drop_self_loops=True).collect()
+    }
+    assert no_loops == {(10, 20): 2, (20, 10): 1}
+
+
+def test_contract_unlabeled_endpoint_drops_edge(spark):
+    from gunrock_spark.graph.coarsen import contract_by_labels
+
+    g = EdgeTable.from_df(
+        spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    )
+    labels = spark.createDataFrame([(0, 7), (1, 7)], "v long, label long")
+    got = {(r.src, r.dst): r.weight for r in contract_by_labels(g, labels).collect()}
+    assert got == {(7, 7): 1}  # (1,2) dropped: 2 is unlabeled
