@@ -6442,6 +6442,70 @@ def _scc_sql() -> str:
     )
 
 
+def _q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG — the quotient of a directed graph under its
+    SCC labeling (graph/coarsen.py composed with algorithms/scc.py),
+    self-loops dropped: the acyclic super-graph every reachability /
+    topological analysis runs on. The derived graph is one giant SCC
+    (its condensation is a single vertex), so the query runs on a
+    deterministically THINNED subgraph — all forward (src < dst) edges
+    plus the back edges with (src*7 + dst*13) % 19 < 5, the same
+    public hash family as the weighted view — which has real SCC
+    structure."""
+    from gunrock_spark.algorithms.scc import strongly_connected_components
+    from gunrock_spark.graph.coarsen import contract_by_labels
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    g = _graph(spark, sf_dir)
+    sub = EdgeTable.from_df(
+        g.edges.where(
+            (F.col("src") < F.col("dst"))
+            | (F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(19)) < 5)
+        )
+    )
+    labels = strongly_connected_components(sub).state.select(
+        "v", F.col("scc").alias("label")
+    )
+    return contract_by_labels(sub, labels, drop_self_loops=True)
+
+
+def _condensation_sql() -> str:
+    """The thinned subgraph's SCC labels (declarative transitive
+    closure) + the contraction aggregate, self-loops excluded."""
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + """,
+edges2 AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  WHERE src < dst OR (src * 7 + dst * 13) % 19 < 5
+),
+verts2 AS (SELECT src AS v FROM edges2 UNION SELECT dst AS v FROM edges2),
+reach2 AS MATERIALIZED (
+  WITH RECURSIVE rr(s, d) AS (
+    SELECT src, dst FROM edges2
+    UNION
+    SELECT rr.s, e.dst FROM rr JOIN edges2 e ON e.src = rr.d
+  ) SELECT s, d FROM rr
+),
+mutual2 AS (
+  SELECT r1.s AS u, r1.d AS v
+  FROM reach2 r1 JOIN reach2 r2 ON r2.s = r1.d AND r2.d = r1.s
+),
+sccs2 AS MATERIALIZED (
+  SELECT vt.v, LEAST(vt.v, COALESCE(MIN(m.u), vt.v)) AS scc
+  FROM verts2 vt LEFT JOIN mutual2 m ON m.v = vt.v
+  GROUP BY vt.v
+)
+SELECT la.scc AS src, lb.scc AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+FROM edges2 e
+JOIN sccs2 la ON la.v = e.src
+JOIN sccs2 lb ON lb.v = e.dst
+WHERE la.scc <> lb.scc
+GROUP BY la.scc, lb.scc"""
+    )
+
+
 def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder bowtie partition (core/in/out/other) around the largest
     SCC — the canonical Common-Crawl-scale web-structure analysis."""
@@ -7630,6 +7694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_k4_edges": _q_ktruss,
         "trussness_cap6": _q_trussness,
         "scc_labels": _q_scc,
+        "condensation_dag": _q_condensation,
         "bowtie_parts": _q_bowtie,
         "anf_nf_t4": _q_anf_nf,
         "anf_balls_t2": _q_anf_balls,
@@ -7803,6 +7868,7 @@ FROM events GROUP BY 1, 2""",
         "ktruss_k4_edges": _ktruss_sql(),
         "trussness_cap6": _trussness_sql(),
         "scc_labels": _scc_sql(),
+        "condensation_dag": _condensation_sql(),
         "bowtie_parts": _bowtie_sql(),
         "anf_nf_t4": _anf_nf_sql(),
         "distance_histogram_t4": _distance_histogram_sql(),
