@@ -423,6 +423,49 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     )
 
 
+def _khop_hop(
+    frontier: DataFrame,
+    ranked: DataFrame,
+    outdeg: DataFrame,
+    fanout: int,
+    t: int,
+    seed: int,
+) -> DataFrame:
+    """One sampling hop: fanout explode -> hash target rank ->
+    (src, rnk) equi-join -> distinct. The plan shape gated by
+    tests/test_plans.py — no window, no Python, no cartesian."""
+    draws = (
+        frontier.join(outdeg, "v")
+        .select(
+            F.col("v").alias("cur"),
+            "out_degree",
+            F.explode(F.sequence(F.lit(0), F.lit(int(fanout) - 1))).alias("j"),
+        )
+        .withColumn(
+            "target",
+            F.pmod(
+                F.pmod(
+                    F.pmod(F.col("cur"), F.lit(HASH_P)) * HASH_A
+                    + F.lit(t * HASH_STEP)
+                    + F.col("j") * HASH_WALK
+                    + F.lit(int(seed)),
+                    F.lit(HASH_P),
+                ),
+                F.col("out_degree"),
+            ),
+        )
+        .select("cur", "target")
+    )
+    return (
+        draws.join(
+            ranked,
+            (draws["cur"] == ranked["src"]) & (draws["target"] == ranked["rnk"]),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+
+
 def khop_neighbor_sample(
     graph: EdgeTable,
     fanouts: list[int],
@@ -477,36 +520,8 @@ def khop_neighbor_sample(
 
     levels: list[DataFrame] = []
     for t, fanout in enumerate(fanouts, start=1):
-        draws = (
-            frontier.join(outdeg, "v")
-            .select(
-                F.col("v").alias("cur"),
-                "out_degree",
-                F.explode(F.sequence(F.lit(0), F.lit(int(fanout) - 1))).alias("j"),
-            )
-            .withColumn(
-                "target",
-                F.pmod(
-                    F.pmod(
-                        F.pmod(F.col("cur"), F.lit(HASH_P)) * HASH_A
-                        + F.lit(t * HASH_STEP)
-                        + F.col("j") * HASH_WALK
-                        + F.lit(int(seed)),
-                        F.lit(HASH_P),
-                    ),
-                    F.col("out_degree"),
-                ),
-            )
-            .select("cur", "target")
-        )
-        hop_edges = (
-            draws.join(
-                ranked,
-                (draws["cur"] == ranked["src"]) & (draws["target"] == ranked["rnk"]),
-            )
-            .select("src", "dst")
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        hop_edges = _khop_hop(frontier, ranked, outdeg, fanout, t, seed).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         persisted.append(hop_edges)
         levels.append(

@@ -812,3 +812,45 @@ def test_bigram_and_nb_scoring_partial_agg_no_python(spark):
         # every aggregate is a partial/final pair: even count
         assert tree.count("HashAggregate") % 2 == 0
         assert tree.count("HashAggregate") >= 2
+
+
+def test_khop_hop_is_explode_equijoin_no_python_no_cartesian(spark):
+    """One khop hop = fanout explode + (src, rnk) equi-join + distinct:
+    no Python, no cartesian/NLJ, no per-vertex sort window beyond the
+    one-off ranked layout, hub adjacency never materialized."""
+    from gunrock_spark.algorithms.walks import _khop_hop, ranked_adjacency
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.sources.tables import derived_edges_df
+
+    g = EdgeTable.from_df(derived_edges_df(spark, SF))
+    # the layout is a persisted one-off; gate the per-hop plan the way
+    # the loop builds it — frontier over a MATERIALIZED layout
+    ranked = ranked_adjacency(g).localCheckpoint(eager=True)
+    outdeg = g.degrees.select("v", "out_degree").where(F.col("out_degree") > 0)
+    frontier = g.vertices.select("v").distinct()
+    plan = _plan(_khop_hop(frontier, ranked, outdeg, 3, 1, 6))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan and "explode" in plan  # the fanout explode
+    # no per-vertex sort window in the hop itself (the ranked layout
+    # was materialized above, exactly as the loop persists it)
+    assert "Window" not in plan
+
+
+def test_contract_by_labels_partial_agg_no_python(spark):
+    """Quotient contraction = two |E| equi-joins + ONE map-side-
+    combined groupBy: partial aggregation before the exchange, no
+    Python, no cartesian."""
+    from gunrock_spark.algorithms.label_propagation import label_propagation
+    from gunrock_spark.graph.coarsen import contract_by_labels
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.sources.tables import derived_edges_df
+
+    g = EdgeTable.from_df(derived_edges_df(spark, SF))
+    labels = label_propagation(g, mode="mode", max_iter=2).state.select("v", "label")
+    plan = _plan(contract_by_labels(g, labels))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
