@@ -6506,6 +6506,41 @@ GROUP BY la.scc, lb.scc"""
     )
 
 
+DAG_LEVEL_ROUNDS = 6
+
+
+def _q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological levels (algorithms/dag.py) of the forward (src <
+    dst) subgraph — guaranteed acyclic — capped at DAG_LEVEL_ROUNDS
+    synchronous rounds, so level(v) = longest path of length <= K
+    (the Bellman-Ford-max prefix property; the oracle bounds its
+    recursion depth identically)."""
+    from gunrock_spark.algorithms.dag import dag_levels
+
+    g = _graph(spark, sf_dir)
+    fwd = g.edges.where(F.col("src") < F.col("dst"))
+    res = dag_levels(fwd, max_iter=DAG_LEVEL_ROUNDS)
+    return res.state.select("v", "level")
+
+
+def _dag_levels_sql(k: int = DAG_LEVEL_ROUNDS) -> str:
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+fwd AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+fverts AS (SELECT src AS v FROM fwd UNION SELECT dst AS v FROM fwd),
+rr AS MATERIALIZED (
+  WITH RECURSIVE r(v, d) AS (
+    SELECT v, CAST(0 AS BIGINT) AS d FROM fverts
+    UNION
+    SELECT e.dst, r.d + 1 FROM r JOIN fwd e ON e.src = r.v WHERE r.d < {k}
+  ) SELECT v, d FROM r
+)
+SELECT v, CAST(MAX(d) AS BIGINT) AS level FROM rr GROUP BY v"""
+    )
+
+
 def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder bowtie partition (core/in/out/other) around the largest
     SCC — the canonical Common-Crawl-scale web-structure analysis."""
@@ -7695,6 +7730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness_cap6": _q_trussness,
         "scc_labels": _q_scc,
         "condensation_dag": _q_condensation,
+        "dag_levels_k6": _q_dag_levels,
         "bowtie_parts": _q_bowtie,
         "anf_nf_t4": _q_anf_nf,
         "anf_balls_t2": _q_anf_balls,
@@ -7869,6 +7905,7 @@ FROM events GROUP BY 1, 2""",
         "trussness_cap6": _trussness_sql(),
         "scc_labels": _scc_sql(),
         "condensation_dag": _condensation_sql(),
+        "dag_levels_k6": _dag_levels_sql(),
         "bowtie_parts": _bowtie_sql(),
         "anf_nf_t4": _anf_nf_sql(),
         "distance_histogram_t4": _distance_histogram_sql(),

@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "ktruss", "trussness", "mis",
                              "walks", "node2vec", "wwalks", "khop", "simrank",
-                             "scc", "bowtie", "anf", "disthist", "effdiam",
+                             "scc", "bowtie", "daglevels", "anf", "disthist", "effdiam",
                              "harmonic", "closeness", "icspread", "percolation",
                              "ddseeds", "attack",
                              "linkpred",
@@ -486,6 +486,11 @@ def main(argv: list[str] | None = None) -> int:
             walks_per_vertex=args.walks_per_vertex,
             seed=args.seed,
         )
+    elif args.algorithm == "daglevels":
+        from gunrock_spark.algorithms.dag import dag_levels
+
+        res = dag_levels(graph, max_iter=args.max_iter)
+        out_df = res.state
     elif args.algorithm == "khop":
         from gunrock_spark.algorithms.walks import khop_neighbor_sample
 
