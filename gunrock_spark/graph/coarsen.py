@@ -35,21 +35,35 @@ def contract_by_labels(
     labels: DataFrame,
     *,
     drop_self_loops: bool = False,
+    sum_weights: bool = False,
 ) -> DataFrame:
     """DataFrame[src, dst, weight]: the quotient graph of ``graph``
     under ``labels`` (columns v, label — every edge endpoint must be
     labeled; unlabeled endpoints drop the edge, matching an inner
-    join's semantics). ``weight`` counts collapsed original edges;
+    join's semantics). ``weight`` counts collapsed original edges, or
+    SUMS their integer weights when ``sum_weights`` (requires a
+    weighted EdgeTable — the Louvain-coarsening aggregation);
     (A, A) rows are the intra-cluster mass unless ``drop_self_loops``.
     """
+    if sum_weights and not graph.weighted:
+        raise ValueError("sum_weights requires a weighted EdgeTable")
     lab_s = labels.select(F.col("v").alias("_sv"), F.col("label").alias("src"))
     lab_d = labels.select(F.col("v").alias("_dv"), F.col("label").alias("dst"))
-    e = graph.edges.select(F.col("src").alias("_es"), F.col("dst").alias("_ed"))
+    e = graph.edges.select(
+        F.col("src").alias("_es"),
+        F.col("dst").alias("_ed"),
+        *([F.col("weight").cast("long").alias("_w")] if sum_weights else []),
+    )
+    agg = (
+        F.sum("_w").cast("long").alias("weight")
+        if sum_weights
+        else F.count(F.lit(1)).cast("long").alias("weight")
+    )
     q = (
         e.join(lab_s, e["_es"] == lab_s["_sv"])
         .join(lab_d, e["_ed"] == lab_d["_dv"])
         .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .agg(agg)
     )
     if drop_self_loops:
         q = q.where(F.col("src") != F.col("dst"))

@@ -147,3 +147,31 @@ def test_contract_unlabeled_endpoint_drops_edge(spark):
     labels = spark.createDataFrame([(0, 7), (1, 7)], "v long, label long")
     got = {(r.src, r.dst): r.weight for r in contract_by_labels(g, labels).collect()}
     assert got == {(7, 7): 1}  # (1,2) dropped: 2 is unlabeled
+
+
+def test_contract_sum_weights(spark):
+    from gunrock_spark.graph.coarsen import contract_by_labels
+
+    g = EdgeTable.from_df(
+        spark.createDataFrame(
+            [(0, 1, 5), (1, 0, 2), (0, 2, 3), (2, 1, 7)],
+            "src long, dst long, w long",
+        ),
+        weight="w",
+    )
+    labels = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 200)], "v long, label long"
+    )
+    got = {
+        (r.src, r.dst): r.weight
+        for r in contract_by_labels(g, labels, sum_weights=True).collect()
+    }
+    assert got == {(100, 100): 7, (100, 200): 3, (200, 100): 7}
+
+    import pytest as _pytest
+
+    unweighted = EdgeTable.from_df(
+        spark.createDataFrame([(0, 1)], "src long, dst long")
+    )
+    with _pytest.raises(ValueError):
+        contract_by_labels(unweighted, labels, sum_weights=True)
