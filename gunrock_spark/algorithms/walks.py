@@ -472,12 +472,18 @@ def khop_neighbor_sample(
     *,
     seeds: DataFrame | None = None,
     seed: int = 42,
+    direction: str = "out",
 ) -> DataFrame:
     """DataFrame[hop, src, dst]: deterministic bounded-fanout k-hop
     neighbor sampling — the mini-batch block builder for GraphSAGE /
     layer-sampled GNN training over the link graph (Hamilton et al.
     2017 §3.1; layer-wise frontier sharing as in FastGCN/LADIES;
     public knowledge). ``fanouts[t-1]`` is hop t's fanout.
+
+    ``direction="in"`` samples IN-neighbors (who links to the frontier
+    — the backlink blocks web-graph GNNs usually want): the identical
+    contract over the reversed edge table's cached CSC layout, with
+    output (src, dst) = (frontier vertex, sampled in-neighbor).
 
     Contract (what makes the blocks oracle-able in ANSI SQL):
 
@@ -509,6 +515,10 @@ def khop_neighbor_sample(
         raise ValueError("fanouts must be a non-empty list")
     if any(f < 1 for f in fanouts):
         raise ValueError("every fanout must be >= 1")
+    if direction not in ("out", "in"):
+        raise ValueError("direction must be 'out' or 'in'")
+    if direction == "in":
+        graph = graph.reversed_layout()
 
     ranked = ranked_adjacency(graph).persist(StorageLevel.MEMORY_AND_DISK)
     persisted: list[DataFrame] = [ranked]

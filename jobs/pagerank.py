@@ -93,6 +93,9 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="F",
                     help="khop: per-hop neighbor fanouts (GraphSAGE "
                          "block sampling), e.g. --fanouts 10 5")
+    ap.add_argument("--direction", default="out", choices=["out", "in"],
+                    help="khop: sample out-neighbors or in-neighbors "
+                         "(backlink blocks)")
     ap.add_argument("--p", type=int, default=1,
                     help="node2vec return penalty (positive integer)")
     ap.add_argument("--q", type=int, default=1,
@@ -496,7 +499,7 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = khop_neighbor_sample(
-            graph, args.fanouts, seed=args.seed
+            graph, args.fanouts, seed=args.seed, direction=args.direction
         )
     elif args.algorithm == "msf":
         from gunrock_spark.algorithms.msf import minimum_spanning_forest

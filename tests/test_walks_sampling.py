@@ -490,3 +490,18 @@ def test_weighted_walks_heavy_edge_dominates(spark):
         .collect()
     ]
     assert len(hops) == 20 and hops.count(1) >= 19
+
+
+def test_khop_in_direction_is_reverse_contract(spark):
+    """direction='in' == the out-contract over the reversed edges."""
+    from gunrock_spark.algorithms.walks import khop_neighbor_sample
+
+    edges = _rand_edges(n_v=40, n_e=300, seed=17)
+    rev = [(d, s) for s, d in edges]
+    got = sorted(
+        (r.hop, r.src, r.dst)
+        for r in khop_neighbor_sample(
+            _graph(spark, edges), [2, 2], seed=3, direction="in"
+        ).collect()
+    )
+    assert got == _py_khop(rev, [2, 2], 3)
