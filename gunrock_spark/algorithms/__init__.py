@@ -44,7 +44,12 @@ from gunrock_spark.algorithms.motifs import (
     square_count_df,
     squares_per_vertex,
 )
-from gunrock_spark.algorithms.walks import negative_samples, random_walks
+from gunrock_spark.algorithms.dag import dag_levels
+from gunrock_spark.algorithms.walks import (
+    khop_neighbor_sample,
+    negative_samples,
+    random_walks,
+)
 from gunrock_spark.algorithms.subgraph_match import (
     subgraph_match,
     subgraph_match_count,
@@ -91,6 +96,8 @@ __all__ = [
     "core_numbers",
     "negative_samples",
     "random_walks",
+    "khop_neighbor_sample",
+    "dag_levels",
     "conductance",
     "modularity",
     "landmark_distances",

@@ -1,3 +1,4 @@
+from gunrock_spark.graph.coarsen import contract_by_labels
 from gunrock_spark.graph.edge_table import EdgeTable
 from gunrock_spark.graph.sparsify import sparsify_edges
 from gunrock_spark.graph.io import (
@@ -9,6 +10,7 @@ from gunrock_spark.graph.io import (
 
 __all__ = [
     "EdgeTable",
+    "contract_by_labels",
     "sparsify_edges",
     "read_mtx",
     "write_mtx",
