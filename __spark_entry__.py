@@ -6506,6 +6506,61 @@ GROUP BY la.scc, lb.scc"""
     )
 
 
+SPECTRAL_ITERS = 6
+
+
+def _q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiedler-vector power iteration (algorithms/spectral.py):
+    fixed trajectory from a fixed hash start, so the unrolled SQL
+    oracle replays the identical contraction; output rounded to 6
+    digits (the PageRank float contract)."""
+    from gunrock_spark.algorithms.spectral import spectral_bisection
+
+    res = spectral_bisection(_graph(spark, sf_dir), n_iter=SPECTRAL_ITERS)
+    return res.select("v", F.round("f", 6).alias("f"))
+
+
+def _spectral_sql(k: int = SPECTRAL_ITERS, seed: int = 42) -> str:
+    from gunrock_spark.algorithms.spectral import SPECTRAL_A, SPECTRAL_P
+
+    body = [
+        "sdeg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d"
+        " FROM sym GROUP BY src)",
+        "cshift AS (SELECT MAX(d) + 1.0 AS c FROM sdeg)",
+        f"""x0 AS MATERIALIZED (
+  SELECT v, d,
+         ((v * {SPECTRAL_A} + {seed}) % {SPECTRAL_P}) / {SPECTRAL_P}.0 - 0.5 AS x
+  FROM sdeg
+)""",
+    ]
+    for t in range(1, k + 1):
+        body.extend((
+            f"""y{t} AS MATERIALIZED (
+  SELECT x.v, x.d,
+         ((SELECT c FROM cshift) - x.d) * x.x + COALESCE(s.s, 0.0) AS y
+  FROM x{t - 1} x
+  LEFT JOIN (SELECT e.dst AS nv, SUM(p.x) AS s
+             FROM sym e JOIN x{t - 1} p ON p.v = e.src GROUP BY e.dst) s
+    ON s.nv = x.v
+)""",
+            f"""st{t} AS (SELECT SUM(y) AS sy, SUM(y*y) AS syy,
+  CAST(COUNT(*) AS DOUBLE) AS n FROM y{t})""",
+            f"""x{t} AS MATERIALIZED (
+  SELECT y.v, y.d,
+         (y.y - st.sy / st.n)
+           / SQRT(GREATEST(st.syy - st.n * (st.sy/st.n) * (st.sy/st.n), 0.0)) AS x
+  FROM y{t} y, st{t} st
+)""",
+        ))
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + f"\nSELECT v, ROUND(x, 6) AS f FROM x{k}"
+    )
+
+
 DAG_LEVEL_ROUNDS = 6
 
 
@@ -7731,6 +7786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_labels": _q_scc,
         "condensation_dag": _q_condensation,
         "dag_levels_k6": _q_dag_levels,
+        "spectral_fiedler_i6": _q_spectral,
         "bowtie_parts": _q_bowtie,
         "anf_nf_t4": _q_anf_nf,
         "anf_balls_t2": _q_anf_balls,
@@ -7906,6 +7962,7 @@ FROM events GROUP BY 1, 2""",
         "scc_labels": _scc_sql(),
         "condensation_dag": _condensation_sql(),
         "dag_levels_k6": _dag_levels_sql(),
+        "spectral_fiedler_i6": _spectral_sql(),
         "bowtie_parts": _bowtie_sql(),
         "anf_nf_t4": _anf_nf_sql(),
         "distance_histogram_t4": _distance_histogram_sql(),

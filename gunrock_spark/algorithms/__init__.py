@@ -45,6 +45,7 @@ from gunrock_spark.algorithms.motifs import (
     squares_per_vertex,
 )
 from gunrock_spark.algorithms.dag import dag_levels
+from gunrock_spark.algorithms.spectral import spectral_bisection
 from gunrock_spark.algorithms.walks import (
     khop_neighbor_sample,
     negative_samples,
@@ -98,6 +99,7 @@ __all__ = [
     "random_walks",
     "khop_neighbor_sample",
     "dag_levels",
+    "spectral_bisection",
     "conductance",
     "modularity",
     "landmark_distances",

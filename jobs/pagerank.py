@@ -55,7 +55,8 @@ def main(argv: list[str] | None = None) -> int:
                              "color", "katz", "eigenvector", "matching",
                              "trustrank", "spammass", "absorption", "squares",
                              "msf",
-                             "densest", "landmarks", "conductance"],
+                             "densest", "landmarks", "conductance",
+                             "fiedler"],
                     help="the reference CLI binaries' surface "
                          "(tests/{pr,cc,bfs,sssp,bc,hits,salsa,wtf,topk}) "
                          "plus the engine's k-core/coreness/walk extensions")
@@ -488,6 +489,13 @@ def main(argv: list[str] | None = None) -> int:
             q=args.q,
             walks_per_vertex=args.walks_per_vertex,
             seed=args.seed,
+        )
+    elif args.algorithm == "fiedler":
+        from gunrock_spark.algorithms.spectral import spectral_bisection
+
+        res = None
+        out_df = spectral_bisection(
+            graph, n_iter=min(args.max_iter, 50), seed=args.seed
         )
     elif args.algorithm == "daglevels":
         from gunrock_spark.algorithms.dag import dag_levels

@@ -190,6 +190,7 @@ def test_job_pages_generate_zero_is_clear_argparse_error(spark, tmp_path, capsys
         ("node2vec", ["--walk-length", "3", "--p", "2", "--q", "3"]),
         ("khop", ["--fanouts", "3", "2"]),
         ("daglevels", ["--max-iter", "4"]),
+        ("fiedler", ["--max-iter", "4"]),
         ("wwalks", ["--walk-length", "3", "--walks-per-vertex", "2"]),
         ("simrank", ["--walk-length", "3", "--walks-per-vertex", "4",
                      "--num-sources", "3"]),
