@@ -228,6 +228,65 @@ def write_ligra_adj(graph: EdgeTable, path: str) -> None:
     _write_single_text(header.unionByName(offsets).unionByName(cols), path)
 
 
+def read_ligra_adj(
+    spark: SparkSession, path: str, num_partitions: int | None = None
+) -> EdgeTable:
+    """Parse a Ligra AdjacencyGraph text file (the inverse of
+    :func:`write_ligra_adj`; format: header line, n, m, n row-offsets,
+    m column indices) into a cleaned EdgeTable.
+
+    Scale shape: line numbering via one ``zipWithIndex`` pass (the
+    read_mtx ingest pattern), then each vertex's offset interval is
+    EXPLODED into (position, src) rows — total m rows, linear — and
+    equi-joined to the column-index rows on position. No range join,
+    no driver-side adjacency materialization."""
+    lines = (
+        spark.read.text(path)
+        .where(F.trim("value") != "")
+        .rdd.zipWithIndex()
+        .toDF(["row", "idx"])
+        .select(F.trim(F.col("row.value")).alias("value"), "idx")
+    )
+    lines = lines.persist()
+    try:
+        head = {
+            int(r["idx"]): r["value"] for r in lines.where(F.col("idx") < 3).collect()
+        }
+        if head.get(0) != "AdjacencyGraph":
+            raise ValueError(f"not a Ligra AdjacencyGraph file: {path}")
+        n, m = int(head[1]), int(head[2])
+        offsets = lines.where(
+            (F.col("idx") >= 3) & (F.col("idx") < 3 + n)
+        ).select(
+            (F.col("idx") - 3).alias("v"), F.col("value").cast("long").alias("off")
+        )
+        # degree via the NEXT vertex's offset — an equi-join on v+1,
+        # not a global window; the last vertex's interval ends at m
+        nxt = offsets.select(
+            (F.col("v") - 1).alias("v"), F.col("off").alias("next_off")
+        )
+        spans = (
+            offsets.join(nxt, "v", "left")
+            .select(
+                "v", "off", F.coalesce("next_off", F.lit(int(m))).alias("next_off")
+            )
+            .where(F.col("next_off") > F.col("off"))
+        )
+        positions = spans.select(
+            F.col("v").alias("src"),
+            F.explode(
+                F.sequence(F.col("off"), F.col("next_off") - 1)
+            ).alias("p"),
+        )
+        targets = lines.where(F.col("idx") >= 3 + n).select(
+            (F.col("idx") - 3 - n).alias("p"), F.col("value").cast("long").alias("dst")
+        )
+        e = positions.join(targets, "p").select("src", "dst")
+        return EdgeTable.from_df(e, num_partitions=num_partitions)
+    finally:
+        lines.unpersist()
+
+
 def save_edge_table_clustered(
     graph: EdgeTable,
     labels: DataFrame,

@@ -112,6 +112,35 @@ def test_write_ligra_adj(spark, tmp_path):
     assert got == set(G_PR4)
 
 
+def test_ligra_adj_roundtrip(spark, tmp_path):
+    """write_ligra_adj -> read_ligra_adj recovers the exact edge set,
+    including empty-adjacency vertices in the offset table."""
+    import random
+
+    from gunrock_spark.graph.io import read_ligra_adj, write_ligra_adj
+
+    rng = random.Random(23)
+    edges = sorted({(rng.randrange(80), rng.randrange(80)) for _ in range(400)})
+    edges = [(s, d) for s, d in edges if s != d]
+    g = EdgeTable.from_df(spark.createDataFrame(edges, "src long, dst long"))
+    p = tmp_path / "rt.adj"
+    write_ligra_adj(g, str(p))
+    back = read_ligra_adj(spark, str(p))
+    got = {(r.src, r.dst) for r in back.edges.collect()}
+    assert got == set(edges)
+
+
+def test_read_ligra_adj_rejects_non_adj(spark, tmp_path):
+    import pytest as _pytest
+
+    from gunrock_spark.graph.io import read_ligra_adj
+
+    p = tmp_path / "bad.adj"
+    p.write_text("NotAGraph\n1\n1\n0\n0\n")
+    with _pytest.raises(ValueError):
+        read_ligra_adj(spark, str(p))
+
+
 def test_write_mtx_roundtrip_1m_edges(spark, tmp_path):
     """Distributed export at real size: ~1M-edge R-MAT graph written
     with the no-collect single-file writer, re-read, edge sets equal
