@@ -51,7 +51,17 @@ spark = build_session(
     master=f"local[{{cpus}}]",
     shuffle_partitions=cpus,
     adaptive=False,
-    extra_conf={{"spark.sql.autoBroadcastJoinThreshold": "-1"}},
+    extra_conf={{
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # JDK NIO race mitigation: at very low core counts the CC
+        # runs spill heavily and the spill-read ReadAheadInputStream
+        # reproducibly dies in sun.nio.ch.NativeThreadSet.remove
+        # (ArrayIndexOutOfBoundsException: -1) on this JDK; the
+        # read-ahead is an I/O optimization only — disabling it does
+        # not change plans or results, and the measured regime is
+        # compute-dominant
+        "spark.unsafe.sorter.spill.read.ahead.enabled": "false",
+    }},
 )
 spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet(path)
