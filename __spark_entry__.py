@@ -2804,6 +2804,59 @@ def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_PEEL_ROUNDS) -> str:
     )
 
 
+ONION_ROUNDS = 20  # sf0.01 peels fully in 16 rounds; extra rounds are no-ops
+
+
+def _q_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gunrock_spark.algorithms.kcore import onion_layers
+
+    return onion_layers(_graph(spark, sf_dir))
+
+
+def _onion_sql(rounds: int = ONION_ROUNDS) -> str:
+    """Unrolled onion decomposition (Hébert-Dufresne et al. 2016):
+    round i removes every alive vertex with alive-induced degree <=
+    k_i where k_i = max(k_{i-1}, min alive degree) — layer = removal
+    round, core = threshold at removal (= the exact core number).
+    The engine peels by delta-decrement (algorithms/kcore.py
+    onion_decomposition); the per-round alive sets coincide, and past
+    full removal extra rounds are no-ops."""
+    body = ["a0 AS MATERIALIZED (SELECT v FROM verts)", "k0 AS (SELECT 0 AS k)"]
+    sel = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT a.v, COALESCE(c.cnt, 0) AS deg
+  FROM a{p} a LEFT JOIN (
+    SELECT s.src AS v, COUNT(*) AS cnt
+    FROM sym s JOIN a{p} x ON x.v = s.src JOIN a{p} y ON y.v = s.dst
+    GROUP BY 1) c ON c.v = a.v)"""
+        )
+        body.append(
+            f"k{i} AS (SELECT GREATEST((SELECT k FROM k{p}),"
+            f" COALESCE((SELECT MIN(deg) FROM d{i}), 0)) AS k)"
+        )
+        body.append(
+            f"r{i} AS MATERIALIZED (SELECT v, {i} AS layer,"
+            f" (SELECT k FROM k{i}) AS core FROM d{i}"
+            f" WHERE deg <= (SELECT k FROM k{i}))"
+        )
+        body.append(f"a{i} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM r{i})")
+        sel.append(
+            f"SELECT v, CAST(layer AS INT) AS layer,"
+            f" CAST(core AS BIGINT) AS core FROM r{i}"
+        )
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + ",\n"
+        + ",\n".join(body)
+        + "\n"
+        + " UNION ALL ".join(sel)
+    )
+
+
 def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gunrock_spark.algorithms.kcore import core_numbers
 
@@ -4888,6 +4941,81 @@ GOPHER_TOP_NS = (2, 3, 4)
 GOPHER_DUP_NS = (5, 10)
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher quality rule set (pipeline/text.gopher_quality,
+    Rae et al. 2021 App. A1.1) — word/line/symbol/stopword rules as
+    one scan-bound projection; `keep` is the AND of all seven rules,
+    FP-deterministic because every ratio is an exact int/int double."""
+    from gunrock_spark.pipeline.text import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def _gopher_quality_sql() -> str:
+    from gunrock_spark.pipeline.text import (
+        GOPHER_MAX_BULLET_RATIO,
+        GOPHER_MAX_ELLIPSIS_RATIO,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_RATIO,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_REQUIRED_STOPWORDS,
+    )
+
+    stops = "[" + ", ".join(f"'{s}'" for s in GOPHER_REQUIRED_STOPWORDS) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS words,
+         string_split(text, chr(10)) AS lines,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(list_filter(lines, l -> len(trim(l)) > 0)) AS n_lines,
+         COALESCE(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+         len(list_filter(lines, l -> starts_with(trim(l), '-')
+               OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS bullet_lines,
+         len(list_filter(lines, l -> ends_with(trim(l), '...')
+               OR ends_with(trim(l), '…'))) AS ellipsis_lines,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter({stops}, s -> list_contains(toks, s))) AS n_stop
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_words, n_stop,
+         CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN n_symbols / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN n_lines > 0 THEN bullet_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_ratio,
+         CASE WHEN n_lines > 0 THEN ellipsis_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_ratio,
+         CASE WHEN n_words > 0 THEN alpha_words / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_word_ratio
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(bullet_ratio, 6) AS bullet_ratio,
+       ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
+       ROUND(alpha_word_ratio, 6) AS alpha_word_ratio,
+       CAST(n_stop AS INT) AS n_stop,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
+        AND ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
+        AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+        AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+FROM r"""
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition metrics (pipeline/repetition.py) over the
     token-lined documents corpus; doubles rounded for hash compare."""
@@ -5389,6 +5517,84 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids, assignments = ivf_index(e, n_lists=8)
     return ivf_search(e, centroids, assignments, queries, k=3, nprobe=4)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # Lloyd refine rounds — exercises the ivf_index training loop
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone Lloyd's k-means (pipeline/similarity.kmeans):
+    h60-sampled initial centroids + KMEANS_ITERS assign/mean rounds.
+    Fully deterministic, so the oracle replays the whole trajectory —
+    this is the one oracle that gates the IVF REFINE loop itself
+    (ann_ivf_top3 runs refine_iters=0)."""
+    from gunrock_spark.pipeline.similarity import kmeans
+
+    asg, _ = kmeans(_embeds(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
+    return asg.select("vec_id", "cluster")
+
+
+def _kmeans_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMBED_DIM
+) -> str:
+    """Unrolled Lloyd trajectory: cent0 = k corpus vectors with
+    smallest (h60(vec_id), vec_id); round r assigns by cosine (ties ->
+    smallest cluster) then per-cluster per-dimension means (empty
+    clusters keep their previous centroid); output = the final
+    assignment. Cluster ids are discrete, so the only FP sensitivity
+    is a near-tie in the argmax — margins on the testdata embeddings
+    are orders of magnitude above double rounding."""
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, list_id FROM (
+    SELECT c.vec_id, {cent}.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.cv, {cent}.centroid)
+                      / (sqrt(list_dot_product(c.cv, c.cv))
+                         * sqrt(list_dot_product({cent}.centroid, {cent}.centroid))) DESC,
+                      {cent}.list_id ASC
+           ) AS rn
+    FROM c, {cent}
+  ) WHERE rn = 1)"""
+
+    body = [
+        """c AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings)""",
+        f"""ranked_c AS (
+  SELECT vec_id, cv,
+         ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS list_id
+  FROM c)""",
+        f"cent0 AS MATERIALIZED (SELECT list_id, cv AS centroid"
+        f" FROM ranked_c WHERE list_id < {k})",
+        f"dims AS (SELECT UNNEST(generate_series(1, {dim})) AS pos)",
+    ]
+    for r in range(1, iters + 1):
+        body.append(assign(f"asg{r}", f"cent{r - 1}"))
+        body.append(
+            f"""mean{r} AS MATERIALIZED (
+  SELECT a.list_id, d.pos, AVG(c.cv[d.pos]) AS m
+  FROM asg{r} a JOIN c ON c.vec_id = a.vec_id CROSS JOIN dims d
+  GROUP BY 1, 2)"""
+        )
+        body.append(
+            f"""cent{r} AS MATERIALIZED (
+  SELECT p.list_id,
+         COALESCE(n.centroid, p.centroid) AS centroid
+  FROM cent{r - 1} p LEFT JOIN (
+    SELECT list_id, list(m ORDER BY pos) AS centroid FROM mean{r} GROUP BY 1
+  ) n ON n.list_id = p.list_id)"""
+        )
+    body.append(assign("asg_final", f"cent{iters}"))
+    return (
+        "WITH "
+        + ",\n".join(body)
+        + "\nSELECT vec_id, CAST(list_id AS INT) AS cluster FROM asg_final"
+    )
 
 
 SEMDEDUP_THRESHOLD = 0.3  # sf embeddings are random 64-dim; within-list
@@ -7715,6 +7921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_top5": _q_ann_topk,
         "ann_ivf_top3": _q_ann_ivf,
+        "kmeans_clusters_r2": _q_kmeans,
         "semdedup_keep": _q_semdedup,
         "embedding_near_dups": _q_embed_near_dup,
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
@@ -7731,6 +7938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "kcore_k20": _q_kcore,
         "core_numbers": _q_core_numbers,
+        "onion_layers": _q_onion,
         "host_link_rollup": _q_host_rollup,
         "host_components": _q_host_components,
         "host_pagerank_w10": _q_host_pagerank,
@@ -7741,6 +7949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "contamination_flags": _q_contamination,
         "gopher_repetition": _q_gopher_repetition,
+        "gopher_quality_flags": _q_gopher_quality,
         "url_canonical": _q_url_canon,
         "redirect_resolve": _q_redirect_resolve,
         "change_rate": _q_change_rate,
@@ -7887,6 +8096,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_near_dups_sql(),
         "ann_cosine_top5": _ann_topk_sql(),
         "ann_ivf_top3": _ann_ivf_sql(),
+        "kmeans_clusters_r2": _kmeans_sql(),
         "sessions_gap": __import__("gunrock_spark.streaming.sessions", fromlist=["sessions_gap_sql"]).sessions_gap_sql(1_800_000),
         "semdedup_keep": _semdedup_sql(),
         "embedding_near_dups": _embed_near_dup_sql(),
@@ -7907,6 +8117,7 @@ FROM events GROUP BY 1, 2""",
         "source_overlap": _source_overlap_sql(),
         "kcore_k20": _kcore_sql(),
         "core_numbers": _core_numbers_sql(),
+        "onion_layers": _onion_sql(),
         "host_link_rollup": _host_rollup_sql(),
         "host_components": _host_components_sql(),
         "host_pagerank_w10": _host_pagerank_sql(),
@@ -7917,6 +8128,7 @@ FROM events GROUP BY 1, 2""",
         "line_dedup": _line_dedup_sql(),
         "contamination_flags": _contamination_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
+        "gopher_quality_flags": _gopher_quality_sql(),
         "url_canonical": _url_canon_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
         "change_rate": _change_rate_sql(),

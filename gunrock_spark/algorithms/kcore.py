@@ -110,6 +110,114 @@ def k_core_vertices(graph: EdgeTable, k: int, max_iter: int = 100) -> DataFrame:
     return k_core(graph, k, max_iter=max_iter).state.select("v", "deg")
 
 
+def onion_decomposition(
+    graph: EdgeTable,
+    max_iter: int = 100_000,
+) -> IterationResult:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016,
+    "Multi-scale structure and topological anomaly detection via a new
+    network statistic: the onion decomposition"): every vertex gets a
+    ``layer`` (the peel round in which it was removed, 1-based) and a
+    ``core`` (the k-core threshold in force at removal — exactly the
+    vertex's core number, so this is also the classic synchronous
+    peeling coreness algorithm; the h-index fixpoint in
+    :func:`core_numbers` computes the same ``core`` column by a
+    different route, and the two are cross-checked in tests).
+
+    One peel round: with threshold k = max(previous k, minimum alive
+    degree), remove EVERY alive vertex with deg <= k, label it with
+    (round, k), and decrement its alive neighbors' degrees.
+
+    Scale design (same family as :func:`k_core` delta peeling):
+    - state is the |V|-row (v, deg, layer, core) table, hash-
+      partitioned on v; removed rows stay in place with their labels,
+      so no growing union of per-round outputs.
+    - each round joins only the REMOVED frontier against the edge
+      table, so total join work across the whole run is one pass over
+      E (each edge participates exactly once per removed endpoint).
+    - the only driver-side values are two scalars folded into the
+      shared per-round metrics action (alive count + min alive
+      degree); no per-vertex driver loop.
+    - round count = number of onion layers (O(sqrt(|E|)) worst case,
+      tens-to-hundreds on web graphs) — the same round-count class as
+      the reference's k-core-style peel loops
+      (gunrock/app/cc/cc_enactor.cuh lifecycle).
+    """
+    spark = graph.edges.sparkSession
+    sym = graph.symmetrized().edges
+    state = (
+        _sym_degrees(graph)
+        .select(
+            "v",
+            "deg",
+            F.lit(None).cast("int").alias("layer"),
+            F.lit(None).cast("long").alias("core"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "v")
+        .localCheckpoint(eager=True)
+    )
+    first = state.agg(
+        F.min("deg").alias("md"), F.count(F.lit(1)).alias("alive")
+    ).first()
+    cell = {"k": 0, "mindeg": int(first["md"] or 0)}
+
+    def peel_step(cur: DataFrame, i: int):
+        k = max(cell["k"], cell["mindeg"])
+        cell["k"] = k
+        alive = F.col("layer").isNull()
+        removed_now = alive & (F.col("deg") <= F.lit(k))
+        frontier = cur.where(removed_now).select("v").persist()
+        dec = (
+            frontier.join(sym, frontier["v"] == sym["src"])
+            .groupBy(sym["dst"].alias("dv"))
+            .agg(F.count(F.lit(1)).alias("ddec"))
+        )
+        new = cur.join(dec, cur["v"] == dec["dv"], "left").select(
+            cur["v"],
+            # removed rows (this round or earlier) freeze their degree;
+            # alive rows lose one per removed neighbor
+            F.when(
+                removed_now | ~alive, F.col("deg")
+            ).otherwise(F.col("deg") - F.coalesce("ddec", F.lit(0))).alias("deg"),
+            F.when(removed_now, F.lit(i + 1).cast("int"))
+            .otherwise(F.col("layer"))
+            .alias("layer"),
+            F.when(removed_now, F.lit(k).cast("long"))
+            .otherwise(F.col("core"))
+            .alias("core"),
+        )
+
+        def metrics(materialized: DataFrame) -> dict:
+            row = materialized.where(F.col("layer").isNull()).agg(
+                F.count(F.lit(1)).alias("alive"), F.min("deg").alias("md")
+            ).first()
+            removed = frontier.count()
+            frontier.unpersist()
+            cell["mindeg"] = int(row["md"] or 0)
+            return {
+                "changed": removed,
+                "alive": int(row["alive"]),
+                "threshold": k,
+                "edges_traversed": graph.num_edges(),
+            }
+
+        return new, metrics
+
+    return iterate(
+        state,
+        peel_step,
+        stop=lambda m: m["alive"] == 0,
+        max_iter=max_iter,
+    )
+
+
+def onion_layers(graph: EdgeTable, max_iter: int = 100_000) -> DataFrame:
+    """(v, layer, core) — see :func:`onion_decomposition`."""
+    return onion_decomposition(graph, max_iter=max_iter).state.select(
+        "v", "layer", "core"
+    )
+
+
 def h_index_round(cur: DataFrame, sym: DataFrame) -> DataFrame:
     """One synchronous H-operator round: cur (v, c, ...) -> (v, c, prev)
     with c = h-index of the neighbor c-multiset. Hub-safe shape — see

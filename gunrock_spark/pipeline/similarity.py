@@ -317,6 +317,45 @@ def ivf_search(
     )
 
 
+def kmeans(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Standalone Lloyd's k-means over an embedding column:
+    (assignments DataFrame[corpus_id, cluster int],
+     centroids DataFrame[cluster int, centroid array<double>]).
+
+    Deterministic end to end: initial centroids are the k corpus
+    vectors with smallest h60(id) (see :func:`select_centroids`), each
+    of ``iters`` Lloyd rounds assigns by cosine (ties -> smallest
+    cluster) and recomputes per-cluster per-dimension means; empty
+    clusters keep their previous centroid. This is the IVF training
+    loop (:func:`ivf_index` with ``refine_iters``) surfaced as a
+    first-class clustering op — the standard embedding-space
+    partitioner a curation pipeline uses for topic bucketing,
+    diversity sampling, and semdedup-style within-cluster pruning.
+
+    Scale design (inherited from ivf_index): the centroid table is k
+    rows and rides broadcast joins; each round costs one broadcast
+    assign pass over the corpus plus one (k x dim)-row mean shuffle
+    with map-side combine. No all-pairs stage, no global sort.
+    """
+    centroids, asg = ivf_index(
+        corpus,
+        n_lists=k,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        refine_iters=iters,
+    )
+    return (
+        asg.withColumnRenamed("list_id", "cluster"),
+        centroids.withColumnRenamed("list_id", "cluster"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup via sign-bit LSH
 # ---------------------------------------------------------------------------

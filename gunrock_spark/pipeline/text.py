@@ -91,6 +91,110 @@ def quality_score(
     )
 
 
+# Gopher quality-filter thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+_BULLETS = ("-", "*", "•")
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    Appendix A1.1) as one Catalyst projection — the standard web-crawl
+    pretraining filter, complementing :mod:`repetition`'s repetition
+    rules and :mod:`c4`'s line rules:
+
+    - word count in [50, 100000] (whitespace words)
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - lines starting with a bullet <= 90%
+    - lines ending with an ellipsis <= 30%
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 required English stopwords present
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_word_ratio, n_stop, keep). All ratios are
+    exact integer-over-integer doubles, so the keep decision is
+    FP-deterministic and SQL-replayable. Per-document projection only
+    — no shuffle, scan-bound at any corpus size.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    lines = F.split(F.col(text_col), "\n")
+    toks = _token_col(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+
+    n_words = F.size(words)
+    n_lines = F.size(F.filter(lines, lambda l: F.length(F.trim(l)) > 0))
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.")
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: reduce_or([F.trim(l).startswith(b) for b in _BULLETS]),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    )
+    bullet_ratio = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    # count over the 8 required stopwords (not over the token array):
+    # duplicate-insensitive by construction, so the SQL replay is exact
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_ratio <= GOPHER_MAX_BULLET_RATIO)
+        & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.cast("int").alias("n_stop"),
+        keep.alias("keep"),
+    )
+
+
+def reduce_or(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
 def language_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

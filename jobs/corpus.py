@@ -19,6 +19,9 @@ Ops:
   line-dedup      corpus-wide line-level dedup (CCNet-style rebuild)
   decontaminate   drop docs overlapping --eval-input n-grams
   gopher          append Gopher repetition metrics + keep flag
+  gopher-quality  Gopher quality rule set (word/line/symbol/stopword) + keep
+  kmeans          Lloyd k-means cluster assignments (embeddings parquet;
+                  --top-k clusters, --id-col/--vec-col name the columns)
   lm-ppl          append unigram-LM perplexity columns
   quality         append quality-score columns
   langid          append language-ID columns
@@ -59,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "exact-dedup", "minhash-dedup", "line-dedup", "decontaminate",
-            "gopher", "lm-ppl", "quality", "langid", "pii",
+            "gopher", "gopher-quality", "kmeans", "lm-ppl", "quality", "langid", "pii",
             "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
@@ -163,6 +166,17 @@ def main(argv: list[str] | None = None) -> int:
 
         out = docs.join(
             gopher_repetition_flags(docs, id_col=idc, text_col=txc), idc
+        )
+    elif args.op == "gopher-quality":
+        from gunrock_spark.pipeline.text import gopher_quality
+
+        out = gopher_quality(docs, id_col=idc, text_col=txc)
+    elif args.op == "kmeans":
+        # --input points at an embeddings parquet (like semdedup)
+        from gunrock_spark.pipeline.similarity import kmeans
+
+        out, _ = kmeans(
+            docs, k=args.top_k, iters=2, corpus_id=idc, vec_col=args.vec_col
         )
     elif args.op == "lm-ppl":
         from gunrock_spark.pipeline.lm import lm_score, unigram_lm

@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algorithm", default="pagerank",
                     choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp", "widest",
                              "bc", "hits", "salsa", "wtf", "topk",
-                             "kcore", "corenums", "ktruss", "trussness", "mis",
+                             "kcore", "corenums", "onion", "ktruss", "trussness", "mis",
                              "walks", "node2vec", "wwalks", "khop", "simrank",
                              "scc", "bowtie", "daglevels", "anf", "disthist", "effdiam",
                              "harmonic", "closeness", "icspread", "percolation",
@@ -374,6 +374,11 @@ def main(argv: list[str] | None = None) -> int:
 
         res = core_numbers(graph, max_iter=args.max_iter)
         out_df = res.state.select("v", "c")
+    elif args.algorithm == "onion":
+        from gunrock_spark.algorithms.kcore import onion_decomposition
+
+        res = onion_decomposition(graph, max_iter=args.max_iter)
+        out_df = res.state.select("v", "layer", "core")
     elif args.algorithm == "scc":
         from gunrock_spark.algorithms.scc import strongly_connected_components
 

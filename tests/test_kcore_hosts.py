@@ -104,6 +104,57 @@ def test_core_numbers_rmat_matches_exact_peeling(spark):
     assert core == {v for v, c in want.items() if c == kmax}
 
 
+def _py_onion(edges):
+    """Reference onion decomposition (Hébert-Dufresne et al. 2016):
+    synchronous peel rounds; round i removes every alive vertex with
+    alive-induced degree <= k_i = max(k_{i-1}, min alive degree).
+    Returns {v: (layer, core)}."""
+    nbrs = collections.defaultdict(set)
+    for s, t in edges:
+        if s != t:
+            nbrs[s].add(t)
+            nbrs[t].add(s)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    alive = set(deg)
+    k, layer, out = 0, 0, {}
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        layer += 1
+        rm = {v for v in alive if deg[v] <= k}
+        for v in rm:
+            out[v] = (layer, k)
+        alive -= rm
+        for v in rm:
+            for u in nbrs[v]:
+                if u in alive:
+                    deg[u] -= 1
+    return out
+
+
+def test_onion_toy_matches_python(spark, toy_edges):
+    from gunrock_spark.algorithms.kcore import onion_layers
+
+    edges, g = toy_edges
+    want = _py_onion(edges)
+    got = {r["v"]: (r["layer"], r["core"]) for r in onion_layers(g).collect()}
+    assert got == want
+
+
+def test_onion_rmat_matches_python_and_hindex_coreness(spark):
+    from gunrock_spark.algorithms.kcore import onion_layers
+
+    df = rmat_edges_df(spark, scale=8, edge_factor=4, seed=5)
+    edges = [(r["src"], r["dst"]) for r in df.collect()]
+    g = EdgeTable.from_df(df)
+    want = _py_onion(edges)
+    got = {r["v"]: (r["layer"], r["core"]) for r in onion_layers(g).collect()}
+    assert got == want
+    # the onion `core` column IS the core number — must agree with the
+    # independently-computed h-index fixpoint route
+    hind = {r["v"]: r["c"] for r in core_numbers(g).state.select("v", "c").collect()}
+    assert {v: c for v, (_, c) in got.items()} == hind
+
+
 # --------------------------------------------------------------------------
 # host rollup
 # --------------------------------------------------------------------------

@@ -304,6 +304,39 @@ def test_quality_and_token_stats(spark, docs):
     assert t[6]["n_tokens"] == 0
 
 
+def test_gopher_quality_rules(spark):
+    from gunrock_spark.pipeline.text import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with vigor and stamina"] * 5
+    )  # 60 words, stopwords present, clean
+    rows = [
+        (0, good),
+        (1, "too short to pass the word count rule with ease"),  # n_words < 50
+        (2, "\n".join(["- bullet item here"] * 10)),  # bullet ratio 1.0
+        (3, good + "\n" + "\n".join(["trailing off..."] * 30)),  # ellipsis > 0.3
+        (4, " ".join(["###"] * 60)),  # symbol ratio >> 0.1, no alpha
+        (5, " ".join(["12345"] * 60)),  # alpha_word_ratio = 0
+        (6, ""),  # empty
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert got[0]["keep"] is True
+    assert got[0]["n_words"] == 65
+    assert got[0]["n_stop"] >= 2
+    assert got[1]["keep"] is False and got[1]["n_words"] < 50
+    assert got[2]["keep"] is False and got[2]["bullet_ratio"] == 1.0
+    assert got[3]["keep"] is False and got[3]["ellipsis_ratio"] > 0.3
+    assert got[4]["keep"] is False and got[4]["symbol_ratio"] > 0.1
+    assert got[5]["keep"] is False and got[5]["alpha_word_ratio"] == 0.0
+    assert got[6]["keep"] is False and got[6]["n_words"] == 0
+    # mean word length is exact int/int: "the quick ..." words sum
+    words = good.split()
+    assert got[0]["mean_word_len"] == pytest.approx(
+        round(sum(len(w) for w in words) / len(words), 6)
+    )
+
+
 def test_cosine_topk_matches_numpy(spark, vectors):
     queries = vectors.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -540,6 +573,53 @@ def test_ivf_kmeans_refinement(spark, vectors):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0 - 0.2  # refinement must not collapse the index
     assert r2 >= 0.5
+
+
+def test_kmeans_matches_numpy_lloyd(spark, vectors):
+    """pipeline.similarity.kmeans vs a NumPy replay of the identical
+    deterministic trajectory (h60-sampled init, cosine argmax with
+    ties -> smallest cluster, per-dim means, empty clusters frozen).
+    Also asserts the assignment margins are far above double rounding,
+    which is what makes the discrete cluster ids safe to oracle."""
+    from gunrock_spark.functions.hashing import h60_py
+    from gunrock_spark.pipeline.similarity import kmeans
+
+    k, iters = 5, 3
+    asg_df, cent_df = kmeans(vectors, k=k, iters=iters)
+    got = {r["vec_id"]: r["cluster"] for r in asg_df.collect()}
+
+    mat = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vectors.collect()
+    }
+    order = sorted(mat, key=lambda i: (h60_py(str(i)), i))
+    cents = [mat[i].copy() for i in order[:k]]
+
+    def assign(cents):
+        out, margins = {}, []
+        for vid, v in mat.items():
+            sims = [
+                float(np.dot(v, c) / (np.linalg.norm(v) * np.linalg.norm(c)))
+                for c in cents
+            ]
+            best = max(range(k), key=lambda j: (sims[j], -j))
+            out[vid] = best
+            s = sorted(sims, reverse=True)
+            margins.append(s[0] - s[1])
+        return out, min(margins)
+
+    for _ in range(iters):
+        a, _ = assign(cents)
+        for j in range(k):
+            members = [mat[v] for v, c in a.items() if c == j]
+            if members:
+                cents[j] = np.mean(members, axis=0)
+    want, margin = assign(cents)
+    assert got == want
+    assert margin > 1e-9  # argmax is FP-robust
+    got_cents = {r["cluster"]: np.array(r["centroid"]) for r in cent_df.collect()}
+    for j in range(k):
+        np.testing.assert_allclose(got_cents[j], cents[j], rtol=1e-9)
 
 
 def _py_hll_registers(values, m, seed="hll"):
