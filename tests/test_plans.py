@@ -854,3 +854,81 @@ def test_contract_by_labels_partial_agg_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_gopher_quality_is_shuffle_free_scan_projection(spark):
+    """Gopher quality rules = split + HOF filters + regexp counts:
+    one narrow projection over the documents scan — no exchange, no
+    Python, no explode, and the scan prunes to (doc_id, text)."""
+    from gunrock_spark.pipeline.text import gopher_quality
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gopher_quality(docs))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Generate" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" not in read_schema[0]
+
+
+def test_onion_round_is_delta_join_no_full_recompute(spark):
+    """One onion peel round: removed-frontier filter + one |frontier|-
+    edge equi-join + partial-agg decrement + |V| left join. No
+    cartesian, no Python, no Window, and the aggregation is map-side
+    combined (the same shape as the k_core delta peel)."""
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.sources.tables import derived_edges_df
+
+    g = EdgeTable.from_df(derived_edges_df(spark, SF))
+    sym = g.symmetrized().edges
+    cur = (
+        g.symmetrized()
+        .edges.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "v",
+            "deg",
+            F.lit(None).cast("int").alias("layer"),
+            F.lit(None).cast("long").alias("core"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = F.col("layer").isNull()
+    removed_now = alive & (F.col("deg") <= F.lit(1))
+    frontier = cur.where(removed_now).select("v")
+    dec = (
+        frontier.join(sym, frontier["v"] == sym["src"])
+        .groupBy(sym["dst"].alias("dv"))
+        .agg(F.count(F.lit(1)).alias("ddec"))
+    )
+    new = cur.join(dec, cur["v"] == dec["dv"], "left").select(
+        cur["v"],
+        F.when(removed_now | ~alive, F.col("deg"))
+        .otherwise(F.col("deg") - F.coalesce("ddec", F.lit(0)))
+        .alias("deg"),
+    )
+    plan = _plan(new)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """The Lloyd assign pass must broadcast the k-row centroid table
+    (BroadcastHashJoin / BroadcastNestedLoopJoin over a broadcast
+    exchange), never shuffle the corpus against it, and the per-vector
+    argmax window partitions by the vector id (bounded by k rows per
+    vector, not by corpus size)."""
+    from gunrock_spark.pipeline.similarity import kmeans
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    asg, _ = kmeans(emb, k=4, iters=1)
+    plan = _plan(asg)
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus-side shuffle only for the window partition on vec_id —
+    # no sort-merge join against the centroids
+    assert "SortMergeJoin" not in plan
