@@ -2650,6 +2650,64 @@ def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates(_docs(spark, sf_dir), threshold=LSH_JACCARD_THRESHOLD)
 
 
+SIG_EST_THRESHOLD = 0.5  # signature-agreement verify (8/16 slots)
+
+
+def _q_sig_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dups with signature-AGREEMENT verify
+    (pipeline/dedup.signature_near_duplicates) — the streaming-
+    compatible verify that never re-reads shingles; same banded
+    candidate generation as minhash_lsh_near_dups."""
+    from gunrock_spark.pipeline.dedup import signature_near_duplicates
+
+    return signature_near_duplicates(
+        _docs(spark, sf_dir), threshold=SIG_EST_THRESHOLD
+    )
+
+
+def _sig_near_dups_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = SIG_EST_THRESHOLD
+) -> str:
+    """Banded candidates (same CTEs as the exact-verify oracle) +
+    slot-agreement estimator: est = (# j with mh_a[j] = mh_b[j]) / H
+    — exact int/int double, FP-deterministic."""
+    rows = num_hashes // bands
+    mins = _minhash_mins(num_hashes)
+    band_selects = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        key = _H60.format(x=concat)
+        band_selects.append(f"SELECT id, {b} AS band, {key} AS bucket FROM mh")
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return (
+        "WITH "
+        + _SHINGLE_CTES
+        + f""",
+mh AS MATERIALIZED (SELECT doc_id AS id,
+  {mins}
+FROM sh GROUP BY doc_id),
+bands AS MATERIALIZED ({bands_sql}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+  FROM cand c
+  JOIN mh sa ON sa.id = c.id_a
+  JOIN mh sb ON sb.id = c.id_b
+) t WHERE est_jaccard >= {threshold}"""
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup assignment: LSH near-dup pairs closed into
     clusters by hash-min CC, canonical = min-id doc per cluster
@@ -7916,6 +7974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "minhash_signatures": _q_minhash_sigs,
         "minhash_lsh_near_dups": _q_lsh_near_dups,
+        "minhash_sig_near_dups": _q_sig_near_dups,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -8091,6 +8150,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_signatures": _minhash_sigs_sql(),
         "minhash_lsh_near_dups": _lsh_near_dups_sql(),
+        "minhash_sig_near_dups": _sig_near_dups_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "simhash": _simhash_sql(),
         "simhash_near_dups": _simhash_near_dups_sql(),

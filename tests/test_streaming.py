@@ -607,3 +607,79 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     # user 3's same-ts click never qualifies; their minute-30 click does
     assert got[(2, "click")] == 3
     assert got[(3, "purchase")] == 1
+
+
+def test_incremental_near_dup_stream_matches_batch(spark, tmp_path):
+    """Union-over-batches of streamed near-dup pairs == the batch
+    signature_near_duplicates over the whole corpus; replays refused;
+    crash-orphaned batch directories invisible until committed."""
+    from pyspark.sql import functions as F
+
+    from gunrock_spark.pipeline.dedup import signature_near_duplicates
+    from gunrock_spark.streaming.dedup_stream import (
+        _commit_marker,
+        apply_batch,
+        incremental_near_dups,
+        read_pairs,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "nd_out")
+    a, _ = pages_table(spark, n_pages=64, seed=31)
+    b, _ = pages_table(spark, n_pages=32, seed=32)
+    b = b.selectExpr(
+        "concat('x', url) AS url", "warc_ts", "html", "text", "lang"
+    )
+    a.coalesce(1).write.mode("append").parquet(pages_dir)
+    incremental_near_dups(
+        spark, pages_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ck"), threshold=0.25,
+    )
+    b.coalesce(1).write.mode("append").parquet(pages_dir)
+    incremental_near_dups(
+        spark, pages_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ck"), threshold=0.25,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in read_pairs(spark, out_dir).collect()
+    }
+    whole = a.unionByName(b)
+    want = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in signature_near_duplicates(
+            whole, id_col="url", text_col="text", threshold=0.25
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the generator corpus must actually produce pairs
+
+    # replay: batch id at-or-below the committed one is refused
+    assert (
+        apply_batch(spark, a, 0, out_dir, id_col="url", threshold=0.25)
+        is False
+    )
+    assert {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in read_pairs(spark, out_dir).collect()
+    } == want
+
+    # crash orphan: write data dirs for a new batch but DON'T commit
+    # the marker — the orphan must stay invisible to readers
+    c = a.selectExpr("concat('y', url) AS url", "warc_ts", "html", "text", "lang")
+    from gunrock_spark.pipeline.dedup import minhash_signatures, shingles
+
+    sig_c = minhash_signatures(shingles(c, "url", "text", 3), 16)
+    sig_c.write.mode("overwrite").parquet(out_dir + "/sigs/batch=99")
+    assert {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in read_pairs(spark, out_dir).collect()
+    } == want
+    # committing batch 99 through the real path overwrites the orphan
+    assert apply_batch(spark, c, 99, out_dir, id_col="url", threshold=0.25)
+    more = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in read_pairs(spark, out_dir).collect()
+    }
+    assert more >= want and len(more) > len(want)
