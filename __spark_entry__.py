@@ -4616,6 +4616,63 @@ SELECT mu.dim, ROUND(mu.m, 6) AS mu, ROUND(v{n_iter}.w, 6) AS loading
 FROM mu JOIN v{n_iter} USING (dim)"""
 
 
+def _q_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components by power iteration + DEFLATION
+    (pipeline/pca.pca_top_components): v2 is power-iterated on rows
+    deflated by v1 (x' = x - (x.v1) v1). The oracle unrolls BOTH
+    trajectories including the deflation projection."""
+    from gunrock_spark.pipeline.pca import pca_top_components
+
+    mu, comps = pca_top_components(
+        _embeds(spark, sf_dir), vec_col="embedding",
+        n_components=2, n_iter=PCA_N_ITER,
+    )
+    spark_ = spark
+    return spark_.createDataFrame(
+        [
+            (i, round(mu[i], 6), round(comps[0][i], 6), round(comps[1][i], 6))
+            for i in range(len(mu))
+        ],
+        schema="dim int, mu double, loading1 double, loading2 double",
+    )
+
+
+def _pca_top2_sql(n_iter: int = PCA_N_ITER) -> str:
+    prefix = _pca_trajectory_cte(n_iter)
+    parts = [
+        f""",
+sd AS MATERIALIZED (
+  SELECT c.vec_id, SUM(c.val * v{n_iter}.w) AS s
+  FROM c JOIN v{n_iter} USING (dim) GROUP BY c.vec_id),
+c2 AS MATERIALIZED (
+  SELECT c.vec_id, c.dim, c.val - sd.s * v{n_iter}.w AS val
+  FROM c JOIN sd USING (vec_id) JOIN v{n_iter} USING (dim)),
+w0 AS (SELECT dim, 1.0 / sqrt((SELECT COUNT(*) FROM mu)) AS w FROM mu)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+t{i} AS MATERIALIZED (
+  SELECT c2.vec_id, SUM(c2.val * w{i - 1}.w) AS s
+  FROM c2 JOIN w{i - 1} USING (dim) GROUP BY c2.vec_id),
+q{i} AS MATERIALIZED (
+  SELECT c2.dim, SUM(c2.val * t{i}.s) AS u
+  FROM c2 JOIN t{i} USING (vec_id) GROUP BY c2.dim),
+w{i} AS MATERIALIZED (
+  SELECT dim, u / (SELECT sqrt(SUM(u * u)) FROM q{i}) AS w
+  FROM q{i})"""
+        )
+    return (
+        prefix
+        + "".join(parts)
+        + f"""
+SELECT mu.dim, ROUND(mu.m, 6) AS mu,
+       ROUND(v{n_iter}.w, 6) AS loading1,
+       ROUND(w{n_iter}.w, 6) AS loading2
+FROM mu JOIN v{n_iter} USING (dim) JOIN w{n_iter} USING (dim)"""
+    )
+
+
 def _q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-classifier-style quality scoring (pipeline/classify.py):
     multinomial Naive Bayes trained with source=='src0' as the trusted
@@ -8023,6 +8080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_scores": _q_nb_quality,
         "pca_component": _q_pca_component,
         "pca_scores": _q_pca_scores,
+        "pca_top2": _q_pca_top2,
         "c4_clean_docs": _q_c4_clean,
         "dsir_weights": _q_dsir_weights,
         "window_dup_stats": _q_window_dup,
@@ -8203,6 +8261,7 @@ FROM events GROUP BY 1, 2""",
         "nb_quality_scores": _nb_quality_sql(),
         "pca_component": _pca_component_sql(),
         "pca_scores": _pca_scores_sql(),
+        "pca_top2": _pca_top2_sql(),
         "c4_clean_docs": _c4_clean_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),

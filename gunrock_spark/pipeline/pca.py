@@ -90,6 +90,68 @@ def pca_power_iteration(
     return mu, v
 
 
+def pca_top_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    n_iter: int = PCA_ITER,
+) -> tuple[list[float], list[list[float]]]:
+    """(mu, [v1, v2, ...]): the top ``n_components`` principal
+    directions by sequential power iteration with DEFLATION — after
+    extracting v_k, every row is deflated to x' = x - (x . v_k) v_k
+    (an array expression with v_k as literals), so the next power
+    iteration converges to the leading direction of the residual
+    covariance P C P. Same fixed-trajectory determinism contract as
+    :func:`pca_power_iteration`: fixed start, fixed iteration count,
+    driver-side d-double state only.
+
+    Scale shape per component: n_iter x (one scan + one d-key
+    partial-agg shuffle + d-row collect); the deflation adds one
+    array projection to the scan, never a materialized copy.
+    """
+    x = F.col(vec_col).cast("array<double>")
+    mu_rows = (
+        df.select(F.posexplode(x).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    mu = [0.0] * len(mu_rows)
+    for r in mu_rows:
+        mu[r["dim"]] = float(r["m"])
+    d = len(mu)
+    if d == 0:
+        return [], []
+    cur = df.select(
+        F.zip_with(x, _lit_array(mu), lambda a, b: a - b).alias("x")
+    )
+    comps: list[list[float]] = []
+    for _ in range(n_components):
+        v = [1.0 / math.sqrt(d)] * d
+        for _ in range(n_iter):
+            s = _dot(F.col("x"), _lit_array(v))
+            u_rows = (
+                cur.select(s.alias("s"), F.posexplode("x").alias("dim", "val"))
+                .groupBy("dim")
+                .agg(F.sum(F.col("val") * F.col("s")).alias("u"))
+                .collect()
+            )
+            u = [0.0] * d
+            for r in u_rows:
+                u[r["dim"]] = float(r["u"])
+            nrm = math.sqrt(sum(w * w for w in u))
+            if nrm == 0.0:
+                break
+            v = [w / nrm for w in u]
+        comps.append(v)
+        vl = _lit_array(v)
+        sv = _dot(F.col("x"), vl)
+        cur = cur.select(
+            F.zip_with(F.col("x"), vl, lambda a, b: a - sv * b).alias("x")
+        )
+    return mu, comps
+
+
 def pca_top_component(
     df: DataFrame,
     vec_col: str = "embedding",
