@@ -5131,6 +5131,30 @@ SELECT doc_id,
 FROM r"""
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (pipeline/text.char_entropy) — the gibberish/binary-junk signal."""
+    from gunrock_spark.pipeline.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def _char_entropy_sql() -> str:
+    return """
+WITH ch AS (
+  SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs FROM documents
+)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_chars,
+       CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_chars,
+       ROUND(CASE WHEN len(cs) > 0 THEN
+         -COALESCE(list_sum(list_transform(list_distinct(cs),
+            u -> (len(list_filter(cs, c -> c = u)) / CAST(len(cs) AS DOUBLE))
+                 * log2(len(list_filter(cs, c -> c = u)) / CAST(len(cs) AS DOUBLE)))), 0.0)
+       ELSE 0.0 END, 6) AS char_entropy
+FROM ch"""
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition metrics (pipeline/repetition.py) over the
     token-lined documents corpus; doubles rounded for hash compare."""
@@ -8066,6 +8090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality_flags": _q_gopher_quality,
+        "char_entropy": _q_char_entropy,
         "url_canonical": _q_url_canon,
         "redirect_resolve": _q_redirect_resolve,
         "change_rate": _q_change_rate,
@@ -8247,6 +8272,7 @@ FROM events GROUP BY 1, 2""",
         "contamination_flags": _contamination_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_quality_flags": _gopher_quality_sql(),
+        "char_entropy": _char_entropy_sql(),
         "url_canonical": _url_canon_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
         "change_rate": _change_rate_sql(),

@@ -184,8 +184,14 @@ def _assign_to_lists(
     c: DataFrame, centroids: DataFrame, corpus_id: str
 ) -> DataFrame:
     """(corpus_id, list_id): nearest centroid by cosine (ties → the
-    smallest list_id). One broadcast crossJoin + one hash-partitioned
-    argmax window per vector — the centroid table is the small side."""
+    smallest list_id). One broadcast crossJoin + one PARTIAL-AGG
+    argmax per vector: max over struct(sim, -list_id) is exactly the
+    (desc sim, asc list_id) order, and unlike the row_number-window
+    formulation it map-side combines — the k-row-per-vector expansion
+    collapses inside each scan task before the single exchange, and
+    nothing ever sorts. (Same result contract, plan-gated in
+    tests/test_plans.py; Spark double ordering treats NaN as largest
+    in both formulations, so tie/NaN behavior is unchanged.)"""
     scored = (
         c.crossJoin(F.broadcast(centroids))
         .select(
@@ -197,11 +203,17 @@ def _assign_to_lists(
             ).alias("sim"),
         )
     )
-    ww = Window.partitionBy(corpus_id).orderBy(F.desc("sim"), F.asc("list_id"))
+    best = F.max(
+        F.struct(
+            F.col("sim"),
+            (-F.col("list_id")).alias("neg_id"),
+            F.col("list_id"),
+        )
+    ).alias("m")
     return (
-        scored.withColumn("rn", F.row_number().over(ww))
-        .where(F.col("rn") == 1)
-        .select(corpus_id, "list_id")
+        scored.groupBy(corpus_id)
+        .agg(best)
+        .select(corpus_id, F.col("m.list_id").alias("list_id"))
     )
 
 

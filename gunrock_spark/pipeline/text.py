@@ -188,6 +188,42 @@ def gopher_quality(
     )
 
 
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, n_distinct_chars, char_entropy) — per-document
+    Shannon entropy (bits) of the character distribution, the classic
+    gibberish/binary-junk detector (very low entropy = repeated
+    characters, very high = random bytes; natural-language text sits
+    in a narrow band ~3.5-4.5 bits).
+
+    Pure HOF projection: per doc O(distinct_chars x len) comparisons
+    with a ~100-symbol alphabet — scan-bound, no shuffle, no UDF.
+    """
+    # split("", "") yields [""] — drop zero-length elements so empty
+    # docs count 0 chars (the SQL regexp_extract_all mirror already does)
+    chars = F.filter(
+        F.split(F.col(text_col), ""), lambda c: F.length(c) > 0
+    )
+    uniq = F.array_distinct(chars)
+    n = F.size(chars)
+    probs = F.transform(
+        uniq,
+        lambda ch: F.size(F.filter(chars, lambda c: c == ch)) / n,
+    )
+    ent = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.size(uniq).cast("long").alias("n_distinct_chars"),
+        F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), 6).alias(
+            "char_entropy"
+        ),
+    )
+
+
 def reduce_or(cols: list[Column]) -> Column:
     out = cols[0]
     for c in cols[1:]:

@@ -1460,3 +1460,31 @@ def test_embedding_clusters_singletons_and_pair(spark, vectors):
     assert len(out) == 41
     assert out[40] == out[0] == 0
     assert all(v == i for i, v in out.items() if i not in (0, 40))
+
+
+def test_char_entropy_matches_python(spark):
+    import math
+
+    from gunrock_spark.pipeline.text import char_entropy
+
+    rows = [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, ""), (4, "mississippi")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+
+    def ent(s):
+        if not s:
+            return 0.0
+        n = len(s)
+        return round(
+            -sum(
+                (s.count(c) / n) * math.log2(s.count(c) / n) for c in set(s)
+            ),
+            6,
+        )
+
+    for i, s in rows:
+        assert got[i]["n_chars"] == len(s)
+        assert got[i]["n_distinct_chars"] == len(set(s))
+        assert got[i]["char_entropy"] == pytest.approx(ent(s), abs=1e-6)
+    assert got[0]["char_entropy"] == 0.0  # all-same chars
+    assert got[2]["char_entropy"] == 2.0  # 4 equiprobable symbols

@@ -916,12 +916,11 @@ def test_onion_round_is_delta_join_no_full_recompute(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
-def test_kmeans_assign_broadcasts_centroids(spark):
+def test_kmeans_assign_broadcasts_centroids_and_partial_aggs(spark):
     """The Lloyd assign pass must broadcast the k-row centroid table
-    (BroadcastHashJoin / BroadcastNestedLoopJoin over a broadcast
-    exchange), never shuffle the corpus against it, and the per-vector
-    argmax window partitions by the vector id (bounded by k rows per
-    vector, not by corpus size)."""
+    and resolve the per-vector argmax as a map-side-combined
+    max(struct) aggregation — no per-vector sort window, no
+    sort-merge join, nothing sorts the k-per-vector expansion."""
     from gunrock_spark.pipeline.similarity import kmeans
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -929,6 +928,6 @@ def test_kmeans_assign_broadcasts_centroids(spark):
     plan = _plan(asg)
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # corpus-side shuffle only for the window partition on vec_id —
-    # no sort-merge join against the centroids
     assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
