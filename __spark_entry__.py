@@ -5736,6 +5736,77 @@ def _kmeans_sql(
     )
 
 
+PQ_M = 4  # subspaces (width 64/4 = 16)
+PQ_K = 16  # codes per subspace
+
+
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (pipeline/similarity.pq_codebooks +
+    pq_encode): deterministic h60-sampled per-subspace codebooks,
+    L2-argmin encoding in the expanded dot-product form — the
+    compressed-vector representation behind ADC search. codes are
+    emitted comma-joined so the value hash is dtype-stable."""
+    from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    e = _embeds(spark, sf_dir)
+    cb = pq_codebooks(e, m=PQ_M, k=PQ_K)
+    out = pq_encode(e, cb, m=PQ_M)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes"),
+    )
+
+
+def _pq_codes_sql(m: int = PQ_M, k: int = PQ_K, dim: int = EMBED_DIM) -> str:
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+    w = dim // m
+    cb_selects = []
+    sub_selects = []
+    for s in range(m):
+        lo, hi = s * w + 1, (s + 1) * w
+        cb_selects.append(
+            f"SELECT {s} AS sub, list_id AS code,"
+            f" array_slice(cv, {lo}, {hi}) AS cent FROM samp"
+        )
+        sub_selects.append(
+            f"SELECT vec_id, {s} AS sub,"
+            f" array_slice(cv, {lo}, {hi}) AS sv FROM c"
+        )
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+ranked_c AS (
+  SELECT vec_id, cv,
+         ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS list_id
+  FROM c
+),
+samp AS (SELECT list_id, cv FROM ranked_c WHERE list_id < {k}),
+cb AS MATERIALIZED ({" UNION ALL ".join(cb_selects)}),
+subs AS MATERIALIZED ({" UNION ALL ".join(sub_selects)}),
+scored AS (
+  SELECT s.vec_id, s.sub, cb.code,
+         list_dot_product(s.sv, s.sv)
+         - 2 * list_dot_product(s.sv, cb.cent)
+         + list_dot_product(cb.cent, cb.cent) AS d2
+  FROM subs s JOIN cb ON cb.sub = s.sub
+),
+best AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       array_to_string(list(code ORDER BY sub), ',') AS codes
+FROM best GROUP BY vec_id"""
+
+
 SEMDEDUP_THRESHOLD = 0.3  # sf embeddings are random 64-dim; within-list
 SEMDEDUP_LISTS = 8  # pairs at cos >= 0.3 exist but are sparse
 
@@ -8062,6 +8133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top5": _q_ann_topk,
         "ann_ivf_top3": _q_ann_ivf,
         "kmeans_clusters_r2": _q_kmeans,
+        "pq_codes_m4": _q_pq_codes,
         "semdedup_keep": _q_semdedup,
         "embedding_near_dups": _q_embed_near_dup,
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
@@ -8240,6 +8312,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top5": _ann_topk_sql(),
         "ann_ivf_top3": _ann_ivf_sql(),
         "kmeans_clusters_r2": _kmeans_sql(),
+        "pq_codes_m4": _pq_codes_sql(),
         "sessions_gap": __import__("gunrock_spark.streaming.sessions", fromlist=["sessions_gap_sql"]).sessions_gap_sql(1_800_000),
         "semdedup_keep": _semdedup_sql(),
         "embedding_near_dups": _embed_near_dup_sql(),

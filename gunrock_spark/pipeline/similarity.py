@@ -368,6 +368,96 @@ def kmeans(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    "Product quantization for nearest neighbor search"): the d-dim
+    space is split into ``m`` contiguous subspaces of width d/m, and
+    each subspace gets ``k`` centroids. DataFrame[sub int, code int,
+    centroid array<double>].
+
+    Deterministic init: the sample rows are the k corpus vectors with
+    smallest h60(id) (the same selection rule as
+    :func:`select_centroids`), sliced per subspace — so the whole
+    codebook is SQL-replayable. Lloyd refinement per subspace can be
+    layered with :func:`kmeans` on the sliced columns when training
+    quality matters more than replayability."""
+    spark = corpus.sparkSession
+    n_rows = corpus.count()
+    filtered = _centroid_candidates(corpus, k, corpus_id, vec_col, 8, n_rows)
+    rows = filtered.collect()
+    if len(rows) < k and 8 * k < n_rows:
+        rows = _centroid_candidates(
+            corpus, k, corpus_id, vec_col, None, n_rows
+        ).collect()
+    d = len(rows[0]["cv"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    w = d // m
+    out = []
+    for code, r in enumerate(rows):
+        cv = list(r["cv"])
+        for s in range(m):
+            out.append((s, code, cv[s * w : (s + 1) * w]))
+    return spark.createDataFrame(
+        out, schema="sub int, code int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int | None = None,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(corpus_id, codes array<int>): each vector's m-byte PQ code —
+    per subspace the L2-nearest codebook entry (ties → smallest
+    code). The compressed representation behind ADC search: m log2(k)
+    bits per vector instead of d floats.
+
+    Scale shape: one explode to m sub-rows, one broadcast join
+    against the (m x k)-row codebook, one map-side-combined
+    min(struct) argmin per (vector, sub), one per-vector assembly agg
+    — no window, no sort, nothing bigger than m rows per vector past
+    the scan. L2 is computed in the expanded dot-product form
+    (x.x - 2 x.c + c.c) so the SQL oracle is FP-identical."""
+    if dim is None:
+        first = codebooks.select(F.size("centroid").alias("w")).first()
+        dim = int(first["w"]) * m
+    w = dim // m
+    cv = _as_double(F.col(vec_col))
+    slices = F.array(*[F.slice(cv, s * w + 1, w) for s in range(m)])
+    subs = corpus.select(
+        F.col(corpus_id), F.posexplode(slices).alias("sub", "sv")
+    )
+    dist2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("centroid"))
+        + _dot(F.col("centroid"), F.col("centroid"))
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        corpus_id, "sub", "code", dist2.alias("d2")
+    )
+    best = (
+        scored.groupBy(corpus_id, "sub")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("m"))
+        .select(corpus_id, "sub", F.col("m.code").alias("code"))
+    )
+    return best.groupBy(corpus_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup via sign-bit LSH
 # ---------------------------------------------------------------------------

@@ -1488,3 +1488,40 @@ def test_char_entropy_matches_python(spark):
         assert got[i]["char_entropy"] == pytest.approx(ent(s), abs=1e-6)
     assert got[0]["char_entropy"] == 0.0  # all-same chars
     assert got[2]["char_entropy"] == 2.0  # 4 equiprobable symbols
+
+
+def test_pq_codes_match_numpy(spark, vectors):
+    from gunrock_spark.functions.hashing import h60_py
+    from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    m, k = 4, 8  # dim 8 -> subspace width 2
+    cb = pq_codebooks(vectors, m=m, k=k)
+    got_cb = {(r["sub"], r["code"]): list(r["centroid"]) for r in cb.collect()}
+    out = pq_encode(vectors, cb, m=m)
+    got = {r["vec_id"]: list(r["codes"]) for r in out.collect()}
+
+    mat = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vectors.collect()
+    }
+    order = sorted(mat, key=lambda i: (h60_py(str(i)), i))
+    samp = [mat[i] for i in order[:k]]
+    d = 8
+    w = d // m
+    for code, v in enumerate(samp):
+        for s in range(m):
+            np.testing.assert_allclose(
+                got_cb[(s, code)], v[s * w : (s + 1) * w]
+            )
+    for vid, v in mat.items():
+        codes = []
+        for s in range(m):
+            sv = v[s * w : (s + 1) * w]
+            dists = [
+                float(np.sum((sv - c[s * w : (s + 1) * w]) ** 2)) for c in samp
+            ]
+            codes.append(min(range(k), key=lambda j: (dists[j], j)))
+        assert got[vid] == codes, vid
+    # the sampled rows encode themselves exactly (distance 0 per sub)
+    for code, i in enumerate(order[:k]):
+        assert got[i] == [code] * m
