@@ -5807,6 +5807,118 @@ SELECT vec_id,
 FROM best GROUP BY vec_id"""
 
 
+PQ_ADC_K = 5
+PQ_ADC_QUERIES = 5
+
+
+def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (pipeline/similarity.pq_adc_search):
+    per-query subspace distance tables + m table lookups per corpus
+    vector, summed in subspace order so the doubles (and therefore
+    the ranking) replay exactly in SQL."""
+    from gunrock_spark.pipeline.similarity import (
+        pq_adc_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = _embeds(spark, sf_dir)
+    cb = pq_codebooks(e, m=PQ_M, k=PQ_K)
+    codes = pq_encode(e, cb, m=PQ_M)
+    queries = e.where(F.col("vec_id") < PQ_ADC_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_search(
+        codes, cb, queries, k=PQ_ADC_K, m=PQ_M, exclude_self=True
+    )
+
+
+def _pq_adc_sql(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = EMBED_DIM,
+    topk: int = PQ_ADC_K,
+    n_queries: int = PQ_ADC_QUERIES,
+) -> str:
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+    w = dim // m
+    cb_selects, sub_selects, qsub_selects = [], [], []
+    for s in range(m):
+        lo, hi = s * w + 1, (s + 1) * w
+        cb_selects.append(
+            f"SELECT {s} AS sub, list_id AS code,"
+            f" array_slice(cv, {lo}, {hi}) AS cent FROM samp"
+        )
+        sub_selects.append(
+            f"SELECT vec_id, {s} AS sub,"
+            f" array_slice(cv, {lo}, {hi}) AS sv FROM c"
+        )
+        qsub_selects.append(
+            f"SELECT query_id, {s} AS sub,"
+            f" array_slice(qv, {lo}, {hi}) AS qs FROM q"
+        )
+    # the Spark side folds partial distances in subspace order from a
+    # 0.0 accumulator: ((((0+p0)+p1)+p2)+p3...) — replicate the exact
+    # association with a left-nested pivot sum
+    acc = "MAX(CASE WHEN sub = 0 THEN pd END)"
+    for s in range(1, m):
+        acc = f"({acc} + MAX(CASE WHEN sub = {s} THEN pd END))"
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+ranked_c AS (
+  SELECT vec_id, cv,
+         ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS list_id
+  FROM c
+),
+samp AS (SELECT list_id, cv FROM ranked_c WHERE list_id < {k}),
+cb AS MATERIALIZED ({" UNION ALL ".join(cb_selects)}),
+subs AS MATERIALIZED ({" UNION ALL ".join(sub_selects)}),
+scored AS (
+  SELECT s.vec_id, s.sub, cb.code,
+         list_dot_product(s.sv, s.sv)
+         - 2 * list_dot_product(s.sv, cb.cent)
+         + list_dot_product(cb.cent, cb.cent) AS d2
+  FROM subs s JOIN cb ON cb.sub = s.sub
+),
+best AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < {n_queries}),
+qsubs AS ({" UNION ALL ".join(qsub_selects)}),
+dtab AS MATERIALIZED (
+  SELECT qs.query_id, qs.sub, cb.code,
+         list_dot_product(qs.qs, qs.qs)
+         - 2 * list_dot_product(qs.qs, cb.cent)
+         + list_dot_product(cb.cent, cb.cent) AS pd
+  FROM qsubs qs JOIN cb ON cb.sub = qs.sub
+),
+parts AS (
+  SELECT d.query_id, b.vec_id, b.sub, d.pd
+  FROM best b JOIN dtab d ON d.sub = b.sub AND d.code = b.code
+),
+adc AS (
+  SELECT query_id, vec_id, {acc} AS adc
+  FROM parts
+  WHERE query_id <> vec_id
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, ROUND(adc, 6) AS adc, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {topk}"""
+
+
 SEMDEDUP_THRESHOLD = 0.3  # sf embeddings are random 64-dim; within-list
 SEMDEDUP_LISTS = 8  # pairs at cos >= 0.3 exist but are sparse
 
@@ -8134,6 +8246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top3": _q_ann_ivf,
         "kmeans_clusters_r2": _q_kmeans,
         "pq_codes_m4": _q_pq_codes,
+        "pq_adc_top5": _q_pq_adc,
         "semdedup_keep": _q_semdedup,
         "embedding_near_dups": _q_embed_near_dup,
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
@@ -8313,6 +8426,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_top3": _ann_ivf_sql(),
         "kmeans_clusters_r2": _kmeans_sql(),
         "pq_codes_m4": _pq_codes_sql(),
+        "pq_adc_top5": _pq_adc_sql(),
         "sessions_gap": __import__("gunrock_spark.streaming.sessions", fromlist=["sessions_gap_sql"]).sessions_gap_sql(1_800_000),
         "semdedup_keep": _semdedup_sql(),
         "embedding_near_dups": _embed_near_dup_sql(),

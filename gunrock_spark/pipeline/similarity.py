@@ -458,6 +458,81 @@ def pq_encode(
     )
 
 
+def pq_adc_search(
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int | None = None,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al.
+    2011 §IV): per query, precompute the m x k table of exact
+    subspace distances ||q_s - c_{s,j}||² (expanded dot-product
+    form), then every corpus vector's approximate distance is m table
+    lookups summed — the corpus is never decoded.
+    (query_id, vec_id, adc, rank).
+
+    FP-deterministic by construction: the per-(query, vector) sum
+    folds the m partial distances IN SUBSPACE ORDER (array_sort +
+    ordered aggregate, not an unordered SQL SUM), so the SQL oracle
+    reproduces the exact doubles and the rank ordering.
+
+    Scale shape: distance tables are |Q| x m x k rows and broadcast;
+    codes explode to m rows per vector, equi-join the broadcast
+    tables, and collapse back with one partial-agg per (query,
+    vector); ranking is per-query top-k. No decode, no d-dim math on
+    the corpus side."""
+    if dim is None:
+        first = codebooks.select(F.size("centroid").alias("w")).first()
+        dim = int(first["w"]) * m
+    w = dim // m
+    qv = _as_double(F.col(vec_col))
+    qslices = F.array(*[F.slice(qv, s * w + 1, w) for s in range(m)])
+    qsubs = queries.select(
+        F.col(query_id), F.posexplode(qslices).alias("sub", "qs")
+    )
+    pd2 = (
+        _dot(F.col("qs"), F.col("qs"))
+        - 2 * _dot(F.col("qs"), F.col("centroid"))
+        + _dot(F.col("centroid"), F.col("centroid"))
+    )
+    dtab = qsubs.join(F.broadcast(codebooks), "sub").select(
+        query_id, "sub", "code", pd2.alias("pd")
+    )
+    codes = corpus_codes.select(
+        F.col(corpus_id), F.posexplode("codes").alias("sub", "code")
+    )
+    parts = codes.join(F.broadcast(dtab), ["sub", "code"]).select(
+        query_id, corpus_id, "sub", "pd"
+    )
+    adc = (
+        parts.groupBy(query_id, corpus_id)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "pd"))),
+                    lambda s: s["pd"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc")
+        )
+    )
+    if exclude_self:
+        adc = adc.where(F.col(query_id) != F.col(corpus_id))
+    wr = Window.partitionBy(query_id).orderBy(F.asc("adc"), F.asc(corpus_id))
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("adc", 6).alias("adc"), "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup via sign-bit LSH
 # ---------------------------------------------------------------------------

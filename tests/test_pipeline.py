@@ -1525,3 +1525,62 @@ def test_pq_codes_match_numpy(spark, vectors):
     # the sampled rows encode themselves exactly (distance 0 per sub)
     for code, i in enumerate(order[:k]):
         assert got[i] == [code] * m
+
+
+def test_pq_adc_matches_numpy_and_finds_planted_dup(spark, vectors):
+    from gunrock_spark.functions.hashing import h60_py
+    from gunrock_spark.pipeline.similarity import (
+        pq_adc_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    m, k = 4, 8
+    cb = pq_codebooks(vectors, m=m, k=k)
+    codes_df = pq_encode(vectors, cb, m=m)
+    queries = vectors.where(F.col("vec_id").isin([0, 3])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_search(codes_df, cb, queries, k=3, m=m, exclude_self=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["adc"])
+        )
+
+    mat = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vectors.collect()
+    }
+    order = sorted(mat, key=lambda i: (h60_py(str(i)), i))
+    samp = [mat[i] for i in order[:k]]
+    d, w = 8, 2
+    codes = {}
+    for vid, v in mat.items():
+        codes[vid] = [
+            min(
+                range(k),
+                key=lambda j: (
+                    float(np.sum((v[s * w:(s + 1) * w] - samp[j][s * w:(s + 1) * w]) ** 2)),
+                    j,
+                ),
+            )
+            for s in range(m)
+        ]
+    for qid in (0, 3):
+        qv = mat[qid]
+        dists = []
+        for vid, cs in codes.items():
+            if vid == qid:
+                continue
+            adc = sum(
+                float(np.sum((qv[s * w:(s + 1) * w] - samp[cs[s]][s * w:(s + 1) * w]) ** 2))
+                for s in range(m)
+            )
+            dists.append((adc, vid))
+        dists.sort()
+        want = [(i + 1, vid, round(adc, 6)) for i, (adc, vid) in enumerate(dists[:3])]
+        assert sorted(got[qid]) == want, qid
+    # vector 40 is a planted near-copy of vector 0: it must be query
+    # 0's nearest ADC neighbor (identical codes -> minimal distance)
+    assert got[0][0][1] == 40 or sorted(got[0])[0][1] == 40
