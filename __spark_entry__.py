@@ -5066,31 +5066,24 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir))
 
 
-def _gopher_quality_sql() -> str:
-    from gunrock_spark.pipeline.text import (
-        GOPHER_MAX_BULLET_RATIO,
-        GOPHER_MAX_ELLIPSIS_RATIO,
-        GOPHER_MAX_MEAN_WORD_LEN,
-        GOPHER_MAX_SYMBOL_RATIO,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_ALPHA_WORD_RATIO,
-        GOPHER_MIN_MEAN_WORD_LEN,
-        GOPHER_MIN_STOPWORDS,
-        GOPHER_MIN_WORDS,
-        GOPHER_REQUIRED_STOPWORDS,
-    )
+def _gopher_rule_ctes(idcol: str) -> str:
+    """CTE chain ending in r(<idcol>, n_words, n_stop, mean_word_len,
+    symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_word_ratio) —
+    the per-row Gopher quality metrics, shared by the per-document
+    flags oracle and the per-group rollup oracle."""
+    from gunrock_spark.pipeline.text import GOPHER_REQUIRED_STOPWORDS
 
     stops = "[" + ", ".join(f"'{s}'" for s in GOPHER_REQUIRED_STOPWORDS) + "]"
     return f"""
 WITH base AS (
-  SELECT doc_id, text,
+  SELECT {idcol}, text,
          list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS words,
          string_split(text, chr(10)) AS lines,
          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
   FROM documents
 ),
 m AS (
-  SELECT doc_id,
+  SELECT {idcol},
          len(words) AS n_words,
          len(list_filter(lines, l -> len(trim(l)) > 0)) AS n_lines,
          COALESCE(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
@@ -5105,14 +5098,42 @@ m AS (
   FROM base
 ),
 r AS (
-  SELECT doc_id, n_words, n_stop,
+  SELECT {idcol}, n_words, n_stop,
          CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
          CASE WHEN n_words > 0 THEN n_symbols / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
          CASE WHEN n_lines > 0 THEN bullet_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_ratio,
          CASE WHEN n_lines > 0 THEN ellipsis_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_ratio,
          CASE WHEN n_words > 0 THEN alpha_words / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_word_ratio
   FROM m
-)
+)"""
+
+
+def _gopher_keep_cond() -> str:
+    from gunrock_spark.pipeline.text import (
+        GOPHER_MAX_BULLET_RATIO,
+        GOPHER_MAX_ELLIPSIS_RATIO,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_RATIO,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    return f"""(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
+        AND ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
+        AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+        AND n_stop >= {GOPHER_MIN_STOPWORDS})"""
+
+
+def _gopher_quality_sql() -> str:
+    return (
+        _gopher_rule_ctes("doc_id")
+        + f"""
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
        ROUND(mean_word_len, 6) AS mean_word_len,
@@ -5121,14 +5142,58 @@ SELECT doc_id,
        ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
        ROUND(alpha_word_ratio, 6) AS alpha_word_ratio,
        CAST(n_stop AS INT) AS n_stop,
-       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
-        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
-        AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
-        AND ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
-        AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO}
-        AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+       {_gopher_keep_cond()} AS keep
 FROM r"""
+    )
+
+
+QUALITY_ROLLUP_MIN_KEEP = 0.5
+
+
+def _q_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-quality rollup (pipeline/text.quality_rollup)
+    — the domain-level curation filter: keep rate, per-rule failure
+    counts, and the drop-the-whole-source decision, all exact
+    integer ratios."""
+    from gunrock_spark.pipeline.text import quality_rollup
+
+    return quality_rollup(
+        _docs(spark, sf_dir),
+        group_col="source",
+        min_keep_rate=QUALITY_ROLLUP_MIN_KEEP,
+    )
+
+
+def _quality_rollup_sql(min_keep: float = QUALITY_ROLLUP_MIN_KEEP) -> str:
+    from gunrock_spark.pipeline.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_RATIO,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    return (
+        _gopher_rule_ctes("source")
+        + f""",
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN {_gopher_keep_cond()} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(SUM(n_words) AS BIGINT) AS total_words,
+         CAST(SUM(CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                        OR n_words > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_length,
+         CAST(SUM(CASE WHEN ROUND(alpha_word_ratio, 6) < {GOPHER_MIN_ALPHA_WORD_RATIO}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alpha,
+         CAST(SUM(CASE WHEN n_stop < {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_few_stopwords
+  FROM r GROUP BY source
+)
+SELECT source, n_docs, n_keep,
+       ROUND(n_keep / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+       ROUND(total_words / CAST(n_docs AS DOUBLE), 6) AS avg_words,
+       n_bad_length, n_low_alpha, n_few_stopwords,
+       (n_keep / CAST(n_docs AS DOUBLE)) >= {min_keep} AS domain_keep
+FROM agg"""
+    )
 
 
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8276,6 +8341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality_flags": _q_gopher_quality,
         "char_entropy": _q_char_entropy,
+        "source_quality_rollup": _q_quality_rollup,
         "url_canonical": _q_url_canon,
         "redirect_resolve": _q_redirect_resolve,
         "change_rate": _q_change_rate,
@@ -8460,6 +8526,7 @@ FROM events GROUP BY 1, 2""",
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_quality_flags": _gopher_quality_sql(),
         "char_entropy": _char_entropy_sql(),
+        "source_quality_rollup": _quality_rollup_sql(),
         "url_canonical": _url_canon_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
         "change_rate": _change_rate_sql(),

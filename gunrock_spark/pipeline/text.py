@@ -188,6 +188,56 @@ def gopher_quality(
     )
 
 
+def quality_rollup(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_keep_rate: float = 0.5,
+) -> DataFrame:
+    """Per-domain (or per-source/host) Gopher-quality rollup — the
+    DOMAIN-level filter every production curation pipeline layers on
+    top of the per-document rules: a host whose pages mostly fail the
+    quality rules is dropped wholesale (mirror farms, link spam,
+    machine-generated boilerplate).
+
+    (group, n_docs, n_keep, keep_rate, avg_words, n_bad_length,
+    n_low_alpha, n_few_stopwords, domain_keep) — all counts are
+    integer sums over :func:`gopher_quality` rows and every ratio is
+    an exact int/int double, so the keep decisions are
+    FP-deterministic and SQL-replayable. One groupBy over the
+    scan-bound quality projection; map-side combinable.
+    """
+    q = gopher_quality(df, id_col=group_col, text_col=text_col)
+    flag = lambda c: F.sum(c.cast("int"))  # noqa: E731
+    agg = q.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        flag(F.col("keep")).cast("long").alias("n_keep"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        flag(
+            (F.col("n_words") < GOPHER_MIN_WORDS)
+            | (F.col("n_words") > GOPHER_MAX_WORDS)
+        ).cast("long").alias("n_bad_length"),
+        flag(F.col("alpha_word_ratio") < GOPHER_MIN_ALPHA_WORD_RATIO)
+        .cast("long")
+        .alias("n_low_alpha"),
+        flag(F.col("n_stop") < GOPHER_MIN_STOPWORDS)
+        .cast("long")
+        .alias("n_few_stopwords"),
+    )
+    keep_rate = F.col("n_keep") / F.col("n_docs")
+    return agg.select(
+        F.col(group_col),
+        "n_docs",
+        "n_keep",
+        F.round(keep_rate, 6).alias("keep_rate"),
+        F.round(F.col("total_words") / F.col("n_docs"), 6).alias("avg_words"),
+        "n_bad_length",
+        "n_low_alpha",
+        "n_few_stopwords",
+        (keep_rate >= min_keep_rate).alias("domain_keep"),
+    )
+
+
 def char_entropy(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

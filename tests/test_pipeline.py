@@ -1584,3 +1584,32 @@ def test_pq_adc_matches_numpy_and_finds_planted_dup(spark, vectors):
     # vector 40 is a planted near-copy of vector 0: it must be query
     # 0's nearest ADC neighbor (identical codes -> minimal distance)
     assert got[0][0][1] == 40 or sorted(got[0])[0][1] == 40
+
+
+def test_quality_rollup_domain_decision(spark):
+    from gunrock_spark.pipeline.text import gopher_quality, quality_rollup
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with vigor and stamina"] * 5
+    )
+    bad = "short junk"
+    rows = (
+        [(i, good, "gooddomain") for i in range(4)]
+        + [(4, bad, "gooddomain")]  # 4/5 keep -> rate 0.8
+        + [(i, bad, "spamdomain") for i in range(5, 9)]
+        + [(9, good, "spamdomain")]  # 1/5 keep -> rate 0.2
+    )
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in quality_rollup(df, min_keep_rate=0.5).collect()}
+    assert got["gooddomain"]["n_docs"] == 5
+    assert got["gooddomain"]["n_keep"] == 4
+    assert got["gooddomain"]["keep_rate"] == 0.8
+    assert got["gooddomain"]["domain_keep"] is True
+    assert got["spamdomain"]["n_keep"] == 1
+    assert got["spamdomain"]["keep_rate"] == 0.2
+    assert got["spamdomain"]["domain_keep"] is False
+    assert got["spamdomain"]["n_bad_length"] == 4
+    # avg agrees with the per-document flags
+    q = gopher_quality(df).collect()
+    total = sum(r["n_words"] for r in q if r["doc_id"] < 5)
+    assert got["gooddomain"]["avg_words"] == pytest.approx(total / 5, abs=1e-6)
