@@ -30,7 +30,13 @@ from gunrock_spark.algorithms.bc import bc_single_source, betweenness_centrality
 from gunrock_spark.algorithms.hits import hits
 from gunrock_spark.algorithms.salsa import salsa
 from gunrock_spark.algorithms.wtf import who_to_follow
-from gunrock_spark.algorithms.kcore import core_numbers, k_core, k_core_vertices
+from gunrock_spark.algorithms.kcore import (
+    core_numbers,
+    k_core,
+    k_core_vertices,
+    onion_decomposition,
+    onion_layers,
+)
 from gunrock_spark.algorithms.ktruss import k_truss
 from gunrock_spark.algorithms.mis import maximal_independent_set
 from gunrock_spark.algorithms.matching import maximal_matching
@@ -95,6 +101,8 @@ __all__ = [
     "maximal_independent_set",
     "k_core_vertices",
     "core_numbers",
+    "onion_decomposition",
+    "onion_layers",
     "negative_samples",
     "random_walks",
     "khop_neighbor_sample",

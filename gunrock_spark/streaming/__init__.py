@@ -7,6 +7,10 @@ from gunrock_spark.streaming.sessions import (
     sessionize_batch,
     sessionize_stream,
 )
+from gunrock_spark.streaming.dedup_stream import (
+    incremental_near_dups,
+    read_pairs,
+)
 from gunrock_spark.streaming.windows import windowed_rollup
 
 __all__ = [
@@ -16,4 +20,6 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "windowed_rollup",
+    "incremental_near_dups",
+    "read_pairs",
 ]
