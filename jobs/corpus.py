@@ -20,8 +20,13 @@ Ops:
   decontaminate   drop docs overlapping --eval-input n-grams
   gopher          append Gopher repetition metrics + keep flag
   gopher-quality  Gopher quality rule set (word/line/symbol/stopword) + keep
+  quality-rollup  per-domain quality rollup + whole-domain keep decision
+                  (--group-col, --threshold = min keep rate)
+  char-entropy    per-document character-entropy gibberish signal
   kmeans          Lloyd k-means cluster assignments (embeddings parquet;
                   --top-k clusters, --id-col/--vec-col name the columns)
+  pq-encode       product-quantization codes (embeddings parquet; m=4
+                  subspaces, --top-k codes per subspace)
   lm-ppl          append unigram-LM perplexity columns
   quality         append quality-score columns
   langid          append language-ID columns
@@ -62,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "exact-dedup", "minhash-dedup", "line-dedup", "decontaminate",
-            "gopher", "gopher-quality", "kmeans", "lm-ppl", "quality", "langid", "pii",
+            "gopher", "gopher-quality", "quality-rollup", "char-entropy",
+            "kmeans", "pq-encode", "lm-ppl", "quality", "langid", "pii",
             "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
             "extract-content", "resolve-redirects", "cooc-pmi",
@@ -178,6 +184,26 @@ def main(argv: list[str] | None = None) -> int:
         out, _ = kmeans(
             docs, k=args.top_k, iters=2, corpus_id=idc, vec_col=args.vec_col
         )
+    elif args.op == "pq-encode":
+        # --input points at an embeddings parquet; --top-k = codes per
+        # subspace (m fixed at 4 contiguous subspaces)
+        from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+        cb = pq_codebooks(
+            docs, m=4, k=args.top_k, corpus_id=idc, vec_col=args.vec_col
+        )
+        out = pq_encode(docs, cb, m=4, corpus_id=idc, vec_col=args.vec_col)
+    elif args.op == "quality-rollup":
+        from gunrock_spark.pipeline.text import quality_rollup
+
+        out = quality_rollup(
+            docs, group_col=args.group_col, text_col=txc,
+            min_keep_rate=args.threshold,
+        )
+    elif args.op == "char-entropy":
+        from gunrock_spark.pipeline.text import char_entropy
+
+        out = char_entropy(docs, id_col=idc, text_col=txc)
     elif args.op == "lm-ppl":
         from gunrock_spark.pipeline.lm import lm_score, unigram_lm
 

@@ -334,3 +334,40 @@ def test_nb_quality_op(spark, docs_parquet, tmp_path, capsys):
     assert res.count() == 5
     with pytest.raises(SystemExit):
         _run(["--input", docs_parquet, "--op", "nb-quality", "--out", "x"])
+
+
+def test_new_quality_and_vector_ops_run(spark, docs_parquet, tmp_path, capsys):
+    """gopher-quality / quality-rollup / char-entropy over documents;
+    kmeans / pq-encode over an embeddings parquet — each writes
+    parquet with the expected schema."""
+    import numpy as np
+
+    for op, cols in [
+        ("gopher-quality", {"doc_id", "n_words", "keep"}),
+        ("quality-rollup", {"source", "n_docs", "keep_rate", "domain_keep"}),
+        ("char-entropy", {"doc_id", "n_chars", "char_entropy"}),
+    ]:
+        out = str(tmp_path / op)
+        assert _run(["--input", docs_parquet, "--op", op, "--out", out]) == 0
+        got = spark.read.parquet(out)
+        assert cols <= set(got.columns), op
+        assert got.count() > 0
+
+    rng = np.random.RandomState(11)
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(40)],
+        schema="vec_id long, embedding array<double>",
+    ).write.parquet(emb)
+    for op, cols in [
+        ("kmeans", {"vec_id", "cluster"}),
+        ("pq-encode", {"vec_id", "codes"}),
+    ]:
+        out = str(tmp_path / op)
+        assert _run(
+            ["--input", emb, "--op", op, "--out", out,
+             "--id-col", "vec_id", "--top-k", "4"]
+        ) == 0
+        got = spark.read.parquet(out)
+        assert cols <= set(got.columns), op
+        assert got.count() == 40

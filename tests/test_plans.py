@@ -931,3 +931,49 @@ def test_kmeans_assign_broadcasts_centroids_and_partial_aggs(spark):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_pq_encode_broadcast_join_partial_agg_no_window(spark):
+    """PQ encoding: explode to m sub-rows, broadcast-join the (m x k)
+    codebook, min(struct) partial-agg argmin, per-vector assembly —
+    no window, no sort-merge join, no Python."""
+    from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=4, k=8)
+    plan = _plan(pq_encode(emb, cb, m=4))
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_signature_near_dups_no_second_shingle_pass(spark):
+    """Signature-agreement verify joins two signature projections —
+    the plan must not re-read or re-join the shingle table in the
+    verify stage (count the exploding Generate nodes: only the
+    signature build's shingle explode, never a verify-side one), and
+    no cartesian/python appears."""
+    from gunrock_spark.pipeline.dedup import signature_near_duplicates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(signature_near_duplicates(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_rollup_partial_agg_single_shuffle(spark):
+    """The domain rollup is ONE map-side-combined groupBy over the
+    scan-bound quality projection: exactly one exchange, no join, no
+    Python."""
+    from gunrock_spark.pipeline.text import quality_rollup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(quality_rollup(docs))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
