@@ -40,6 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet edge table (src long, dst long)")
+    src.add_argument("--snap", help="SNAP-style text edge list (# comments)")
     src.add_argument("--pages", help="parquet pages table -> link extraction")
     src.add_argument("--pages-generate", type=int, metavar="N",
                      help="generate a deterministic N-page table (power of two)")
@@ -132,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
     # must be a clear argparse error, not a later NameError on edges_df
     if args.pages_generate is not None and args.pages_generate <= 0:
         ap.error("--pages-generate N must be positive")
-    if args.host_level and args.edges:
+    if args.host_level and (args.edges or args.snap):
         ap.error("--host-level needs a pages input (--pages/--pages-generate)")
     if args.weighted and args.algorithm != "pagerank":
         ap.error("--weighted only applies to --algorithm pagerank")
@@ -148,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
     t_load = time.monotonic()
     if args.edges:
         edges_df = spark.read.parquet(args.edges)
+    elif args.snap:
+        from gunrock_spark.graph.io import read_snap_edges
+
+        edges_df = read_snap_edges(spark, args.snap).edges
     elif args.pages or args.pages_generate is not None:
         from gunrock_spark.ingest.links import pages_to_edges, verify_extraction
 

@@ -193,3 +193,30 @@ def test_clustered_edge_store_prunes_partitions(spark, tmp_path):
     assert "cbucket" in pf, plan
     # full read returns everything
     assert read_clustered_edges(spark, path).count() == len(edges)
+
+
+def test_snap_edge_list_roundtrip_and_comments(spark, tmp_path):
+    """write_snap_edges -> read_snap_edges recovers the exact cleaned
+    edge set; the reader skips #-comment lines, mixed whitespace, and
+    parses optional weights."""
+    from gunrock_spark.graph.generators import rmat_edges_df
+    from gunrock_spark.graph.io import read_snap_edges, write_snap_edges
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    df = rmat_edges_df(spark, scale=8, edge_factor=4, seed=9)
+    g = EdgeTable.from_df(df)
+    want = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    p = str(tmp_path / "snap_out")
+    write_snap_edges(g, p)
+    back = read_snap_edges(spark, p)
+    got = {(r["src"], r["dst"]) for r in back.edges.collect()}
+    assert got == want
+
+    # hand-written file: comments, blank lines, tabs/spaces, weights
+    f = tmp_path / "hand.txt"
+    f.write_text(
+        "# Directed graph\n# src\tdst\tw\n\n0\t1\t2.5\n1  2  0.5\n2\t0\t1.0\n"
+    )
+    gw = read_snap_edges(spark, str(f), weighted=True)
+    rows = {(r["src"], r["dst"]): r["weight"] for r in gw.edges.collect()}
+    assert rows == {(0, 1): 2.5, (1, 2): 0.5, (2, 0): 1.0}
