@@ -4732,6 +4732,82 @@ FROM (SELECT doc_id FROM d) d
 LEFT JOIN agg a USING (doc_id)"""
 
 
+KN_DISCOUNT = 0.75
+
+
+def _q_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (pipeline/lm.py
+    kn_bigram_lm): train on the even-doc_id half, score EVERY document
+    — the held-out half exercises all three branches (seen pair /
+    seen context with unseen pair / unseen context)."""
+    from gunrock_spark.pipeline.lm import kn_bigram_lm, kn_bigram_score
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    model = kn_bigram_lm(docs.where(F.col("doc_id") % 2 == 0), discount=KN_DISCOUNT)
+    out = kn_bigram_score(docs, model)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+def _kn_bigram_ppl_sql(d: float = KN_DISCOUNT) -> str:
+    return f"""
+WITH docs2 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM docs2)
+),
+bi AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+         {d} * COUNT(*) / CAST(SUM(cb) AS BIGINT) AS lam
+  FROM bi GROUP BY w1
+),
+consts AS (
+  SELECT CAST(b + vocab + 1 AS DOUBLE) AS denom
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bi),
+       (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS vocab
+        FROM (SELECT unnest(t) AS x FROM docs2 WHERE doc_id % 2 = 0))
+),
+cont AS (
+  SELECT w2, (CAST(COUNT(*) AS BIGINT) + 1) / consts.denom AS pc
+  FROM bi CROSS JOIN consts GROUP BY w2, consts.denom
+),
+agg AS (
+  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         AVG(CASE WHEN b.cb IS NOT NULL
+                    THEN ln((b.cb - {d}) / c.c1
+                            + c.lam * COALESCE(n.pc, 1.0 / consts.denom))
+                  WHEN c.c1 IS NOT NULL
+                    THEN ln(c.lam * COALESCE(n.pc, 1.0 / consts.denom))
+                  ELSE ln(COALESCE(n.pc, 1.0 / consts.denom)) END) AS avg_logp
+  FROM pairs p
+  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN ctx c ON p.w1 = c.w1
+  LEFT JOIN cont n ON p.w2 = n.w2
+  CROSS JOIN consts
+  GROUP BY p.doc_id
+)
+SELECT docs2.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       ROUND(COALESCE(a.avg_logp, 0.0), 6) AS avg_logp,
+       ROUND(exp(-COALESCE(a.avg_logp, 0.0)), 6) AS ppl
+FROM (SELECT DISTINCT doc_id FROM docs2) docs2
+LEFT JOIN agg a USING (doc_id)"""
+
+
 def _q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram add-k LM perplexity (pipeline/lm.py bigram_lm): train on
     the even-doc_id half of the corpus, score EVERY document — the
@@ -8353,6 +8429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template_rate": _q_host_template,
         "lm_ppl": _q_lm_ppl,
         "bigram_lm_ppl": _q_bigram_lm_ppl,
+        "kn_bigram_ppl": _q_kn_bigram_ppl,
         "nb_quality_scores": _q_nb_quality,
         "pca_component": _q_pca_component,
         "pca_scores": _q_pca_scores,
@@ -8538,6 +8615,7 @@ FROM events GROUP BY 1, 2""",
         "host_template_rate": _host_template_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "bigram_lm_ppl": _bigram_lm_ppl_sql(),
+        "kn_bigram_ppl": _kn_bigram_ppl_sql(),
         "nb_quality_scores": _nb_quality_sql(),
         "pca_component": _pca_component_sql(),
         "pca_scores": _pca_scores_sql(),

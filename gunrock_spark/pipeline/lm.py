@@ -383,3 +383,128 @@ def bigram_lm_score(
             F.exp(-F.coalesce(F.col("avg_logp"), F.lit(0.0))).alias("ppl"),
         )
     )
+
+
+@dataclass
+class KNBigramLM:
+    """Trained interpolated Kneser-Ney bigram model (Kneser & Ney
+    1995; Chen & Goodman 1999's interpolated variant with one fixed
+    discount D):
+
+        p(w2|w1) = max(c(w1,w2) - D, 0) / c(w1)
+                 + (D * N1+(w1,.) / c(w1)) * Pcont(w2)
+
+    where N1+(w1,.) is the number of distinct continuations of w1 and
+    ``Pcont`` is the CONTINUATION distribution — how many distinct
+    contexts precede w2, not how often it occurs — add-one smoothed to
+    close the recursion deterministically:
+
+        Pcont(w2) = (N1+(., w2) + 1) / (B + V + 1)
+
+    (B = distinct bigram count, V = vocabulary; an unseen w2 gets
+    1/(B+V+1), the same reserve-one-slot discipline as the add-k
+    models). An unseen context backs off to Pcont alone.
+
+    ``bigrams`` is DataFrame[w1, w2, cb]; ``contexts`` is
+    DataFrame[w1, c1, lam] with lam = D * N1+(w1,.) / c(w1);
+    ``continuations`` is DataFrame[w2, pc]."""
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    continuations: DataFrame
+    discount: float
+    pc_oov: float
+    vocab_size: int
+
+
+def kn_bigram_lm(
+    df: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> KNBigramLM:
+    """Train the interpolated KN bigram model: three map-side-combined
+    groupBys over the in-array bigram explode plus two scalar
+    aggregates. All model components stay distributed DataFrames.
+    ``discount`` must lie in (0, 1) so max(c - D, 0) never clips
+    (every seen count is >= 1) — which keeps the seen-pair branch a
+    single FP expression the SQL oracle replays exactly."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    pairs = _doc_bigrams(df, None, text_col)
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    bi = bi.persist()
+    ctx = bi.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    consts = bi.agg(F.count(F.lit(1)).cast("long").alias("b")).collect()[0]
+    b_total = int(consts["b"] or 0)
+    vocab = int(
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+        or 0
+    )
+    denom = float(b_total + vocab + 1)
+    contexts = ctx.select(
+        "w1",
+        "c1",
+        (F.lit(discount) * F.col("n1f") / F.col("c1")).alias("lam"),
+    )
+    continuations = cont.select(
+        "w2", ((F.col("n1b") + F.lit(1)) / F.lit(denom)).alias("pc")
+    )
+    return KNBigramLM(
+        bigrams=bi,
+        contexts=contexts,
+        continuations=continuations,
+        discount=discount,
+        pc_oov=1.0 / denom,
+        vocab_size=vocab,
+    )
+
+
+def kn_bigram_score(
+    df: DataFrame,
+    model: KNBigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp, ppl) under the KN model — same
+    contract as :func:`bigram_lm_score` (documents with < 2 tokens
+    score avg_logp = 0, ppl = 1). Three term-keyed left joins + one
+    per-doc groupBy, all partial-agg shuffles, no Python."""
+    pairs = _doc_bigrams(df, id_col, text_col)
+    d = F.lit(model.discount)
+    pc = F.coalesce(F.col("pc"), F.lit(model.pc_oov))
+    lp = (
+        F.when(
+            F.col("cb").isNotNull(),
+            F.log((F.col("cb") - d) / F.col("c1") + F.col("lam") * pc),
+        )
+        .when(F.col("c1").isNotNull(), F.log(F.col("lam") * pc))
+        .otherwise(F.log(pc))
+    )
+    scored = (
+        pairs.join(model.bigrams, ["w1", "w2"], "left")
+        .join(model.contexts, "w1", "left")
+        .join(model.continuations, "w2", "left")
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("lp").alias("avg_logp"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("avg_logp"), F.lit(0.0)).alias("avg_logp"),
+            F.exp(-F.coalesce(F.col("avg_logp"), F.lit(0.0))).alias("ppl"),
+        )
+    )

@@ -46,6 +46,7 @@ Ops:
   c4-clean        C4-style line filtering (terminal punct / min words /
                   brace + blocklist lines; doc floor --min-lines)
   bigram-ppl      append bigram add-k LM perplexity columns
+  kn-ppl          append interpolated Kneser-Ney bigram perplexity columns
   nb-quality      append Naive-Bayes classifier log-odds + pred
                   (--pos-source names the trusted class)
 """
@@ -67,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "exact-dedup", "minhash-dedup", "line-dedup", "decontaminate",
-            "gopher", "gopher-quality", "quality-rollup", "char-entropy",
+            "gopher", "gopher-quality", "quality-rollup", "char-entropy", "kn-ppl",
             "kmeans", "pq-encode", "lm-ppl", "quality", "langid", "pii",
             "canonicalize", "latest-crawl", "change-rate", "mixture-sample",
             "length-filter", "dsir-sample", "semdedup", "window-dup",
@@ -204,6 +205,14 @@ def main(argv: list[str] | None = None) -> int:
         from gunrock_spark.pipeline.text import char_entropy
 
         out = char_entropy(docs, id_col=idc, text_col=txc)
+    elif args.op == "kn-ppl":
+        from gunrock_spark.pipeline.lm import kn_bigram_lm, kn_bigram_score
+
+        out = docs.join(
+            kn_bigram_score(docs, kn_bigram_lm(docs, text_col=txc),
+                            id_col=idc, text_col=txc),
+            idc,
+        )
     elif args.op == "lm-ppl":
         from gunrock_spark.pipeline.lm import lm_score, unigram_lm
 

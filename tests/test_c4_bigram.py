@@ -108,3 +108,69 @@ def test_bigram_lm_score_matches_python_oracle(spark):
             assert p == pytest.approx(math.exp(-exp), rel=1e-12)
     # trained bigram beats garbage
     assert got[10][2] < got[11][2]
+
+
+def _py_kn_lm(train_texts, d=0.75):
+    bi, ctx, n1f, n1b = {}, {}, {}, {}
+    vocab = set()
+    for t in train_texts:
+        toks = re.findall(r"[A-Za-z0-9]+", t.lower())
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    for (a, b), c in bi.items():
+        ctx[a] = ctx.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    B, V = len(bi), len(vocab)
+    denom = float(B + V + 1)
+
+    def pc(b):
+        return (n1b.get(b, 0) + 1) / denom
+
+    def lp(a, b):
+        if (a, b) in bi:
+            lam = d * n1f[a] / ctx[a]
+            return math.log((bi[(a, b)] - d) / ctx[a] + lam * pc(b))
+        if a in ctx:
+            lam = d * n1f[a] / ctx[a]
+            return math.log(lam * pc(b))
+        return math.log(pc(b))
+
+    return lp
+
+
+def test_kn_bigram_score_matches_python_oracle(spark):
+    from gunrock_spark.pipeline.lm import kn_bigram_lm, kn_bigram_score
+
+    train = [(i, t) for i, t in DOCS if t]
+    score_docs = [
+        (10, "the quick brown fox jumps."),
+        (11, "quick the the quick zebra unseenword fox"),
+        (12, "x"),
+        (13, ""),
+    ]
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    sdf = spark.createDataFrame(score_docs, ["doc_id", "text"])
+    model = kn_bigram_lm(tdf, discount=0.75)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["ppl"])
+        for r in kn_bigram_score(sdf, model).collect()
+    }
+    lp = _py_kn_lm([t for _, t in train], d=0.75)
+    for i, text in score_docs:
+        toks = re.findall(r"[A-Za-z0-9]+", text.lower())
+        pairs = list(zip(toks, toks[1:]))
+        n, a, p = got[i]
+        assert n == len(pairs)
+        if not pairs:
+            assert (a, p) == (0.0, 1.0)
+        else:
+            exp = sum(lp(x, y) for x, y in pairs) / len(pairs)
+            assert a == pytest.approx(exp, rel=1e-12)
+            assert p == pytest.approx(math.exp(-exp), rel=1e-12)
+    # trained text still beats garbage under KN
+    assert got[10][2] < got[11][2]
+    # discount outside (0,1) is rejected
+    with pytest.raises(ValueError):
+        kn_bigram_lm(tdf, discount=1.5)
