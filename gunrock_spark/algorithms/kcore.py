@@ -113,6 +113,9 @@ def k_core_vertices(graph: EdgeTable, k: int, max_iter: int = 100) -> DataFrame:
 def onion_decomposition(
     graph: EdgeTable,
     max_iter: int = 100_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 25,
+    resume: bool = False,
 ) -> IterationResult:
     """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016,
     "Multi-scale structure and topological anomaly detection via a new
@@ -148,6 +151,8 @@ def onion_decomposition(
       h-index fixpoint converges in ~10-20 rounds regardless of
       onion depth.
     """
+    from gunrock_spark.engine.checkpoint import CheckpointManager
+
     spark = graph.edges.sparkSession
     sym = graph.symmetrized().edges
     state = (
@@ -161,10 +166,32 @@ def onion_decomposition(
         .repartition(spark.sparkContext.defaultParallelism, "v")
         .localCheckpoint(eager=True)
     )
+    checkpointer = None
+    start_iter, prior_metrics = 0, None
+    if checkpoint_dir is not None:
+        checkpointer = CheckpointManager(
+            checkpoint_dir,
+            config={"algorithm": "onion", "m": graph.num_edges()},
+        )
+        if resume:
+            loaded = checkpointer.load_latest(spark)
+            if loaded is not None:
+                state, start_iter, prior_metrics = loaded
+    # the three driver scalars are all derivable from the state (k is
+    # the max core assigned so far — every round assigns its threshold
+    # to >= 1 vertex, and the threshold is nondecreasing), so a fresh
+    # start and a resume share ONE init aggregate.
+    alive0 = F.col("layer").isNull()
     first = state.agg(
-        F.min("deg").alias("md"), F.count(F.lit(1)).alias("alive")
+        F.min(F.when(alive0, F.col("deg"))).alias("md"),
+        F.count(F.when(alive0, F.lit(1))).alias("alive"),
+        F.max("core").alias("k"),
     ).first()
-    cell = {"k": 0, "mindeg": int(first["md"] or 0), "alive": int(first["alive"])}
+    cell = {
+        "k": int(first["k"] or 0),
+        "mindeg": int(first["md"] or 0),
+        "alive": int(first["alive"]),
+    }
 
     def peel_step(cur: DataFrame, i: int):
         k = max(cell["k"], cell["mindeg"])
@@ -219,6 +246,10 @@ def onion_decomposition(
         peel_step,
         stop=lambda m: m["alive"] == 0,
         max_iter=max_iter,
+        checkpointer=checkpointer,
+        checkpoint_interval=checkpoint_interval,
+        start_iteration=start_iter,
+        prior_metrics=prior_metrics,
     )
 
 

@@ -382,7 +382,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algorithm == "onion":
         from gunrock_spark.algorithms.kcore import onion_decomposition
 
-        res = onion_decomposition(graph, max_iter=args.max_iter)
+        res = onion_decomposition(
+            graph,
+            max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_interval=args.checkpoint_interval,
+            resume=args.resume,
+        )
         out_df = res.state.select("v", "layer", "core")
     elif args.algorithm == "scc":
         from gunrock_spark.algorithms.scc import strongly_connected_components

@@ -284,3 +284,27 @@ def test_host_template_stats(spark):
     assert (t.n_pages, t.n_distinct_texts, t.template_rate) == (4, 1, 0.75)
     a = got["articles.org"]
     assert (a.n_pages, a.n_distinct_texts, a.template_rate) == (2, 2, 0.0)
+
+
+def test_onion_checkpoint_kill_resume(spark, tmp_path):
+    """A peel killed mid-run resumes from the snapshot (threshold /
+    alive / min-degree all rederived from the state) and produces the
+    exact single-run decomposition."""
+    from gunrock_spark.algorithms.kcore import onion_decomposition, onion_layers
+
+    df = rmat_edges_df(spark, scale=8, edge_factor=4, seed=5)
+    g = EdgeTable.from_df(df)
+    want = {(r["v"], r["layer"], r["core"]) for r in onion_layers(g).collect()}
+
+    ck = str(tmp_path / "onion_ck")
+    partial = onion_decomposition(
+        g, max_iter=4, checkpoint_dir=ck, checkpoint_interval=2
+    )
+    assert not partial.converged  # the "kill": budget exhausted mid-peel
+    resumed = onion_decomposition(g, checkpoint_dir=ck, resume=True)
+    assert resumed.converged
+    got = {(r["v"], r["layer"], r["core"]) for r in resumed.state.collect()}
+    assert got == want
+    # resuming a converged run is a no-op (no extra peel round)
+    again = onion_decomposition(g, checkpoint_dir=ck, resume=True)
+    assert again.converged and again.iterations == resumed.iterations
