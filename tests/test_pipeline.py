@@ -1613,3 +1613,16 @@ def test_quality_rollup_domain_decision(spark):
     q = gopher_quality(df).collect()
     total = sum(r["n_words"] for r in q if r["doc_id"] < 5)
     assert got["gooddomain"]["avg_words"] == pytest.approx(total / 5, abs=1e-6)
+
+
+def test_pq_encode_strategies_agree(spark, vectors):
+    from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    cb = pq_codebooks(vectors, m=4, k=8)
+    lit = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(vectors, cb, m=4, strategy="literal").collect()}
+    join = {r["vec_id"]: list(r["codes"])
+            for r in pq_encode(vectors, cb, m=4, strategy="join").collect()}
+    assert lit == join and len(lit) == 41
+    with pytest.raises(ValueError):
+        pq_encode(vectors, cb, m=4, strategy="bogus")

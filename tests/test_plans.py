@@ -933,15 +933,31 @@ def test_kmeans_assign_broadcasts_centroids_and_partial_aggs(spark):
     assert "partial_max" in plan or "HashAggregate" in plan
 
 
-def test_pq_encode_broadcast_join_partial_agg_no_window(spark):
-    """PQ encoding: explode to m sub-rows, broadcast-join the (m x k)
-    codebook, min(struct) partial-agg argmin, per-vector assembly —
-    no window, no sort-merge join, no Python."""
+def test_pq_encode_literal_is_shuffle_free_projection(spark):
+    """The default (literal-codebook) PQ encoding is ONE projection
+    over the scan: no exchange, no join, no explode, no Python — the
+    codebook rides the plan as literals."""
     from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cb = pq_codebooks(emb, m=4, k=8)
     plan = _plan(pq_encode(emb, cb, m=4))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "Generate" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_join_fallback_broadcast_partial_agg_no_window(spark):
+    """The join fallback (huge codebooks): explode to m sub-rows,
+    broadcast-join the (m x k) codebook, min(struct) partial-agg
+    argmin, per-vector assembly — no window, no sort-merge join."""
+    from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=4, k=8)
+    plan = _plan(pq_encode(emb, cb, m=4, strategy="join"))
     assert "BroadcastExchange" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
