@@ -1619,10 +1619,10 @@ def test_pq_encode_strategies_agree(spark, vectors):
     from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
 
     cb = pq_codebooks(vectors, m=4, k=8)
-    lit = {r["vec_id"]: list(r["codes"])
-           for r in pq_encode(vectors, cb, m=4, strategy="literal").collect()}
+    pnd = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(vectors, cb, m=4, strategy="pandas").collect()}
     join = {r["vec_id"]: list(r["codes"])
             for r in pq_encode(vectors, cb, m=4, strategy="join").collect()}
-    assert lit == join and len(lit) == 41
+    assert pnd == join and len(pnd) == 41
     with pytest.raises(ValueError):
         pq_encode(vectors, cb, m=4, strategy="bogus")

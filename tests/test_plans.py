@@ -933,10 +933,11 @@ def test_kmeans_assign_broadcasts_centroids_and_partial_aggs(spark):
     assert "partial_max" in plan or "HashAggregate" in plan
 
 
-def test_pq_encode_literal_is_shuffle_free_projection(spark):
-    """The default (literal-codebook) PQ encoding is ONE projection
-    over the scan: no exchange, no join, no explode, no Python — the
-    codebook rides the plan as literals."""
+def test_pq_encode_pandas_is_single_arrow_map_no_shuffle(spark):
+    """The default (pandas) PQ encoding is ONE Arrow-batched
+    mapInPandas over the pruned scan: no exchange, no join, no
+    explode, no row-at-a-time Python — the codebook rides as a
+    closure, the corpus never expands."""
     from gunrock_spark.pipeline.similarity import pq_codebooks, pq_encode
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -946,7 +947,8 @@ def test_pq_encode_literal_is_shuffle_free_projection(spark):
     assert "Exchange" not in tree
     assert "Join" not in tree
     assert "Generate" not in tree
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow batches, never per-row
+    assert "MapInPandas" in plan
 
 
 def test_pq_encode_join_fallback_broadcast_partial_agg_no_window(spark):
