@@ -181,17 +181,62 @@ def default_n_lists(n_rows: int) -> int:
 
 
 def _assign_to_lists(
-    c: DataFrame, centroids: DataFrame, corpus_id: str
+    c: DataFrame, centroids: DataFrame, corpus_id: str,
+    strategy: str = "join",
 ) -> DataFrame:
     """(corpus_id, list_id): nearest centroid by cosine (ties → the
-    smallest list_id). One broadcast crossJoin + one PARTIAL-AGG
+    smallest list_id).
+
+    ``join`` (pure JVM): one broadcast crossJoin + one PARTIAL-AGG
     argmax per vector: max over struct(sim, -list_id) is exactly the
     (desc sim, asc list_id) order, and unlike the row_number-window
     formulation it map-side combines — the k-row-per-vector expansion
     collapses inside each scan task before the single exchange, and
-    nothing ever sorts. (Same result contract, plan-gated in
-    tests/test_plans.py; Spark double ordering treats NaN as largest
-    in both formulations, so tie/NaN behavior is unchanged.)"""
+    nothing ever sorts. (Plan-gated in tests/test_plans.py; Spark
+    double ordering treats NaN as largest in both formulations.)
+
+    ``pandas``: Arrow-batched mapInPandas with the centroid matrix as
+    a closure; dots and norms accumulate DIMENSION-SEQUENTIALLY so
+    every cosine equals the HOF fold bit-for-bit, and np.argmax's
+    first-maximum matches the smallest-list-id tie rule (sims are
+    laid out in list_id order). The dense-kernel fast path — the
+    distance math, not the shuffle, dominates the join shape's cost.
+    """
+    if strategy not in ("join", "pandas"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        rows = sorted(centroids.collect(), key=lambda r: int(r["list_id"]))
+        list_ids = np.array([int(r["list_id"]) for r in rows], dtype=np.int32)
+        cb = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+        w = cb.shape[1]
+        nc = np.zeros(cb.shape[0])
+        for d in range(w):
+            nc = nc + cb[:, d] * cb[:, d]
+        nc = np.sqrt(nc)
+        out_schema = f"{corpus_id} long, list_id int"
+
+        def assign_batches(batches):
+            for pdf in batches:
+                ids = pdf[corpus_id].to_numpy()
+                x = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                )
+                xc = np.zeros((len(ids), cb.shape[0]))
+                nx = np.zeros(len(ids))
+                for d in range(w):
+                    xc = xc + x[:, d : d + 1] * cb[None, :, d]
+                    nx = nx + x[:, d] * x[:, d]
+                nx = np.sqrt(nx)
+                sim = xc / (nx[:, None] * nc[None, :])
+                best = list_ids[np.argmax(sim, axis=1)]
+                yield pd.DataFrame({corpus_id: ids, "list_id": best})
+
+        return c.select(F.col(corpus_id), F.col("cv")).mapInPandas(
+            assign_batches, schema=out_schema
+        )
     scored = (
         c.crossJoin(F.broadcast(centroids))
         .select(
@@ -223,6 +268,7 @@ def ivf_index(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    assign_strategy: str = "join",
 ) -> tuple[DataFrame, DataFrame]:
     """Build (centroids(list_id, cv), assignments(vec_id, list_id)).
 
@@ -244,7 +290,7 @@ def ivf_index(
         corpus, n_lists, corpus_id, vec_col, n_rows=n_rows
     ).localCheckpoint(eager=True)
     for _ in range(refine_iters):
-        assignments = _assign_to_lists(c, centroids, corpus_id)
+        assignments = _assign_to_lists(c, centroids, corpus_id, assign_strategy)
         # per-list mean vector: posexplode -> avg per (list, dim) ->
         # re-assemble in dimension order (array_sort on struct(pos, m))
         means = (
@@ -268,7 +314,7 @@ def ivf_index(
             )
             .localCheckpoint(eager=True)
         )
-    assignments = _assign_to_lists(c, centroids, corpus_id)
+    assignments = _assign_to_lists(c, centroids, corpus_id, assign_strategy)
     return centroids, assignments
 
 
@@ -335,6 +381,7 @@ def kmeans(
     iters: int = 2,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    assign_strategy: str = "pandas",
 ) -> tuple[DataFrame, DataFrame]:
     """Standalone Lloyd's k-means over an embedding column:
     (assignments DataFrame[corpus_id, cluster int],
@@ -361,6 +408,7 @@ def kmeans(
         corpus_id=corpus_id,
         vec_col=vec_col,
         refine_iters=iters,
+        assign_strategy=assign_strategy,
     )
     return (
         asg.withColumnRenamed("list_id", "cluster"),

@@ -1626,3 +1626,15 @@ def test_pq_encode_strategies_agree(spark, vectors):
     assert pnd == join and len(pnd) == 41
     with pytest.raises(ValueError):
         pq_encode(vectors, cb, m=4, strategy="bogus")
+
+
+def test_kmeans_assign_strategies_agree(spark, vectors):
+    from gunrock_spark.pipeline.similarity import kmeans
+
+    a = {r["vec_id"]: r["cluster"]
+         for r in kmeans(vectors, k=5, iters=2, assign_strategy="join")[0].collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in kmeans(vectors, k=5, iters=2, assign_strategy="pandas")[0].collect()}
+    assert a == b and len(a) == 41
+    with pytest.raises(ValueError):
+        kmeans(vectors, k=5, assign_strategy="bogus")
