@@ -916,21 +916,29 @@ def test_onion_round_is_delta_join_no_full_recompute(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
-def test_kmeans_assign_broadcasts_centroids_and_partial_aggs(spark):
-    """The Lloyd assign pass must broadcast the k-row centroid table
-    and resolve the per-vector argmax as a map-side-combined
-    max(struct) aggregation — no per-vector sort window, no
-    sort-merge join, nothing sorts the k-per-vector expansion."""
+def test_kmeans_assign_strategies_plan_shapes(spark):
+    """The default (pandas) Lloyd assign is ONE Arrow-batched
+    mapInPandas over the scan — no exchange, no join, no row-at-a-time
+    Python. The JVM join fallback must broadcast the k-row centroid
+    table and resolve the argmax as a map-side-combined max(struct)
+    aggregation — no per-vector sort window, no sort-merge join."""
     from gunrock_spark.pipeline.similarity import kmeans
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     asg, _ = kmeans(emb, k=4, iters=1)
     plan = _plan(asg)
-    assert "BroadcastExchange" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "SortMergeJoin" not in plan
-    assert "Window" not in plan
-    assert "partial_max" in plan or "HashAggregate" in plan
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in plan
+    assert "Exchange" not in tree and "Join" not in tree
+    assert "BatchEvalPython" not in plan
+
+    asg_j, _ = kmeans(emb, k=4, iters=1, assign_strategy="join")
+    plan_j = _plan(asg_j)
+    assert "BroadcastExchange" in plan_j
+    assert "BatchEvalPython" not in plan_j and "ArrowEvalPython" not in plan_j
+    assert "SortMergeJoin" not in plan_j
+    assert "Window" not in plan_j
+    assert "partial_max" in plan_j or "HashAggregate" in plan_j
 
 
 def test_pq_encode_pandas_is_single_arrow_map_no_shuffle(spark):
