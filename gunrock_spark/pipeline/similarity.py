@@ -21,6 +21,8 @@ reproducible against the float64 oracles.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from gunrock_spark.functions.hashing import h60_py
@@ -216,7 +218,11 @@ def _assign_to_lists(
         for d in range(w):
             nc = nc + cb[:, d] * cb[:, d]
         nc = np.sqrt(nc)
-        out_schema = f"{corpus_id} long, list_id int"
+        # derive the id column's type from the input: the join strategy
+        # works for any id type (string url/doc_id keys included), so the
+        # Arrow schema must match it rather than assume long
+        id_type = c.schema[corpus_id].dataType.simpleString()
+        out_schema = f"{corpus_id} {id_type}, list_id int"
 
         def assign_batches(batches):
             for pdf in batches:
@@ -443,6 +449,19 @@ def pq_codebooks(
         rows = _centroid_candidates(
             corpus, k, corpus_id, vec_col, None, n_rows
         ).collect()
+    if not rows:
+        raise ValueError(
+            "pq_codebooks: corpus is empty — cannot build a codebook"
+        )
+    if len(rows) < k:
+        # fewer corpus vectors than requested codes: the codebook holds
+        # len(rows) codes per subspace instead of k (every vector is its
+        # own code — lossless, just smaller than asked)
+        warnings.warn(
+            f"pq_codebooks: corpus has {len(rows)} vectors < k={k}; "
+            f"emitting {len(rows)} codes per subspace",
+            stacklevel=2,
+        )
     d = len(rows[0]["cv"])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -512,7 +531,8 @@ def pq_encode(
             s: np.array([books[s][j] for j in code_ids[s]], dtype=np.float64)
             for s in subs
         }
-        out_schema = f"{corpus_id} long, codes array<int>"
+        id_type = corpus.schema[corpus_id].dataType.simpleString()
+        out_schema = f"{corpus_id} {id_type}, codes array<int>"
 
         def encode_batches(batches):
             for pdf in batches:

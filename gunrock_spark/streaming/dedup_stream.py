@@ -28,6 +28,18 @@ Union-over-batches of the emitted pairs equals the batch
 emitted exactly once, in the batch where its LATER doc arrives
 (pinned by tests/test_streaming.py).
 
+Re-crawls (a doc id recurring in a later batch — normal for a corpus
+keyed by url) are LATEST-WINS: within a batch the lexicographically
+largest non-id column struct is kept per id (for the pages schema
+that is the newest ``warc_ts``), and the candidate join / signature
+verify supersede a re-seen id's stored rows with the newest batch's
+— stale signatures never produce pairs, and ``sig_all`` holds exactly
+one signature per id. Already-emitted (id_a, id_b) pairs are
+anti-joined away, preserving emitted-exactly-once under re-crawls;
+a pair is flagged at FIRST collision and not retracted if a later
+re-crawl diverges the two docs (retraction would need a compaction
+pass over the pair store, out of scope for the append-only index).
+
 Scale note: the candidate join reads the stored bucket table each
 batch; production deployments should bucket the store by
 (band, bucket) (graph/io.py's Hive-bucketed store pattern) so the
@@ -81,7 +93,11 @@ def _commit_marker(out_dir: str, batch_id: int) -> None:
 
 
 def _read_committed(
-    spark: SparkSession, out_dir: str, table: str, last: int
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    last: int,
+    keep_batch: bool = False,
 ) -> DataFrame | None:
     """All rows of ``table`` from committed batches (batch <= last);
     None when the store is empty. Orphans from a crashed batch have
@@ -93,7 +109,38 @@ def _read_committed(
         df = spark.read.option("basePath", base).parquet(base + "/batch=*")
     except Exception:
         return None
-    return df.where(F.col("batch") <= last).drop("batch")
+    df = df.where(F.col("batch") <= last)
+    return df if keep_batch else df.drop("batch")
+
+
+def _dedup_batch(batch: DataFrame, id_col: str) -> DataFrame:
+    """One row per id within a micro-batch, deterministically: keep the
+    lexicographically largest struct of the non-id columns (for the
+    pages schema, whose first payload column is ``warc_ts``, that is
+    the newest crawl). One map-side-combined groupBy, no window."""
+    others = [c for c in batch.columns if c != id_col]
+    if not others:
+        return batch.distinct()
+    packed = batch.groupBy(id_col).agg(F.max(F.struct(*others)).alias("_r"))
+    return packed.select(
+        id_col, *[F.col(f"_r.{c}").alias(c) for c in others]
+    )
+
+
+def _latest_rows(indexed: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """Supersede re-seen ids in a committed (…, id, batch) table:
+    keep each id's newest committed batch, and drop ids re-signed by
+    the CURRENT batch entirely (their fresh rows ride alongside).
+    Cost: one partial-agg groupBy over the index's (id, batch) pairs
+    plus two id-keyed joins — the same order as the candidate join
+    that follows; a production deployment would fold this into the
+    (band, bucket)-bucketed store compaction."""
+    latest = indexed.groupBy("id").agg(F.max("batch").alias("batch"))
+    return (
+        indexed.join(latest, ["id", "batch"])
+        .join(new_ids, "id", "left_anti")
+        .drop("batch")
+    )
 
 
 def apply_batch(
@@ -124,15 +171,20 @@ def apply_batch(
     fs, root = _resolved(out_dir)
     fs.create_dir(root, recursive=True)
 
+    batch = _dedup_batch(batch, id_col)
     sh = shingles(batch, id_col, text_col, n)
     sig_new = minhash_signatures(sh, num_hashes).persist()
     buckets_new = lsh_buckets(sig_new, bands, num_hashes).persist()
+    new_ids = sig_new.select("id")
 
     # new vs new (within-batch)
     cand = lsh_candidate_pairs(buckets_new)
     sig_all = sig_new
-    buckets_old = _read_committed(spark, out_dir, "buckets", last)
+    buckets_old = _read_committed(
+        spark, out_dir, "buckets", last, keep_batch=True
+    )
     if buckets_old is not None:
+        buckets_old = _latest_rows(buckets_old, new_ids)
         nb = buckets_new.select(
             F.col("band").alias("b1"),
             F.col("bucket").alias("k1"),
@@ -158,12 +210,25 @@ def apply_batch(
         )
         cand = cand.unionByName(cross).distinct()
         sig_all = sig_new.unionByName(
-            _read_committed(spark, out_dir, "sigs", last)
+            _latest_rows(
+                _read_committed(
+                    spark, out_dir, "sigs", last, keep_batch=True
+                ),
+                new_ids,
+            )
         )
 
     pairs = signature_agreement_pairs(sig_all, cand, num_hashes).where(
         F.col("est_jaccard") >= threshold
     )
+    prev_pairs = _read_committed(spark, out_dir, "pairs", last)
+    if prev_pairs is not None:
+        # emitted-exactly-once under re-crawls: a pair already flagged
+        # in an earlier batch is not re-emitted when a re-crawl of one
+        # side collides again
+        pairs = pairs.join(
+            prev_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        )
 
     sig_new.write.mode("overwrite").parquet(
         out_dir.rstrip("/") + f"/sigs/batch={batch_id}"

@@ -21,7 +21,7 @@ Ops:
   gopher          append Gopher repetition metrics + keep flag
   gopher-quality  Gopher quality rule set (word/line/symbol/stopword) + keep
   quality-rollup  per-domain quality rollup + whole-domain keep decision
-                  (--group-col, --threshold = min keep rate)
+                  (--group-col, --min-keep-rate = keep cutoff)
   char-entropy    per-document character-entropy gibberish signal
   kmeans          Lloyd k-means cluster assignments (embeddings parquet;
                   --top-k clusters, --id-col/--vec-col name the columns)
@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--ngram", type=int, default=3, help="decontaminate n-gram order")
     ap.add_argument("--threshold", type=float, default=0.8,
                     help="minhash-dedup Jaccard threshold")
+    ap.add_argument("--min-keep-rate", type=float, default=0.5,
+                    help="quality-rollup: domain keep-rate cutoff "
+                         "(matches quality_rollup's library default)")
     ap.add_argument("--fractions", help='mixture-sample JSON, e.g. {"web":0.5}')
     ap.add_argument("--lm-k", type=float, default=0.5, help="lm-ppl smoothing")
     ap.add_argument("--target-sources", help="dsir-sample: comma list of "
@@ -199,7 +202,7 @@ def main(argv: list[str] | None = None) -> int:
 
         out = quality_rollup(
             docs, group_col=args.group_col, text_col=txc,
-            min_keep_rate=args.threshold,
+            min_keep_rate=args.min_keep_rate,
         )
     elif args.op == "char-entropy":
         from gunrock_spark.pipeline.text import char_entropy

@@ -220,3 +220,21 @@ def test_snap_edge_list_roundtrip_and_comments(spark, tmp_path):
     gw = read_snap_edges(spark, str(f), weighted=True)
     rows = {(r["src"], r["dst"]): r["weight"] for r in gw.edges.collect()}
     assert rows == {(0, 1): 2.5, (1, 2): 0.5, (2, 0): 1.0}
+
+
+def test_snap_weighted_write_read_roundtrip(spark, tmp_path):
+    """A WEIGHTED write_snap_edges -> read_snap_edges round-trip keeps
+    the weight column (ADVICE r4: weights were silently dropped)."""
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.io import read_snap_edges, write_snap_edges
+
+    df = spark.createDataFrame(
+        [(0, 1, 2.5), (1, 2, 0.5), (2, 0, 1.0)],
+        schema="src long, dst long, weight double",
+    )
+    g = EdgeTable.from_df(df, weight="weight")
+    p = str(tmp_path / "snap_w")
+    write_snap_edges(g, p)
+    back = read_snap_edges(spark, p, weighted=True)
+    rows = {(r["src"], r["dst"]): r["weight"] for r in back.edges.collect()}
+    assert rows == {(0, 1): 2.5, (1, 2): 0.5, (2, 0): 1.0}

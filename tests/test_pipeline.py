@@ -1638,3 +1638,65 @@ def test_kmeans_assign_strategies_agree(spark, vectors):
     assert a == b and len(a) == 41
     with pytest.raises(ValueError):
         kmeans(vectors, k=5, assign_strategy="bogus")
+
+
+def test_kmeans_and_pq_encode_accept_string_ids(spark, vectors):
+    """The pandas (default) strategies derive the id column's Arrow
+    schema from the input instead of assuming long (ADVICE r4), so a
+    url/doc_id-keyed corpus works; results match the long-id run 1:1."""
+    from pyspark.sql import functions as F
+
+    from gunrock_spark.pipeline.similarity import (
+        kmeans,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    svec = vectors.select(
+        F.concat(F.lit("doc-"), F.format_string("%03d", "vec_id")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    asg_l, _ = kmeans(vectors, k=4, iters=2)
+    asg_s, _ = kmeans(svec, k=4, iters=2)
+    got_l = {r["vec_id"]: r["cluster"] for r in asg_l.collect()}
+    got_s = {r["vec_id"]: r["cluster"] for r in asg_s.collect()}
+    assert len(got_s) == len(got_l)
+    # h60 of a string id differs from the long's, so centroid seeds (and
+    # cluster numbering) may differ — assert the string run is a valid
+    # total assignment instead of label equality
+    assert set(got_s.values()) <= set(range(4))
+
+    cb = pq_codebooks(svec, m=4, k=8)
+    codes = pq_encode(svec, cb, m=4)
+    rows = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert len(rows) == svec.count()
+    assert all(len(c) == 4 for c in rows.values())
+
+
+def test_pq_codebooks_empty_and_small_corpus(spark):
+    """Empty corpus -> descriptive ValueError; fewer vectors than k ->
+    warns and emits len(corpus) codes per subspace (ADVICE r4)."""
+    import warnings
+
+    import pytest
+
+    from gunrock_spark.pipeline.similarity import pq_codebooks
+
+    empty = spark.createDataFrame(
+        [], schema="vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        pq_codebooks(empty, m=2, k=4)
+
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 1.0]), (1, [0.0, 1.0, 1.0, 0.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cb = pq_codebooks(two, m=2, k=4)
+    assert any("2 vectors < k=4" in str(x.message) for x in w)
+    per_sub = cb.groupBy("sub").count().collect()
+    assert {r["count"] for r in per_sub} == {2}

@@ -683,3 +683,60 @@ def test_incremental_near_dup_stream_matches_batch(spark, tmp_path):
         for r in read_pairs(spark, out_dir).collect()
     }
     assert more >= want and len(more) > len(want)
+
+
+def test_incremental_near_dup_stream_recrawl_latest_wins(spark, tmp_path):
+    """Re-crawled ids (same url in a later batch — or twice within one
+    batch) are latest-wins: stale signatures never verify pairs, the
+    store reads back one signature per id, and already-emitted pairs
+    are not re-emitted (ADVICE r4: dedup_stream re-seen ids)."""
+    import datetime
+
+    from gunrock_spark.streaming.dedup_stream import apply_batch, read_pairs
+
+    out_dir = str(tmp_path / "nd_recrawl")
+    T1 = "the quick brown fox jumps over the lazy dog again and again"
+    T2 = "completely different content about distributed minhash indexes"
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [
+                (u, datetime.datetime(2026, 1, day), bytearray(b""), t, "en")
+                for (u, day, t) in rows
+            ],
+            schema=(
+                "url string, warc_ts timestamp, html binary, "
+                "text string, lang string"
+            ),
+        )
+
+    def pair_set():
+        return {
+            (r["id_a"], r["id_b"]) for r in read_pairs(spark, out_dir).collect()
+        }
+
+    # batch 0: u4 appears TWICE — the newer warc_ts (T1 content) must win
+    b0 = pages(
+        [("u1", 1, T1), ("u2", 1, T1), ("u4", 1, T2), ("u4", 2, T1)]
+    )
+    assert apply_batch(spark, b0, 0, out_dir, id_col="url", threshold=0.9)
+    assert pair_set() == {("u1", "u2"), ("u1", "u4"), ("u2", "u4")}
+
+    # batch 1: u1 RE-CRAWLED with new content T2; u3 is new with T2.
+    # Latest-wins: u1 now pairs with u3; the old (u1,u2)/(u1,u4) pairs
+    # are not re-emitted; u3 does not pair with anyone's stale content.
+    b1 = pages([("u1", 3, T2), ("u3", 3, T2)])
+    assert apply_batch(spark, b1, 1, out_dir, id_col="url", threshold=0.9)
+    assert pair_set() == {
+        ("u1", "u2"), ("u1", "u4"), ("u2", "u4"), ("u1", "u3"),
+    }
+
+    # batch 2: u5 arrives with T2 — it must verify against u1's NEWEST
+    # signature (T2), proving the superseded row is the one the index
+    # serves, and against u3, but not against u2/u4 (T1).
+    b2 = pages([("u5", 4, T2)])
+    assert apply_batch(spark, b2, 2, out_dir, id_col="url", threshold=0.9)
+    assert pair_set() == {
+        ("u1", "u2"), ("u1", "u4"), ("u2", "u4"), ("u1", "u3"),
+        ("u1", "u5"), ("u3", "u5"),
+    }
