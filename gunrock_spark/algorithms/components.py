@@ -147,19 +147,24 @@ def connected_components(
         # when jumping through the current mapping; jumping through
         # the previous iteration's map — even repeatedly — adds a
         # constant chain length and measured ZERO iteration savings,
-        # see BENCH.md §3a-r4). A lazy self-join on the uncached
+        # see BENCH.md §3a-r4). A lazy self-join on the UNCACHED
         # hash-min result would recompute the |E|-row join+agg twice
         # (the two exchange children canonicalize differently, so
-        # Catalyst cannot reuse them — the r2 shape), so the default
-        # materializes the hash-min result mid-step (localCheckpoint)
-        # and jumps through that snapshot: per iteration one |E|-row
-        # hash-min computed ONCE + one |V|-row self-join.
-        #   pointer_jump=True  -> mid-step snapshot + self-jump
+        # Catalyst cannot reuse them — the r2 shape). r4 fixed that
+        # with an EAGER mid-step localCheckpoint (one extra action per
+        # iteration); r5 replaces it with a lazy persist(): both jump
+        # references resolve to the SAME InMemoryRelation, so when the
+        # iteration's single metrics action runs, the BlockManager
+        # computes each hash-min partition once (getOrElseUpdate block
+        # locking) and the jump reads the cache — one |E|-row hash-min
+        # + one |V|-row self-join per iteration, ONE action total
+        # (job-count pinned in tests/test_components.py).
+        #   pointer_jump=True  -> cached mid-step + self-jump
         #   pointer_jump=int n -> n cheap jumps through the PREVIOUS
         #                         materialized state (no extra action)
         #   pointer_jump=False -> pure hash-min
         if pointer_jump is True:
-            mid = new.localCheckpoint(eager=True)
+            mid = new.persist()
             if mid_state["df"] is not None:
                 try:
                     mid_state["df"].unpersist()

@@ -222,6 +222,22 @@ def pagerank(
     elif impl != "join":
         raise ValueError(f"unknown impl {impl!r} (expected 'join' or 'blocks')")
 
+    # Compensate mode's sink scalar lives in DRIVER loop state: the
+    # sink's rank is read out of each iteration's single metrics
+    # action (see ``metrics`` below) instead of a dedicated 1-row
+    # collect job per iteration (VERDICT r4 #9). Cold start: the sink
+    # row is created with rank=init; resume: one setup collect
+    # recovers it from the loaded snapshot.
+    sink_state = {"uniform": 0.0}
+    if has_dangling:
+        if start_iter > 0 or prior_metrics is not None:
+            row = state.where(F.col("v") == SINK).select("rank").collect()
+            sink_state["uniform"] = (
+                row[0]["rank"] / n_real if row else 0.0
+            )
+        else:
+            sink_state["uniform"] = float(init) / n_real
+
     def step(cur: DataFrame, i: int):
         # Contributions along real edges: rank/out_degree pushed to dst.
         pushers = cur.where((F.col("out_degree") > 0) & (F.col("v") != SINK))
@@ -257,17 +273,15 @@ def pagerank(
             dangle = cur.where((F.col("out_degree") == 0) & (F.col("v") != SINK)).select(
                 F.lit(SINK).cast("long").alias("dst"), F.col("rank").alias("contrib")
             )
-            # sink -> every original vertex: uniform rank/n_real. The
-            # sink row lives in the MATERIALIZED current state (the
-            # loop localCheckpoints every iteration), so read the one
-            # scalar driver-side and embed it as a literal — a
-            # crossJoin(broadcast(...)) here looks cheaper but its
-            # cardinality estimate compounds through the checkpointed
-            # plan every iteration until Catalyst's BigInteger size
-            # arithmetic overflows (~iteration 25).
-            sink_row = cur.where(F.col("v") == SINK).select("rank", "out_degree").collect()
-            if sink_row:
-                sink_uniform = sink_row[0]["rank"] / sink_row[0]["out_degree"]
+            # sink -> every original vertex: uniform rank/n_real,
+            # embedded as a LITERAL — a crossJoin(broadcast(...)) here
+            # looks cheaper but its cardinality estimate compounds
+            # through the checkpointed plan every iteration until
+            # Catalyst's BigInteger size arithmetic overflows
+            # (~iteration 25). The scalar itself is carried in driver
+            # loop state (sink_state), refreshed by the PREVIOUS
+            # iteration's metrics action — no per-iteration collect.
+            sink_uniform = sink_state["uniform"]
             if block_store is not None:
                 sums = (
                     sums.unionByName(
@@ -319,10 +333,31 @@ def pagerank(
         )
 
         def metrics(materialized: DataFrame) -> dict:
-            active = materialized.where(
-                F.abs(F.col("rank") - F.col("prev")) > threshold * F.col("prev")
-            ).count()
-            return {"active": active, "edges_traversed": graph.num_edges()}
+            # ONE action per iteration: the active count and (in
+            # compensate mode) the sink's new rank come out of the
+            # same aggregate over the materialized snapshot.
+            agg_cols = [
+                F.count(
+                    F.when(
+                        F.abs(F.col("rank") - F.col("prev"))
+                        > threshold * F.col("prev"),
+                        True,
+                    )
+                ).alias("active")
+            ]
+            if has_dangling:
+                agg_cols.append(
+                    F.max(
+                        F.when(F.col("v") == SINK, F.col("rank"))
+                    ).alias("sink_rank")
+                )
+            row = materialized.agg(*agg_cols).collect()[0]
+            if has_dangling:
+                sink_state["uniform"] = (row["sink_rank"] or 0.0) / n_real
+            return {
+                "active": int(row["active"]),
+                "edges_traversed": graph.num_edges(),
+            }
 
         return new, metrics
 

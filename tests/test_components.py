@@ -188,3 +188,46 @@ def test_giant_component_tie_breaks_smallest_label(spark):
     label, verts = giant_component(g)
     assert label == 1
     assert sorted(r.v for r in verts.collect()) == [1, 2]
+
+
+def test_cc_one_action_per_iteration(spark):
+    """The pointer-doubling mid-step is a lazy persist shared by both
+    jump references, so each CC iteration costs exactly ONE Spark
+    action (VERDICT r4 #3: fold the mid-step snapshot into the
+    iteration's single materialization)."""
+    raw = [(int(s), int(d)) for s, d in rmat_edges(9, 6, seed=13)]
+    edge_list = clean_edges(raw)
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    g.num_edges()  # edge-table build/count jobs outside the counted group
+    g.num_vertices()
+
+    sc = spark.sparkContext
+    group = "cc-jobcount"
+    # AQE splits one action into one job per materialized stage, and a
+    # broadcast-hash join runs an extra job per broadcast — turn both
+    # off so job count == action count for the assertion
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup(group, "cc job-count pin")
+    try:
+        res = connected_components(g, skew=False)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # 1 eager init localCheckpoint + exactly one action per iteration
+    assert len(jobs) <= res.iterations + 1, (len(jobs), res.iterations)
+    assert res.converged and res.iterations >= 3  # the bound binds
+
+    # and the labels are still exact
+    vs = sorted({v for e in edge_list for v in e})
+    idx = {v: i for i, v in enumerate(vs)}
+    ref = connected_components_ref(
+        [(idx[s], idx[d]) for s, d in edge_list], n=len(vs)
+    )
+    back = {i: v for v, i in idx.items()}
+    got = {r["v"]: r["label"] for r in res.state.collect()}
+    assert got == {back[i]: back[int(ref[i])] for i in range(len(vs))}

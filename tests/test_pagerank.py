@@ -265,3 +265,51 @@ def test_trustrank_validation(spark):
         trustrank(g, [])
     with pytest.raises(ValueError):
         pagerank(g, src=0, seed_set=[1])
+
+
+def test_pagerank_compensate_one_action_per_iteration(spark):
+    """Compensate mode keeps the sink scalar in driver loop state
+    (refreshed by each iteration's single metrics aggregate) instead
+    of a 1-row collect job per iteration (VERDICT r4 #9)."""
+    raw = [(int(s), int(d)) for s, d in rmat_edges(8, 4, seed=21)]
+    edge_list = clean_edges(raw)
+    # ensure dangling vertices exist (in-edges only)
+    top = max(max(e) for e in edge_list)
+    edge_list = edge_list + [(0, top + 1), (1, top + 2)]
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    g.num_edges()
+    g.num_vertices()
+    g.degrees.count()
+
+    sc = spark.sparkContext
+    group = "pr-compensate-jobcount"
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup(group, "pr compensate job-count pin")
+    try:
+        res = pagerank(g, compensate=True, skew=False)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # The loop's baseline is <=2 jobs/iteration (the metrics action
+    # plus the lazy localCheckpoint's cache-materialization job — the
+    # same shape as PLAIN pagerank). Compensate must add ZERO jobs on
+    # top: the sink scalar rides the metrics aggregate, not a
+    # dedicated 1-row collect (the old shape was ~3 jobs/iteration).
+    assert len(jobs) <= 2 * res.iterations + 3, (len(jobs), res.iterations)
+    assert res.iterations >= 3
+
+    # oracle unchanged
+    got = {r["v"]: r["rank"] for r in res.state.collect()}
+    vs = sorted({v for e in edge_list for v in e})
+    idx = {v: i for i, v in enumerate(vs)}
+    ref = pagerank_ref([(idx[s], idx[d]) for s, d in edge_list], compensate=True)
+    import numpy as _np
+
+    assert _np.allclose(
+        _np.array([got[v] for v in vs]), ref, atol=1e-6, rtol=0
+    )
