@@ -138,6 +138,21 @@ def write_snap_edges(graph: EdgeTable, path: str) -> None:
     e.write.mode("overwrite").text(path)
 
 
+# Single-file text exports above this many lines refuse and point at
+# the sharded writer: one writer task streaming 10^11 rows is not an
+# export, it's a stall (VERDICT r4 #4).
+MAX_SINGLE_FILE_ROWS = 100_000_000
+
+
+def _guard_single_file(n_rows: int, what: str, sharded_fn: str) -> None:
+    if n_rows > MAX_SINGLE_FILE_ROWS:
+        raise ValueError(
+            f"{what}: {n_rows} lines exceeds the single-file export "
+            f"cap ({MAX_SINGLE_FILE_ROWS}); use {sharded_fn} (directory "
+            "of range-ordered parts + manifest) for graphs this size"
+        )
+
+
 def _write_single_text(lines: DataFrame, path: str) -> None:
     """Write a (section int, k1 long, k2 long, line string) DataFrame
     as ONE sorted text file at ``path`` — a single-partition Spark
@@ -168,6 +183,79 @@ def _write_single_text(lines: DataFrame, path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _write_sharded_text(
+    lines: DataFrame,
+    path: str,
+    num_shards: int,
+    manifest_extra: dict | None = None,
+) -> None:
+    """Directory-of-parts export for graphs too large for one writer
+    task: ``repartitionByRange`` over the same (section, k1, k2) sort
+    key the single-file writer uses, sorted within each part — so
+    concatenating the part files in filename order reproduces the
+    single-file byte stream exactly (part-00000 holds the lowest key
+    range). A ``_MANIFEST.json`` records the shard count, format, and
+    any caller metadata; readers and shippers iterate parts
+    independently — the 10^11-edge export path."""
+    (
+        lines.repartitionByRange(num_shards, "section", "k1", "k2")
+        .sortWithinPartitions("section", "k1", "k2")
+        .select("line")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    manifest = {
+        "format_version": 1,
+        "num_shards": num_shards,
+        "ordered_by": ["section", "k1", "k2"],
+        "concat_in_filename_order": True,
+    }
+    manifest.update(manifest_extra or {})
+    local = path[len("file://"):] if path.startswith("file://") else path
+    with open(os.path.join(os.path.abspath(local), "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def write_mtx_sharded(
+    graph: EdgeTable, path: str, num_shards: int | None = None
+) -> None:
+    """Sharded :func:`write_mtx`: ``path`` becomes a DIRECTORY of
+    range-ordered part files plus ``_MANIFEST.json``; concatenating
+    the parts in filename order yields the exact single-file .mtx."""
+    spark = graph.edges.sparkSession
+    if num_shards is None:
+        num_shards = spark.sparkContext.defaultParallelism
+    m = graph.num_edges()
+    max_id = graph.vertices.agg(F.max("v")).collect()[0][0] or 0
+    dims = max_id + 1
+    kind = "real" if graph.weighted else "pattern"
+    header = spark.createDataFrame(
+        [
+            (0, 0, 0, f"%%MatrixMarket matrix coordinate {kind} general"),
+            (0, 0, 1, f"{dims} {dims} {m}"),
+        ],
+        schema="section int, k1 long, k2 long, line string",
+    )
+    cols = [
+        (F.col("src") + 1).cast("string"),
+        (F.col("dst") + 1).cast("string"),
+    ]
+    if graph.weighted:
+        cols.append(F.col("weight").cast("string"))
+    body = graph.edges.select(
+        F.lit(1).alias("section"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+        F.concat_ws(" ", *cols).alias("line"),
+    )
+    _write_sharded_text(
+        header.unionByName(body),
+        path,
+        num_shards,
+        {"format": "mtx", "dims": dims, "num_edges": m, "kind": kind},
+    )
+
+
 def write_mtx(graph: EdgeTable, path: str) -> None:
     """Export as 1-based Matrix Market coordinate text (general
     symmetry — the cleaned table is directional), single file, edges
@@ -176,6 +264,7 @@ def write_mtx(graph: EdgeTable, path: str) -> None:
     365-401)."""
     spark = graph.edges.sparkSession
     m = graph.num_edges()
+    _guard_single_file(m + 2, "write_mtx", "write_mtx_sharded")
     max_id = graph.vertices.agg(F.max("v")).collect()[0][0] or 0
     dims = max_id + 1  # ids are dense-or-sparse longs; matrix dim = max+1
     kind = "real" if graph.weighted else "pattern"
@@ -245,6 +334,7 @@ def write_ligra_adj(graph: EdgeTable, path: str) -> None:
     spark = graph.edges.sparkSession
     n = (graph.vertices.agg(F.max("v")).collect()[0][0] or 0) + 1
     m = graph.num_edges()
+    _guard_single_file(n + m + 3, "write_ligra_adj", "write_ligra_adj_sharded")
     header = spark.createDataFrame(
         [(0, 0, 0, "AdjacencyGraph"), (0, 0, 1, str(n)), (0, 0, 2, str(m))],
         schema="section int, k1 long, k2 long, line string",
@@ -274,6 +364,53 @@ def write_ligra_adj(graph: EdgeTable, path: str) -> None:
         F.col("dst").cast("string").alias("line"),
     )
     _write_single_text(header.unionByName(offsets).unionByName(cols), path)
+
+
+def write_ligra_adj_sharded(
+    graph: EdgeTable, path: str, num_shards: int | None = None
+) -> None:
+    """Sharded :func:`write_ligra_adj`: directory of range-ordered
+    parts + ``_MANIFEST.json``; concatenating parts in filename order
+    reproduces the single-file AdjacencyGraph byte stream. Unlike the
+    single-file path, the row offsets come from the DISTRIBUTED
+    two-level scan (pipeline/packing.py ``doc_offsets``) instead of a
+    one-task global window, so the export scales with the cluster."""
+    from gunrock_spark.pipeline.packing import doc_offsets
+
+    spark = graph.edges.sparkSession
+    if num_shards is None:
+        num_shards = spark.sparkContext.defaultParallelism
+    n = (graph.vertices.agg(F.max("v")).collect()[0][0] or 0) + 1
+    m = graph.num_edges()
+    header = spark.createDataFrame(
+        [(0, 0, 0, "AdjacencyGraph"), (0, 0, 1, str(n)), (0, 0, 2, str(m))],
+        schema="section int, k1 long, k2 long, line string",
+    )
+    out_deg = graph.edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dense = spark.range(n).select(F.col("id").alias("v"))
+    counts = dense.join(out_deg, "v", "left").select(
+        "v", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    offsets = doc_offsets(counts, id_col="v").select(
+        F.lit(1).alias("section"),
+        F.col("v").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.col("start").cast("string").alias("line"),
+    )
+    cols = graph.edges.select(
+        F.lit(2).alias("section"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+        F.col("dst").cast("string").alias("line"),
+    )
+    _write_sharded_text(
+        header.unionByName(offsets).unionByName(cols),
+        path,
+        num_shards,
+        {"format": "ligra-adj", "n": n, "m": m},
+    )
 
 
 def read_ligra_adj(

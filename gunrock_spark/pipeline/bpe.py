@@ -79,16 +79,53 @@ def merge_pair_expr(lhs: str, rhs: str) -> str:
     carry, so it cannot re-fuse as ``lhs`` within the round (it is a
     different, longer string). Symbols are [a-z0-9]+ so inlining them
     as literals is injection-safe (asserted by the caller)."""
-    fused = lhs + rhs
+    return merge_pairs_expr([(lhs, rhs)])
+
+
+def merge_pairs_expr(pairs: list[tuple[str, str]]) -> str:
+    """One Catalyst fold applying a BATCH of symbol-disjoint merges in
+    a single left-to-right pass. Because the batch is symbol-disjoint
+    (see :func:`_select_disjoint_batch`), at most one pair can match
+    any adjacency, so the single pass is exactly the sequential
+    application of the pairs — same greedy no-refuse carry rule as the
+    one-pair fold."""
+    whens = "".join(
+        f"  WHEN element_at(acc, -1) = '{l}' AND x = '{r}'"
+        f"  THEN concat(slice(acc, 1, size(acc) - 1), array('{l + r}'))"
+        for l, r in pairs
+    )
     return (
         "CASE WHEN size(syms) < 2 THEN syms ELSE aggregate("
         " slice(syms, 2, size(syms) - 1),"
         " slice(syms, 1, 1),"
         " (acc, x) -> CASE"
-        f"  WHEN element_at(acc, -1) = '{lhs}' AND x = '{rhs}'"
-        f"  THEN concat(slice(acc, 1, size(acc) - 1), array('{fused}'))"
-        "  ELSE concat(acc, array(x)) END) END"
+        + whens
+        + "  ELSE concat(acc, array(x)) END) END"
     )
+
+
+def _select_disjoint_batch(
+    ranked: list[tuple[str, str, int]], batch_size: int
+) -> list[tuple[str, str, int]]:
+    """Greedily take up to ``batch_size`` pairs from the
+    (cnt DESC, pair ASC)-ranked candidate list such that every kept
+    pair is SYMBOL-DISJOINT from all earlier kept pairs — its lhs and
+    rhs appear in no earlier pair's {lhs, rhs, fused}. Disjointness is
+    what makes batch application exact: fusing an earlier pair can
+    neither create nor destroy an occurrence of a later one (the only
+    new symbol it introduces is its fused string, excluded here), so
+    the batch applied in one pass equals applying its pairs one at a
+    time — the standard scalable-BPE batching argument."""
+    kept: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for lhs, rhs, cnt in ranked:
+        if len(kept) >= batch_size:
+            break
+        if lhs in used or rhs in used:
+            continue
+        kept.append((lhs, rhs, cnt))
+        used.update((lhs, rhs, lhs + rhs))
+    return kept
 
 
 def bpe_learn(
@@ -96,6 +133,7 @@ def bpe_learn(
     n_merges: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_size: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus.
 
@@ -105,9 +143,24 @@ def bpe_learn(
     (word, freq, syms array<string>), every corpus word segmented
     under the full merge sequence (the encode lookup table — encoding
     a corpus is one broadcast join against it). Stops early if no
-    adjacent pair remains."""
+    adjacent pair remains.
+
+    ``batch_size`` > 1 enables BATCH-GREEDY rounds (VERDICT r4 #2):
+    each round takes the top-B count-ranked pairs that are mutually
+    SYMBOL-DISJOINT (see :func:`_select_disjoint_batch`) and applies
+    them in one fold pass, so a 32k-merge tokenizer needs ~n_merges/B
+    Spark rounds instead of n_merges. Disjoint pairs cannot create or
+    destroy each other's occurrences, so every batched merge's
+    recorded pair_count equals what a sequential re-count would have
+    seen; the merge ORDER can differ from strict Sennrich when an
+    early merge of a round would have spawned a brand-new pair that
+    out-counts a later batch member — the standard, documented
+    approximation of scalable-BPE batching (exact at batch_size=1).
+    """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     spark: SparkSession = df.sparkSession
     vocab = (
         word_vocab(df, id_col, text_col)
@@ -115,21 +168,30 @@ def bpe_learn(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        b = min(batch_size, n_merges - len(merges))
+        # over-fetch: conflicting candidates are skipped, so pull 4B
+        # ranked rows to fill the batch in one driver round-trip
+        # (b=1 keeps the exact limit(1) plan of the sequential mode)
+        top = (
             pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
+            .limit(1 if b == 1 else 4 * b)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        lhs, rhs = best[0]["pair"].split(" ")
-        assert lhs.isalnum() and rhs.isalnum()  # literal-inline safety
-        merges.append((r, lhs, rhs, int(best[0]["cnt"])))
+        ranked = [
+            (*r["pair"].split(" "), int(r["cnt"])) for r in top
+        ]
+        batch = _select_disjoint_batch(ranked, b)
+        for lhs, rhs, cnt in batch:
+            assert lhs.isalnum() and rhs.isalnum()  # literal-inline safety
+            merges.append((len(merges), lhs, rhs, cnt))
         # one projection; localCheckpoint keeps the plan flat across rounds
         vocab = vocab.withColumn(
-            "syms", F.expr(merge_pair_expr(lhs, rhs))
+            "syms",
+            F.expr(merge_pairs_expr([(l, r) for l, r, _ in batch])),
         ).localCheckpoint(eager=True)
     merges_df = spark.createDataFrame(
         merges, schema="merge_idx int, lhs string, rhs string, pair_count long"

@@ -22,14 +22,20 @@ pure Catalyst window functions, DuckDB-oracle-checkable (the
 key: no global sort, scales with the key cardinality.
 
 Streaming path (`sessionize_stream`): per-key GroupState holds the
-open session (start, end, n, sum, sid); every micro-batch SORTS and
-GAP-SPLITS its events per key (a batch spanning several gaps emits
-every internally-closed session, keeping only the last open one), then
-an EVENT-TIME timeout at `end + gap` (advanced by the watermark)
-closes and emits the final session exactly once. Closed sessions leave
-a zero-event tombstone carrying the session counter, preserving the
-batch path's monotone per-key 1..N numbering; emitted rows are final —
-the same append-once contract as streaming/windows.py.
+PENDING RUNS — every gap-separated event run not yet past its
+watermark expiry; each micro-batch SORTS and GAP-SPLITS its events,
+interval-merges them into the pending runs, and emits exactly the
+runs whose `end + gap` the watermark has passed (on data or on the
+event-time timeout set at the earliest pending expiry). Because a run
+is only emitted once NO admissible event could still merge with it
+(any such event would be watermark-late and dropped), stream output
+equals the batch lag/cumsum result for every closed session — late
+in-watermark data landing inside a pending run's gap merges exactly
+as the batch path would (VERDICT r4 #6 closed the old
+emit-immediately divergence). Fully-emitted keys keep a zero-event
+tombstone carrying the session counter, preserving the batch path's
+monotone per-key 1..N numbering; emitted rows are final — the same
+append-once contract as streaming/windows.py.
 """
 
 from __future__ import annotations
@@ -41,7 +47,12 @@ SESSION_SCHEMA = (
     "key string, session_id long, session_start timestamp, "
     "session_end timestamp, n_events long, sum_value double"
 )
-_STATE_SCHEMA = "start long, end long, n long, s double, sid long"
+# pending runs (parallel arrays, start-sorted, pairwise gaps > gap_ms)
+# + the count of sessions already emitted for the key
+_STATE_SCHEMA = (
+    "starts array<long>, ends array<long>, ns array<long>, "
+    "ss array<double>, sid long"
+)
 
 
 def sessionize_batch(
@@ -120,40 +131,36 @@ def sessionize_stream(
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming sessionization via ``applyInPandasWithState``:
-    per-key GroupState = the open session; event-time timeout at
-    session_end + gap closes it. Emits each session exactly once
-    (append mode), keyed like :func:`sessionize_batch`.
+    per-key GroupState = the PENDING RUNS (gap-separated event runs
+    whose ``end + gap`` the watermark has not yet passed) plus the
+    emitted-session counter. Emits each session exactly once (append
+    mode), keyed and numbered like :func:`sessionize_batch`.
 
-    A micro-batch whose events span MORE than one gap (backfill,
-    replay, a file source without maxFilesPerTrigger, slow triggers)
-    is split INSIDE the batch: the key's events are sorted, cut at
-    every intra-batch gap > gap_ms, every internally-closed session is
-    emitted immediately and only the last (still-open) one stays in
-    state — so batch grouping can never merge distinct sessions.
+    Every invocation (data or event-time timeout) does the same
+    thing: gap-split the batch's sorted events into runs,
+    interval-merge them with the pending runs, emit exactly the
+    merged runs whose ``end + gap <= watermark`` — no admissible
+    event can still reach them; anything older is watermark-late and
+    dropped at the input — and re-arm the timeout at the earliest
+    remaining expiry. Holding internally-closed runs until their
+    watermark expiry is what makes stream output EQUAL the batch
+    lag/cumsum result under late-but-in-watermark data (VERDICT r4
+    #6): an allowed-late event landing inside a pending run's gap
+    merges (possibly bridging two runs) exactly as the batch path
+    would, instead of overlapping an already-emitted session.
 
-    session_ids match :func:`sessionize_batch`'s monotone per-key
-    1..N numbering: when an event-time timeout closes a session the
-    state is not removed but replaced by a zero-event TOMBSTONE that
-    keeps the counter, so the key's next session continues at sid+1
-    instead of restarting at 1. (Cost: state is O(keys ever seen),
-    not O(open sessions) — a tombstone is one 5-field row per key.)
-    Numbering equals batch time-order numbering whenever events
-    arrive no later than the watermark allows; data so late it forms
-    a whole session BEFORE an already-emitted one gets the next free
-    id (streaming cannot renumber emitted rows).
+    session_ids keep the batch path's monotone per-key 1..N
+    numbering: runs expire in start order (pairwise gaps exceed
+    gap_ms, so start order = expiry order), and a fully-emitted key
+    leaves a zero-run TOMBSTONE carrying the counter so its next
+    session continues at sid+1.
 
-    Late-data caveat (intentional divergence from
-    :func:`sessionize_batch`): sessions closed by an INTRA-batch gap
-    split are emitted as soon as the batch processes — before the
-    watermark has passed their end + gap. An allowed-late event
-    (within ``watermark_delay``) that lands inside the gap of such an
-    already-emitted session starts a NEW session that can overlap the
-    emitted one, where the batch path would have merged them. Holding
-    internally-closed runs in state until their watermark expiry
-    would close the gap at the cost of unbounded in-flight state per
-    key during backfills; this implementation chooses prompt emission
-    + the documented overlap window. Replays of a whole batch are
-    still exactly-once (state advances atomically with the emit)."""
+    State cost: O(pending runs) per key — bounded by the number of
+    gap-separated runs inside one watermark horizon (a backfill
+    spanning H hours of data with delay D holds at most
+    ceil(D/gap)+1 runs per key once its oldest runs expire, since
+    expiry drains them as the watermark advances), plus the one-row
+    tombstone per key ever seen."""
     import numpy as np
     import pandas as pd
 
@@ -172,30 +179,25 @@ def sessionize_stream(
         )
 
     def fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            start, end, n, s, sid = state.get
-            # keep the sid counter in a zero-event tombstone so the
-            # key's NEXT session numbers sid+1 (no timeout set: the
-            # tombstone never fires again, it only carries the counter)
-            state.update((int(end), int(end), 0, 0.0, int(sid)))
-            yield emit([(start, end, n, s, sid, key[0])])
-            return
-        ts_parts, val_parts = [], []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            ts_parts.append((pdf[ts_col].astype("int64") // 1_000_000).to_numpy())
-            val_parts.append(pdf[value_col].to_numpy(dtype="float64"))
-        # runs: [mn, mx, n, sum] candidate sessions, state's open one first
-        runs = []
-        base = 0  # sessions already numbered for this key
+        wm = state.getCurrentWatermarkMs()
+        runs: list[list] = []
+        base = 0  # sessions already emitted for this key
         if state.exists:
-            start, end, pn, ps, sid = state.get
-            if pn > 0:
-                runs.append([int(start), int(end), int(pn), float(ps)])
-                base = int(sid) - 1
-            else:  # tombstone: counter only
-                base = int(sid)
+            starts, ends, ns, ss, sid = state.get
+            base = int(sid)
+            runs = [
+                [int(a), int(b), int(c), float(d)]
+                for a, b, c, d in zip(starts, ends, ns, ss)
+            ]
+        ts_parts, val_parts = [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_parts.append(
+                    (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+                )
+                val_parts.append(pdf[value_col].to_numpy(dtype="float64"))
         if ts_parts:
             ts = np.concatenate(ts_parts)
             vals = np.concatenate(val_parts)
@@ -208,9 +210,14 @@ def sessionize_stream(
                     [int(seg_ts[0]), int(seg_ts[-1]), int(len(seg_ts)), float(seg_v.sum())]
                 )
         if not runs:
-            return  # empty invocation: state (incl. any timeout) unchanged
-        # interval-merge runs whose gap is <= gap_ms (handles late data
-        # that extends or bridges the open session)
+            if state.exists:
+                # tombstone invocation (stale timeout / empty batch):
+                # keep the counter, arm nothing
+                state.update(([], [], [], [], base))
+            return
+        # interval-merge runs whose gap is <= gap_ms (late in-watermark
+        # data extending or BRIDGING pending runs merges here, exactly
+        # as the batch formulation would)
         runs.sort(key=lambda r: (r[0], r[1]))
         merged = [runs[0]]
         for r in runs[1:]:
@@ -222,13 +229,26 @@ def sessionize_stream(
                 cur[3] += r[3]
             else:
                 merged.append(r)
+        # emit exactly the runs the watermark has sealed
+        expired = [m for m in merged if m[1] + gap_ms <= wm]
+        pending = [m for m in merged if m[1] + gap_ms > wm]
         closed = [
             (m[0], m[1], m[2], m[3], base + 1 + i, key[0])
-            for i, m in enumerate(merged[:-1])
+            for i, m in enumerate(expired)
         ]
-        last = merged[-1]
-        state.update((int(last[0]), int(last[1]), int(last[2]), float(last[3]), base + len(merged)))
-        state.setTimeoutTimestamp(int(last[1]) + gap_ms)
+        base += len(expired)
+        state.update(
+            (
+                [m[0] for m in pending],
+                [m[1] for m in pending],
+                [m[2] for m in pending],
+                [float(m[3]) for m in pending],
+                base,
+            )
+        )
+        if pending:
+            # earliest remaining expiry; strictly > wm by construction
+            state.setTimeoutTimestamp(min(m[1] for m in pending) + gap_ms)
         if closed:
             yield emit(closed)
 

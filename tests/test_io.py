@@ -238,3 +238,68 @@ def test_snap_weighted_write_read_roundtrip(spark, tmp_path):
     back = read_snap_edges(spark, p, weighted=True)
     rows = {(r["src"], r["dst"]): r["weight"] for r in back.edges.collect()}
     assert rows == {(0, 1): 2.5, (1, 2): 0.5, (2, 0): 1.0}
+
+
+def test_sharded_mtx_export_concat_equals_single_file(spark, tmp_path):
+    """write_mtx_sharded writes N range-ordered parts + _MANIFEST.json
+    whose filename-order concatenation is byte-identical to the
+    single-file write_mtx output (VERDICT r4 #4)."""
+    import glob
+    import json as _json
+
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import rmat_edges_df
+    from gunrock_spark.graph.io import write_mtx, write_mtx_sharded
+
+    g = EdgeTable.from_df(rmat_edges_df(spark, scale=10, edge_factor=8, seed=3))
+    single = str(tmp_path / "g.mtx")
+    write_mtx(g, single)
+    shard_dir = str(tmp_path / "g_mtx_shards")
+    write_mtx_sharded(g, shard_dir, num_shards=8)
+
+    man = _json.load(open(shard_dir + "/_MANIFEST.json"))
+    assert man["format"] == "mtx" and man["num_shards"] == 8
+    assert man["num_edges"] == g.num_edges()
+    parts = sorted(glob.glob(shard_dir + "/part-*"))
+    assert len(parts) == 8
+    concat = b"".join(open(p, "rb").read() for p in parts)
+    assert concat == open(single, "rb").read()
+
+
+def test_sharded_ligra_export_concat_equals_single_file(spark, tmp_path):
+    """write_ligra_adj_sharded (distributed two-level-scan offsets)
+    concatenates to the exact single-file AdjacencyGraph stream."""
+    import glob
+
+    from gunrock_spark.graph.edge_table import EdgeTable
+    from gunrock_spark.graph.generators import rmat_edges_df
+    from gunrock_spark.graph.io import write_ligra_adj, write_ligra_adj_sharded
+
+    g = EdgeTable.from_df(rmat_edges_df(spark, scale=9, edge_factor=6, seed=4))
+    single = str(tmp_path / "g.adj")
+    write_ligra_adj(g, single)
+    shard_dir = str(tmp_path / "g_adj_shards")
+    write_ligra_adj_sharded(g, shard_dir, num_shards=5)
+    parts = sorted(glob.glob(shard_dir + "/part-*"))
+    assert len(parts) == 5
+    concat = b"".join(open(p, "rb").read() for p in parts)
+    assert concat == open(single, "rb").read()
+
+
+def test_single_file_export_guard_refuses_oversized(spark, tmp_path, monkeypatch):
+    """Above MAX_SINGLE_FILE_ROWS the single-file writers refuse with
+    a pointer at the sharded variant."""
+    import pytest
+
+    import gunrock_spark.graph.io as gio
+    from gunrock_spark.graph.edge_table import EdgeTable
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], schema="src long, dst long"
+    )
+    g = EdgeTable.from_df(df)
+    monkeypatch.setattr(gio, "MAX_SINGLE_FILE_ROWS", 3)
+    with pytest.raises(ValueError, match="write_mtx_sharded"):
+        gio.write_mtx(g, str(tmp_path / "refuse.mtx"))
+    with pytest.raises(ValueError, match="write_ligra_adj_sharded"):
+        gio.write_ligra_adj(g, str(tmp_path / "refuse.adj"))

@@ -1700,3 +1700,99 @@ def test_pq_codebooks_empty_and_small_corpus(spark):
     assert any("2 vectors < k=4" in str(x.message) for x in w)
     per_sub = cb.groupBy("sub").count().collect()
     assert {r["count"] for r in per_sub} == {2}
+
+
+def _py_bpe_batched(texts, k, batch):
+    """Pure-python replica of batch-greedy bpe_learn(batch_size=B):
+    per round, rank pairs (cnt DESC, pair ASC), truncate to the same
+    4*b candidate pool, greedily keep symbol-disjoint pairs, then
+    apply them SEQUENTIALLY (for disjoint pairs this equals the
+    engine's single fold pass)."""
+    import re as _re
+    from collections import Counter
+
+    vocab = Counter(
+        w for t in texts for w in _re.findall("[a-z0-9]+", t.lower())
+    )
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    while len(merges) < k:
+        b = min(batch, k - len(merges))
+        stats = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += f
+        if not stats:
+            break
+        ranked = sorted(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )[: 1 if b == 1 else 4 * b]
+        kept, used = [], set()
+        for (a, c), cnt in ranked:
+            if len(kept) >= b:
+                break
+            if a in used or c in used:
+                continue
+            kept.append((a, c, cnt))
+            used.update((a, c, a + c))
+        for a, c, cnt in kept:
+            merges.append((len(merges), a, c, cnt))
+        for a, c, _ in kept:
+            for w in vocab:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == c:
+                        out.append(a + c)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+    return merges, syms
+
+
+def test_bpe_learn_batched_matches_python_replica(spark):
+    """batch_size>1 rounds apply the top-B symbol-disjoint pairs in
+    one fold pass; the result replays the python batch-greedy replica
+    bit-for-bit (VERDICT r4 #2)."""
+    from gunrock_spark.pipeline.bpe import bpe_learn
+
+    texts = [
+        "the cat sat on the mat with the other cat",
+        "low lower lowest newer newest wider wide widest",
+        "aaaa aaa aa a banana bandana",
+        "2048 tokens and 2048 more tokens",
+        "she sells sea shells by the sea shore",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    for batch in (3, 5):
+        k = 12
+        merges, vocab = bpe_learn(df, k, batch_size=batch)
+        got = [tuple(r) for r in merges.orderBy("merge_idx").collect()]
+        want, want_syms = _py_bpe_batched(texts, k, batch)
+        assert got == want, (batch, got, want)
+        got_syms = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+        assert got_syms == want_syms
+        # lossless segmentation survives batching
+        assert all("".join(s) == w for w, s in got_syms.items())
+
+
+def test_bpe_learn_batch_size_one_equals_sequential(spark):
+    """batch_size=1 is bit-identical to the default sequential mode."""
+    from gunrock_spark.pipeline.bpe import bpe_learn
+
+    texts = ["banana bandana cabana", "a banana fan"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    m_seq, v_seq = bpe_learn(df, 5)
+    m_b1, v_b1 = bpe_learn(df, 5, batch_size=1)
+    assert [tuple(r) for r in m_seq.orderBy("merge_idx").collect()] == [
+        tuple(r) for r in m_b1.orderBy("merge_idx").collect()
+    ]
+    assert {r["word"]: list(r["syms"]) for r in v_seq.collect()} == {
+        r["word"]: list(r["syms"]) for r in v_b1.collect()
+    }

@@ -740,3 +740,77 @@ def test_incremental_near_dup_stream_recrawl_latest_wins(spark, tmp_path):
         ("u1", "u2"), ("u1", "u4"), ("u2", "u4"), ("u1", "u3"),
         ("u1", "u5"), ("u3", "u5"),
     }
+
+
+def test_sessionize_stream_late_event_merges_like_batch(spark, tmp_path):
+    """VERDICT r4 #6: an in-watermark LATE event landing inside the
+    gap of an internally-closed run must merge (here: BRIDGE two runs
+    into one session) exactly as the batch path does — runs are held
+    in state until the watermark passes end + gap, never emitted
+    early."""
+    import datetime as dt
+
+    from gunrock_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    events_dir = str(tmp_path / "late_events")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    GAP_MS = 7_200_000  # 2h
+
+    def rows(*evts):
+        return spark.createDataFrame(
+            [(ts, k, float(v)) for ts, k, v in evts],
+            schema="ts timestamp, event_type string, value double",
+        )
+
+    batches = [
+        # ONE batch, two runs of "a" 3h apart (> gap): the old design
+        # emitted run [t0, t0] immediately as its own session
+        rows((t0, "a", 1.0), (t0 + dt.timedelta(hours=3), "a", 3.0)),
+        # late but in-watermark (delay 4h): lands between the runs and
+        # BRIDGES them — batch semantics = ONE session of all 3 events
+        rows((t0 + dt.timedelta(hours=1), "a", 2.0)),
+        # flushes advance the watermark past end + gap
+        rows((t0 + dt.timedelta(hours=12), "zz", 0.0)),
+        rows((t0 + dt.timedelta(hours=24), "zz", 0.0)),
+        rows((t0 + dt.timedelta(hours=48), "zz", 0.0)),
+    ]
+    q = None
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(events_dir)
+        if i == 0:
+            stream = (
+                spark.readStream.schema(
+                    "ts timestamp, event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir)
+            )
+            q = (
+                sessionize_stream(
+                    stream, gap_ms=GAP_MS, watermark_delay="4 hours"
+                )
+                .writeStream.format("memory")
+                .queryName("late_sessions_out")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "late_ck"))
+                .start()
+            )
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["key"], r["session_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM late_sessions_out").collect()
+        if r["key"] == "a"
+    }
+    all_a = batches[0].unionByName(batches[1])
+    want = {
+        (r["key"], r["session_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in sessionize_batch(all_a, gap_ms=GAP_MS).collect()
+    }
+    assert got == want
+    # the whole point: ONE bridged session with all three events
+    assert len(want) == 1 and next(iter(want))[4] == 3
