@@ -4304,8 +4304,10 @@ def _q_window_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _window_dup_sql(window: int = WDUP_WINDOW, stride: int = WDUP_STRIDE) -> str:
-    h = _H60.format(x="wtext")
+def _window_dup_sql(
+    window: int = WDUP_WINDOW, stride: int = WDUP_STRIDE, exact: bool = False
+) -> str:
+    h = "wtext" if exact else _H60.format(x="wtext")
     return f"""
 WITH tk AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -4352,9 +4354,9 @@ def _q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _remove_dup_spans_sql(
-    window: int = WDUP_WINDOW, stride: int = WDUP_STRIDE
+    window: int = WDUP_WINDOW, stride: int = WDUP_STRIDE, exact: bool = False
 ) -> str:
-    h = _H60.format(x="wtext")
+    h = "wtext" if exact else _H60.format(x="wtext")
     return f"""
 WITH tk AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -4389,6 +4391,39 @@ FROM tk d LEFT JOIN rmtok p USING (doc_id),
 LATERAL (SELECT list_filter(
            d.t, (x, i) -> NOT list_contains(COALESCE(p.rmidx, []), i - 1)
          ) AS kept) k"""
+
+
+
+def _q_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-dedup stats (Lee et al. 2021 exact formulation
+    at token granularity): window TEXT as the duplicate key, stride 1
+    — see pipeline/dedup.window_dup_stats(exact=True)."""
+    from gunrock_spark.pipeline.dedup import window_dup_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = window_dup_stats(docs, window=WDUP_WINDOW, stride=1, exact=True)
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
+def _q_exact_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-span removal: stride-1 text-keyed windows,
+    globally-first instance kept (pipeline/dedup.
+    remove_duplicated_spans(exact=True))."""
+    from gunrock_spark.pipeline.dedup import remove_duplicated_spans
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return remove_duplicated_spans(
+        docs, window=WDUP_WINDOW, stride=1, exact=True
+    )
 
 
 DSIR_BUCKETS = 4096
@@ -8384,7 +8419,8 @@ QUERY_FAMILIES: dict[str, list[str]] = {
     "jaccard": ["jaccard_near_dups", "containment_near_dups",
                 "source_overlap", "doc_sim_pairs_top50",
                 "doc_sim_clusters"],
-    "substring_dedup": ["window_dup_stats", "remove_dup_spans"],
+    "substring_dedup": ["window_dup_stats", "remove_dup_spans",
+                        "exact_dup_stats", "exact_remove_spans"],
     "decontamination": ["line_dedup", "contamination_flags"],
     "ann": ["ann_ivf_top3", "ann_cosine_top5"],
     "kmeans": ["kmeans_clusters_r2"],
@@ -8559,6 +8595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_component": _q_pca_component,
         "pca_scores": _q_pca_scores,
         "remove_dup_spans": _q_remove_dup_spans,
+        "exact_dup_stats": _q_exact_dup_stats,
+        "exact_remove_spans": _q_exact_remove_spans,
         "dsir_sample_top50": _q_dsir_sample,
         "docs_mixture_sample": _q_mixture_sample,
         "latest_crawl": _q_latest_crawl,
@@ -8731,6 +8769,8 @@ FROM events GROUP BY 1, 2""",
         "dsir_weights": _dsir_weights_sql(),
         "window_dup_stats": _window_dup_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),
+        "exact_dup_stats": _window_dup_sql(stride=1, exact=True),
+        "exact_remove_spans": _remove_dup_spans_sql(stride=1, exact=True),
         "dsir_sample_top50": _dsir_sample_sql(),
         "docs_mixture_sample": _mixture_sample_sql(),
         "latest_crawl": _latest_crawl_sql(),

@@ -636,6 +636,7 @@ def window_dup_stats(
     stride: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exact: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span statistics — the window-hash
     approximation of exact-substring deduplication (Lee et al. 2021,
@@ -653,7 +654,19 @@ def window_dup_stats(
     that is the Zipf head by construction), one hash-keyed join back,
     one per-doc partial-agg. Nothing quadratic, state bounded by the
     distinct-window count. The window hash is h60, so the DuckDB
-    oracle replays instance-for-instance."""
+    oracle replays instance-for-instance.
+
+    ``exact=True`` (use with ``stride=1``) is the EXACT Lee et al.
+    formulation, not an approximation: the group key is the window
+    TEXT itself, so no 60-bit hash collision can misreport, and at
+    stride 1 a token position lies inside a duplicated substring of
+    length >= ``window`` iff one of its covering window-grams is
+    duplicated (any duplicated substring of length >= L contains a
+    duplicated L-gram; a duplicated L-gram IS such a substring).
+    This replaces the paper's single-machine suffix array with the
+    shuffle-native equivalent — a linear |tokens|-row L-gram groupBy
+    whose only extra cost over the hashed mode is carrying ~window
+    tokens of text per row through the one exchange."""
     toks = tokens(F.lower(F.col(text_col)))
     win = F.transform(
         F.sequence(
@@ -661,10 +674,13 @@ def window_dup_stats(
         ),
         lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, window)),
     )
+    key = (
+        F.col("wtext") if exact else h60(F.col("wtext"))
+    )
     inst = (
         df.where(F.size(toks) >= window)
         .select(F.col(id_col), F.explode(win).alias("wtext"))
-        .select(F.col(id_col), h60(F.col("wtext")).alias("h"))
+        .select(F.col(id_col), key.alias("h"))
     )
     counts = inst.groupBy("h").agg(F.count(F.lit(1)).alias("n_h"))
     per_doc = (
@@ -701,6 +717,7 @@ def remove_duplicated_spans(
     stride: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exact: bool = False,
 ) -> DataFrame:
     """The TRANSFORM half of window-hash substring dedup: where
     ``window_dup_stats`` only measures duplicated spans, this removes
@@ -725,28 +742,36 @@ def remove_duplicated_spans(
     removed-token-index set per doc is collected as an array bounded
     by the doc's own token count (never corpus-sized state); the
     rebuild is a per-row array filter — scan-bound. Nothing quadratic.
-    """
+
+    ``exact=True`` with ``stride=1`` is the exact Lee et al. 2021
+    substring-dedup transform at token granularity (see
+    :func:`window_dup_stats` for the L-gram/suffix-array equivalence
+    argument): the duplicate key is the window TEXT, so removal
+    decisions are collision-free, and stride 1 covers every token
+    offset — the removed spans are exactly the instances (beyond the
+    globally-first) of every duplicated length->=window token run."""
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("t")).where(
         F.size("t") >= window
     )
+    wkey = F.concat_ws(" ", F.slice(F.col("t"), F.col("w.start") + 1, window))
     inst = base.select(
         "_id",
+        "t",
         F.explode(
             F.transform(
                 F.sequence(
                     F.lit(0),
                     ((F.size("t") - F.lit(window)) / F.lit(stride)).cast("int"),
                 ),
-                lambda i: F.struct(
-                    (i * stride).cast("int").alias("start"),
-                    h60(
-                        F.concat_ws(" ", F.slice(F.col("t"), i * stride + 1, window))
-                    ).alias("h"),
-                ),
+                lambda i: F.struct((i * stride).cast("int").alias("start")),
             )
         ).alias("w"),
-    ).select("_id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    ).select(
+        "_id",
+        F.col("w.start").alias("start"),
+        (wkey if exact else h60(wkey)).alias("h"),
+    )
     # keeper = globally-first instance per duplicated hash; everything
     # else is a removal. ONE partial-agg exchange on h.
     agg = inst.groupBy("h").agg(

@@ -1,0 +1,164 @@
+"""Two-parallelism scaling study for the two headline families that
+had no N -> 4N row in BASELINE.md (VERDICT r4 #5): MinHash+LSH
+near-dup over a document corpus, and triangle counting on the
+CSR-blocks path over an R-MAT graph. Same evidence protocol as
+scripts/scaling.py: no real cluster exists in the sandbox, so the
+SAME job runs at local[N] and local[4N] on the SAME input in fresh
+subprocesses, and efficiency = (rate_4N / rate_N) / 4.
+
+Inputs are deterministic and synthetic (no external data): the
+Zipfian token-soup documents of curation_scaling.py (every doc_id ==
+0 mod 10 also gets a shuffled near-twin, so the LSH path verifies
+real candidate pairs) and a seeded R-MAT graph.
+
+Usage: python scripts/r5_scaling.py [--docs 200000] [--scale 22] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+cpus = int(sys.argv[1]); doc_path = sys.argv[2]; edge_path = sys.argv[3]
+os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+from gunrock_spark.session import build_session
+from gunrock_spark.graph.edge_table import EdgeTable
+from gunrock_spark.algorithms.triangles import triangle_count
+from gunrock_spark.pipeline.dedup import near_duplicates
+from pyspark.sql import functions as F
+spark = build_session(
+    "r5-scaling",
+    master=f"local[{{cpus}}]",
+    shuffle_partitions=cpus,
+    adaptive=False,
+)
+spark.sparkContext.setLogLevel("ERROR")
+res = {{"cpus": cpus}}
+
+docs = spark.read.parquet(doc_path).repartition(cpus).cache()
+n_docs = docs.count()                   # warm, untimed
+best = None
+for _ in range(2):                      # best-of-2
+    t0 = time.monotonic()
+    pairs = near_duplicates(docs, threshold=0.5).count()
+    dt = time.monotonic() - t0
+    best = dt if best is None or dt < best else best
+res["minhash_sec"] = round(best, 3)
+res["minhash_docs"] = n_docs
+res["minhash_pairs"] = pairs
+res["minhash_dps"] = round(n_docs / best)
+docs.unpersist()
+
+edges = spark.read.parquet(edge_path)
+g = EdgeTable.from_df(edges, num_partitions=cpus)
+m = g.num_edges(); g.degrees.count()    # warm, untimed
+best = None
+for _ in range(2):
+    t0 = time.monotonic()
+    tri = triangle_count(g, impl="blocks")
+    dt = time.monotonic() - t0
+    best = dt if best is None or dt < best else best
+res["tc_sec"] = round(best, 3)
+res["tc_edges"] = m
+res["tc_triangles"] = tri
+res["tc_eps"] = round(m / best)
+print(json.dumps(res))
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--doc-len", type=int, default=60)
+    ap.add_argument("--vocab", type=int, default=50_000)
+    ap.add_argument("--scale", type=int, default=22)
+    ap.add_argument("--edge-factor", type=int, default=16)
+    ap.add_argument("--n", type=int, default=8, help="small side; big side is 4N")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    with tempfile.TemporaryDirectory() as td:
+        doc_path = os.path.join(td, "docs.parquet")
+        # Zipfian token soup + a near-twin (same tokens, one appended)
+        # for every 10th doc so the verify stage sees real pairs
+        gen = (
+            "import sys; sys.path.insert(0, %r); "
+            "from gunrock_spark.session import build_session; "
+            "from pyspark.sql import functions as F; "
+            "s = build_session('gen'); "
+            "from gunrock_spark.functions.hashing import h60; "
+            "d = s.range(%d).select(F.col('id').alias('doc_id'), "
+            "F.explode(F.sequence(F.lit(0), F.lit(%d))).alias('p')); "
+            "h = h60(F.concat_ws(':', F.lit('r5'), F.col('doc_id'), F.col('p'))); "
+            "rank = (F.pmod(h, F.lit(%d)) * F.pmod(h, F.lit(%d))) / F.lit(%d); "
+            "base = d.groupBy('doc_id').agg(F.concat_ws(' ', F.collect_list("
+            "F.concat(F.lit('t'), rank.cast('long').cast('string')))).alias('text')); "
+            "twins = base.where(F.col('doc_id') %% 10 == 0)"
+            ".select((F.col('doc_id') + %d).alias('doc_id'), "
+            "F.concat(F.col('text'), F.lit(' extra')).alias('text')); "
+            "base.unionByName(twins).write.parquet(%r)"
+            % (repo, args.docs, args.doc_len - 1, args.vocab, args.vocab,
+               args.vocab, args.docs, doc_path)
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True)
+
+        edge_path = os.path.join(td, "edges.parquet")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gunrock_spark.graph.generators import rmat_edges
+
+        arr = rmat_edges(args.scale, args.edge_factor, seed=42)
+        pq.write_table(
+            pa.table({"src": arr[:, 0], "dst": arr[:, 1]}),
+            edge_path,
+            row_group_size=1 << 20,
+        )
+
+        script = os.path.join(td, "runner.py")
+        with open(script, "w") as f:
+            f.write(RUNNER.format(repo=repo))
+
+        results = {}
+        for cpus in (args.n, 4 * args.n):
+            out = subprocess.run(
+                [sys.executable, script, str(cpus), doc_path, edge_path],
+                check=True,
+                capture_output=True,
+                text=True,
+            ).stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(out)
+
+        lo, hi = results[args.n], results[4 * args.n]
+        print(
+            json.dumps(
+                {
+                    "metric": "r5_scaling_efficiency",
+                    "minhash_value": round(
+                        (hi["minhash_dps"] / lo["minhash_dps"]) / 4.0, 3
+                    ),
+                    "tc_blocks_value": round(
+                        (hi["tc_eps"] / lo["tc_eps"]) / 4.0, 3
+                    ),
+                    "unit": "x",
+                    "docs": args.docs,
+                    "rmat_scale": args.scale,
+                    "n_cpus": args.n,
+                    "runs": results,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
