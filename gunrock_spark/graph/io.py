@@ -211,9 +211,14 @@ def _write_sharded_text(
         "concat_in_filename_order": True,
     }
     manifest.update(manifest_extra or {})
-    local = path[len("file://"):] if path.startswith("file://") else path
-    with open(os.path.join(os.path.abspath(local), "_MANIFEST.json"), "w") as f:
-        json.dump(manifest, f)
+    # same pyarrow-fs resolution as the CSR block store, so an
+    # hdfs://... or s3://... export gets its manifest on THAT
+    # filesystem, not the driver's local disk
+    from gunrock_spark.engine.csr_blocks import _resolve_fs
+
+    fs, root = _resolve_fs(path)
+    with fs.open_output_stream(root.rstrip("/") + "/_MANIFEST.json") as f:
+        f.write(json.dumps(manifest).encode("utf-8"))
 
 
 def write_mtx_sharded(

@@ -42,7 +42,8 @@ Ops:
   resolve-redirects collapse a (url, target) 3xx map by pointer doubling
   cooc-pmi        windowed token co-occurrence counts + PMI
   pack            concat-and-chunk sequence-packing map (--seq-len)
-  bpe-learn       BPE tokenizer merge learning (--n-merges)
+  bpe-learn       BPE tokenizer merge learning (--n-merges,
+                  --bpe-batch = symbol-disjoint merges per round)
   c4-clean        C4-style line filtering (terminal punct / min words /
                   brace + blocklist lines; doc floor --min-lines)
   bigram-ppl      append bigram add-k LM perplexity columns
@@ -112,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="pack: training-sequence length in tokens")
     ap.add_argument("--n-merges", type=int, default=64,
                     help="bpe-learn: merge rounds to learn")
+    ap.add_argument("--bpe-batch", type=int, default=1,
+                    help="bpe-learn: top-B symbol-disjoint merges "
+                         "applied per round (1 = exact Sennrich order; "
+                         "64 is the measured 13x-throughput setting)")
     ap.add_argument("--min-words", type=int, default=3,
                     help="c4-clean: minimum words per kept line")
     ap.add_argument("--min-lines", type=int, default=2,
@@ -271,7 +276,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.op == "bpe-learn":
         from gunrock_spark.pipeline.bpe import bpe_learn
 
-        out, _ = bpe_learn(docs, args.n_merges, id_col=idc, text_col=txc)
+        out, _ = bpe_learn(
+            docs, args.n_merges, id_col=idc, text_col=txc,
+            batch_size=args.bpe_batch,
+        )
     elif args.op == "doc-sim":
         from gunrock_spark.pipeline.text import sparse_cosine_pairs
 
