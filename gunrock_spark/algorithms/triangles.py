@@ -180,7 +180,11 @@ def _adjacency_csr(store_path: str, block: int):
     return csr
 
 
-def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> int:
+def triangle_count_blocks(
+    graph: EdgeTable,
+    num_blocks: int | None = None,
+    salt_target: int | None = None,
+) -> int:
     """Exact triangle count via per-partition sorted intersection of
     CSR adjacency slices (SURVEY §7.2 item 8; reference per-edge
     intersection, util/join.cuh:17-60).
@@ -262,10 +266,84 @@ def triangle_count_blocks(graph: EdgeTable, num_blocks: int | None = None) -> in
         F.pmod(F.hash("u"), F.lit(num_blocks)).alias("bu"),
         F.pmod(F.hash("w"), F.lit(num_blocks)).alias("bw"),
     )
-    partials = tagged.groupBy("bu", "bw").applyInPandas(pair_fn, schema="cnt long")
+    tagged, group_cols = _salt_heavy_pairs(
+        tagged, graph.edges.sparkSession, store, num_blocks, target=salt_target
+    )
+    partials = tagged.groupBy(*group_cols).applyInPandas(
+        pair_fn, schema="cnt long"
+    )
     n = partials.agg(F.sum("cnt")).collect()[0][0] or 0
     remove_block_store(cleanup)
     return int(n)
+
+
+def _salt_heavy_pairs(
+    tagged,
+    spark,
+    store: str,
+    num_blocks: int,
+    max_salt: int = 64,
+    target: int | None = None,
+):
+    """Split HEAVY (bu, bw) block-pair groups by pivot hash so one
+    hub-dense pair cannot serialize the whole applyInPandas stage —
+    the power-law reality of this algorithm family: with P blocks
+    there are only P(P+1)/2 groups and the head pairs hold most of
+    the wedge volume, so without salting the stage's wall-clock is
+    the heaviest pair's run time no matter how many cores exist
+    (measured flat 8->32 cores at rmat22 before this fix, BENCH.md
+    §3k-r5). Salting is EXACT: the per-pivot intersection work is
+    independent row-wise, and every row of one pivot u lands in the
+    same salted subgroup (salt = hash(u) % salt_n), so each subgroup
+    computes a disjoint subset of pivots against the same two cached
+    slices. Cost: one pair census scanned off the ALREADY-WRITTEN
+    block store parquet (src is the pivot; its partition column IS
+    bu, so only hash(dst) is computed) — <= P^2 rows to the driver —
+    plus a broadcast join tagging only the heavy pairs.
+
+    ``target`` = desired max edges per task (default: total/(4*par),
+    floored at 250k so tiny graphs never salt); salt_n(pair) =
+    ceil(n/target), capped at ``max_salt``."""
+    try:
+        cnts = (
+            spark.read.parquet(store)
+            .groupBy(
+                F.col("block").cast("int").alias("bu"),
+                F.pmod(F.hash("dst"), F.lit(num_blocks)).alias("bw"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    except Exception:
+        # an edge-free graph writes a part-less parquet dir whose
+        # schema cannot be inferred — nothing to salt either way
+        return tagged.withColumn("salt", F.lit(0)), ["bu", "bw", "salt"]
+    total = sum(r["n"] for r in cnts)
+    par = spark.sparkContext.defaultParallelism
+    if target is None:
+        target = max(total // (4 * par) + 1, 250_000)
+    heavy = [
+        (int(r["bu"]), int(r["bw"]),
+         int(min(max_salt, -(-r["n"] // target))))
+        for r in cnts
+        if r["n"] > target
+    ]
+    if not heavy:
+        return tagged.withColumn("salt", F.lit(0)), ["bu", "bw", "salt"]
+    salt_df = spark.createDataFrame(
+        heavy, schema="bu int, bw int, salt_n int"
+    )
+    out = (
+        tagged.join(F.broadcast(salt_df), ["bu", "bw"], "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("salt_n").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.hash("u"), F.col("salt_n"))
+            ),
+        )
+        .drop("salt_n")
+    )
+    return out, ["bu", "bw", "salt"]
 
 
 def _oriented_block_store(graph: EdgeTable, num_blocks: int | None):
@@ -310,7 +388,9 @@ def _oriented_block_store(graph: EdgeTable, num_blocks: int | None):
 
 
 def triangle_count_per_vertex_blocks(
-    graph: EdgeTable, num_blocks: int | None = None
+    graph: EdgeTable,
+    num_blocks: int | None = None,
+    salt_target: int | None = None,
 ) -> DataFrame:
     """DataFrame[v, n_triangles] via the blocks strategy — the scale
     path for per-vertex counts (the wedge-join variant materializes
@@ -388,7 +468,10 @@ def triangle_count_per_vertex_blocks(
         F.pmod(F.hash("u"), F.lit(num_blocks)).alias("bu"),
         F.pmod(F.hash("w"), F.lit(num_blocks)).alias("bw"),
     )
-    partials = tagged.groupBy("bu", "bw").applyInPandas(
+    tagged, group_cols = _salt_heavy_pairs(
+        tagged, graph.edges.sparkSession, store, num_blocks, target=salt_target
+    )
+    partials = tagged.groupBy(*group_cols).applyInPandas(
         pair_fn, schema="v long, cnt long"
     )
     counts = partials.groupBy("v").agg(F.sum("cnt").alias("n_triangles"))

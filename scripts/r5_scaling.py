@@ -31,7 +31,6 @@ os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
 os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 from gunrock_spark.session import build_session
 from gunrock_spark.graph.edge_table import EdgeTable
-from gunrock_spark.algorithms.triangles import triangle_count
 from gunrock_spark.pipeline.dedup import near_duplicates
 from pyspark.sql import functions as F
 spark = build_session(
@@ -45,12 +44,16 @@ res = {{"cpus": cpus}}
 
 docs = spark.read.parquet(doc_path).repartition(cpus).cache()
 n_docs = docs.count()                   # warm, untimed
-best = None
-for _ in range(2):                      # best-of-2
-    t0 = time.monotonic()
-    pairs = near_duplicates(docs, threshold=0.5).count()
-    dt = time.monotonic() - t0
-    best = dt if best is None or dt < best else best
+# JIT/codegen warmup on a DIFFERENT (sampled) plan: a repeat of the
+# identical plan would reuse the first run's shuffle files and measure
+# a warm path that cannot scale with cores — so the real measurement
+# below is a SINGLE cold rep
+warm = docs.limit(5000).cache(); warm.count()
+near_duplicates(warm, threshold=0.5).count()
+warm.unpersist()
+t0 = time.monotonic()
+pairs = near_duplicates(docs, threshold=0.5).count()
+best = time.monotonic() - t0
 res["minhash_sec"] = round(best, 3)
 res["minhash_docs"] = n_docs
 res["minhash_pairs"] = pairs
@@ -60,12 +63,16 @@ docs.unpersist()
 edges = spark.read.parquet(edge_path)
 g = EdgeTable.from_df(edges, num_partitions=cpus)
 m = g.num_edges(); g.degrees.count()    # warm, untimed
-best = None
-for _ in range(2):
-    t0 = time.monotonic()
-    tri = triangle_count(g, impl="blocks")
-    dt = time.monotonic() - t0
-    best = dt if best is None or dt < best else best
+# num_blocks PINNED across parallelism levels: the block count is a
+# data-layout choice — letting it track defaultParallelism would give
+# the two cluster sizes different work (block-pair counts), not the
+# same job at two sizes. One cold rep (each call builds a fresh
+# uuid-keyed store, but the orientation shuffle would still be reused
+# by an identical second run).
+from gunrock_spark.algorithms.triangles import triangle_count_blocks
+t0 = time.monotonic()
+tri = triangle_count_blocks(g, num_blocks=32)
+best = time.monotonic() - t0
 res["tc_sec"] = round(best, 3)
 res["tc_edges"] = m
 res["tc_triangles"] = tri
@@ -76,7 +83,7 @@ print(json.dumps(res))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--docs", type=int, default=400_000)
     ap.add_argument("--doc-len", type=int, default=60)
     ap.add_argument("--vocab", type=int, default=50_000)
     ap.add_argument("--scale", type=int, default=22)

@@ -95,6 +95,33 @@ def test_triangle_per_vertex_blocks_tiny_cache_budget(spark, monkeypatch):
     assert via_blocks == via_join
 
 
+def test_triangle_blocks_forced_salting_exact(spark):
+    """Heavy-pair salting (salt = hash(pivot) % salt_n) must be EXACT:
+    with a salt target so low every block pair splits, both blocks
+    strategies still match the wedge-join counts bit-for-bit."""
+    from gunrock_spark.algorithms.triangles import (
+        triangle_count_blocks,
+        triangle_count_per_vertex_blocks,
+    )
+
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(8, 8, seed=13)])
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    total_join = triangle_count(g, impl="join")
+    # target=2 edges/task forces salt_n > 1 on essentially every pair
+    assert triangle_count_blocks(g, num_blocks=4, salt_target=2) == total_join
+    via_join = {
+        r["v"]: r["n_triangles"] for r in triangle_count_per_vertex(g).collect()
+    }
+    via_salted = {
+        r["v"]: r["n_triangles"]
+        for r in triangle_count_per_vertex_blocks(
+            g, num_blocks=4, salt_target=2
+        ).collect()
+    }
+    assert via_salted == via_join
+    assert total_join > 0
+
+
 def test_tc_auto_dispatch_single_edge_count_action(spark, monkeypatch):
     """Auto dispatch (triangle_count + triangle_count_df + the jobs
     CLI manifest) must trigger at most ONE real |E| count action —
