@@ -374,7 +374,7 @@ def pagerank(
     if block_store_cleanup is not None:
         from gunrock_spark.engine.csr_blocks import remove_block_store
 
-        remove_block_store(block_store_cleanup)
+        remove_block_store(block_store_cleanup, block_store)
     for split in (hot_edges, cold_edges):
         if split is not None:
             try:

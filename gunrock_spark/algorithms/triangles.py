@@ -152,31 +152,54 @@ def triangle_count_df(graph: EdgeTable, impl: str = "auto") -> DataFrame:
 def _adjacency_csr(store_path: str, block: int):
     """Decoded CSR triple for one block slice: (verts, indptr, dsts) —
     ``verts`` the sorted distinct srcs, ``dsts[indptr[i]:indptr[i+1]]``
-    the SORTED UNIQUE out-neighbors of ``verts[i]``. Cached in the
-    shared worker-local LRU (engine/csr_blocks._BLOCK_CACHE) under
-    kind "csr", so triangle counting's per-worker memory is bounded by
-    the byte budget with refetch-on-miss — not by all-P residency."""
+    the SORTED UNIQUE out-neighbors of ``verts[i]``.
+
+    Lookup order: (1) the in-process LRU
+    (engine/csr_blocks._BLOCK_CACHE, kind "csr"); (2) the NODE-SHARED
+    mmap cache (engine/csr_blocks.shared_csr_get) — one decoded copy
+    per machine, shared by every worker process through the kernel
+    page cache; (3) parquet decode, after which the slice is
+    published node-wide (shared_csr_put). Without (2), 32 worker
+    processes each decode each slice privately: measured at rmat22
+    the pair stage spent 3x more core-time decoding than intersecting
+    and 32 cores ran SLOWER than 8 (BENCH.md §3k-r5). Mmap entries
+    enter the LRU at 0 bytes — their pages are shared and
+    kernel-evictable, so they never displace private entries."""
     import numpy as np
 
-    from gunrock_spark.engine.csr_blocks import _BLOCK_CACHE, _read_block
+    from gunrock_spark.engine.csr_blocks import (
+        _BLOCK_CACHE,
+        _read_block,
+        shared_csr_get,
+        shared_csr_put,
+    )
 
     key = (store_path, block, "csr")
     csr = _BLOCK_CACHE.get(key)
-    if csr is None:
-        _BLOCK_CACHE.evict_other_stores(store_path)
-        edf = _read_block(store_path, block).sort_values(["src", "dst"])
-        src = edf["src"].to_numpy(dtype="int64")
-        dsts = np.ascontiguousarray(edf["dst"].to_numpy(dtype="int64"))
-        if src.size == 0:
-            empty = np.empty(0, dtype="int64")
-            csr = (empty, np.zeros(1, dtype="int64"), empty)
-        else:
-            bounds = np.flatnonzero(np.diff(src)) + 1
-            firsts = np.concatenate(([0], bounds))
-            verts = src[firsts]
-            indptr = np.concatenate((firsts, [src.size]))
-            csr = (verts, indptr, dsts)
-        _BLOCK_CACHE.put(key, csr, sum(int(a.nbytes) for a in csr))
+    if csr is not None:
+        return csr
+    _BLOCK_CACHE.evict_other_stores(store_path)
+    csr = shared_csr_get(store_path, block)
+    if csr is not None:
+        _BLOCK_CACHE.put(key, csr, 0)
+        return csr
+    edf = _read_block(store_path, block)
+    src = edf["src"].to_numpy(dtype="int64")
+    dst = edf["dst"].to_numpy(dtype="int64")
+    if src.size == 0:
+        empty = np.empty(0, dtype="int64")
+        csr = (empty, np.zeros(1, dtype="int64"), empty)
+    else:
+        order = np.lexsort((dst, src))
+        src = src[order]
+        dsts = np.ascontiguousarray(dst[order])
+        bounds = np.flatnonzero(np.diff(src)) + 1
+        firsts = np.concatenate(([0], bounds))
+        verts = src[firsts]
+        indptr = np.concatenate((firsts, [src.size]))
+        csr = (verts, indptr, dsts)
+    shared_csr_put(store_path, block, csr)
+    _BLOCK_CACHE.put(key, csr, sum(int(a.nbytes) for a in csr))
     return csr
 
 
@@ -273,7 +296,7 @@ def triangle_count_blocks(
         pair_fn, schema="cnt long"
     )
     n = partials.agg(F.sum("cnt")).collect()[0][0] or 0
-    remove_block_store(cleanup)
+    remove_block_store(cleanup, store)
     return int(n)
 
 
@@ -482,7 +505,7 @@ def triangle_count_per_vertex_blocks(
     # cleanup to the caller via an action barrier — materialize here
     # so the store can be removed before returning.
     out = out.localCheckpoint(eager=True)
-    remove_block_store(cleanup)
+    remove_block_store(cleanup, store)
     return out
 
 

