@@ -219,10 +219,11 @@ def _shm_store_dir(store_path: str) -> str | None:
 
 
 _SHM_ARRAYS = ("verts", "indptr", "dsts")
+_SHM_FRAME_ARRAYS = ("src", "dst")
 
 
-def shared_csr_get(store_path: str, block: int):
-    """Mmap a published CSR slice from the node-shared cache, or None.
+def shared_arrays_get(store_path: str, block: int, kind: str, names):
+    """Mmap a published array set from the node-shared cache, or None.
     The ``_OK`` marker is written last (after atomic renames), so a
     present marker implies complete, immutable arrays."""
     import numpy as np
@@ -230,24 +231,24 @@ def shared_csr_get(store_path: str, block: int):
     d = _shm_store_dir(store_path)
     if d is None:
         return None
-    bdir = os.path.join(d, f"b{block}")
+    bdir = os.path.join(d, f"{kind}{block}")
     if not os.path.exists(os.path.join(bdir, "_OK")):
         return None
     try:
         return tuple(
             np.load(os.path.join(bdir, f"{name}.npy"), mmap_mode="r")
-            for name in _SHM_ARRAYS
+            for name in names
         )
     except Exception:
         return None
 
 
-def shared_csr_put(store_path: str, block: int, csr) -> None:
-    """Publish a decoded CSR slice to the node-shared cache:
+def shared_arrays_put(store_path: str, block: int, kind: str, names, arrays) -> None:
+    """Publish a decoded array set to the node-shared cache:
     write-to-temp + atomic rename per array, ``_OK`` marker last.
     A non-blocking flock elides duplicate builds — a loser neither
     waits nor writes (its in-memory copy serves the current task).
-    Slices above ``SPARK_GRAFT_SHM_SLICE_MAX_MB`` (default 1024) are
+    Sets above ``SPARK_GRAFT_SHM_SLICE_MAX_MB`` (default 1024) are
     not published so tmpfs cannot be flooded by one huge block."""
     import numpy as np
 
@@ -255,9 +256,9 @@ def shared_csr_put(store_path: str, block: int, csr) -> None:
     if d is None:
         return
     cap = float(os.environ.get("SPARK_GRAFT_SHM_SLICE_MAX_MB", "1024")) * 1e6
-    if sum(int(a.nbytes) for a in csr) > cap:
+    if sum(int(a.nbytes) for a in arrays) > cap:
         return
-    bdir = os.path.join(d, f"b{block}")
+    bdir = os.path.join(d, f"{kind}{block}")
     if os.path.exists(os.path.join(bdir, "_OK")):
         return
     try:
@@ -273,7 +274,7 @@ def shared_csr_put(store_path: str, block: int, csr) -> None:
             if os.path.exists(os.path.join(bdir, "_OK")):
                 return
             pid = os.getpid()
-            for name, arr in zip(_SHM_ARRAYS, csr):
+            for name, arr in zip(names, arrays):
                 tmp = os.path.join(bdir, f".{name}.{pid}.npy")
                 np.save(tmp, np.ascontiguousarray(arr))
                 os.replace(tmp, os.path.join(bdir, f"{name}.npy"))
@@ -283,6 +284,16 @@ def shared_csr_put(store_path: str, block: int, csr) -> None:
             os.replace(marker, os.path.join(bdir, "_OK"))
     except Exception:
         return  # shared cache is an optimization, never a failure
+
+
+def shared_csr_get(store_path: str, block: int):
+    """Mmap a published CSR slice (verts, indptr, dsts), or None."""
+    return shared_arrays_get(store_path, block, "b", _SHM_ARRAYS)
+
+
+def shared_csr_put(store_path: str, block: int, csr) -> None:
+    """Publish a decoded CSR slice to the node-shared cache."""
+    shared_arrays_put(store_path, block, "b", _SHM_ARRAYS, csr)
 
 
 def _read_block(store_path: str, block: int) -> pd.DataFrame:
@@ -305,12 +316,38 @@ def _read_block(store_path: str, block: int) -> pd.DataFrame:
 
 
 def _load_block(store_path: str, block: int) -> pd.DataFrame:
+    """One edge frame (DataFrame[src, dst]) for a block, LRU-cached.
+
+    On an LRU miss the node-shared cache is tried before parquet:
+    iterative gather-scatter (PageRank/CC/Katz blocks impl) assigns
+    block→worker afresh every iteration, so across iterations most
+    workers eventually decode most blocks privately — the same
+    redundancy the TC pair stage measured (BENCH.md §3k-r5). A shared
+    hit replaces parquet decompress+decode with a memcpy out of
+    page-cache-shared mmap (the DataFrame constructor consolidates
+    the two int64 columns, so a copy happens either way; it is the
+    parquet work that is saved)."""
     key = (store_path, block, "frame")
     cached = _BLOCK_CACHE.get(key)
-    if cached is None:
-        _BLOCK_CACHE.evict_other_stores(store_path)
+    if cached is not None:
+        return cached
+    _BLOCK_CACHE.evict_other_stores(store_path)
+    arrays = shared_arrays_get(store_path, block, "f", _SHM_FRAME_ARRAYS)
+    if arrays is not None:
+        cached = pd.DataFrame({"src": arrays[0], "dst": arrays[1]})
+    else:
         cached = _read_block(store_path, block)
-        _BLOCK_CACHE.put(key, cached, int(cached.memory_usage(index=False).sum()))
+        shared_arrays_put(
+            store_path,
+            block,
+            "f",
+            _SHM_FRAME_ARRAYS,
+            (
+                cached["src"].to_numpy(dtype="int64"),
+                cached["dst"].to_numpy(dtype="int64"),
+            ),
+        )
+    _BLOCK_CACHE.put(key, cached, int(cached.memory_usage(index=False).sum()))
     return cached
 
 
