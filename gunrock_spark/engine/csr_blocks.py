@@ -219,7 +219,6 @@ def _shm_store_dir(store_path: str) -> str | None:
 
 
 _SHM_ARRAYS = ("verts", "indptr", "dsts")
-_SHM_FRAME_ARRAYS = ("src", "dst")
 
 
 def shared_arrays_get(store_path: str, block: int, kind: str, names):
@@ -316,38 +315,26 @@ def _read_block(store_path: str, block: int) -> pd.DataFrame:
 
 
 def _load_block(store_path: str, block: int) -> pd.DataFrame:
-    """One edge frame (DataFrame[src, dst]) for a block, LRU-cached.
+    """One edge frame (DataFrame[src, dst]) for a block, LRU-cached,
+    decoded from parquet on a miss.
 
-    On an LRU miss the node-shared cache is tried before parquet:
-    iterative gather-scatter (PageRank/CC/Katz blocks impl) assigns
-    block→worker afresh every iteration, so across iterations most
-    workers eventually decode most blocks privately — the same
-    redundancy the TC pair stage measured (BENCH.md §3k-r5). A shared
-    hit replaces parquet decompress+decode with a memcpy out of
-    page-cache-shared mmap (the DataFrame constructor consolidates
-    the two int64 columns, so a copy happens either way; it is the
-    parquet work that is saved)."""
+    Deliberately NOT routed through the node-shared slice cache that
+    rescued the TC pair stage (BENCH.md §3k-r5): gather-scatter runs
+    ONE task per block per iteration, so the decode volume is tiny
+    (~|P| loads/iteration, ≈2.5 s of 32-core wall over 5 iterations
+    at rmat22) and alternating fresh-JVM A/Bs at 5 AND 30 iterations
+    measured the shm route neutral-to-slower (30-iter cells: parquet
+    39.6–54.0 s vs shm 49.2–79.0 s — the tmpfs publish + mmap-copy
+    overheads exceed the parquet decode it avoids at this task
+    granularity). The TC path keeps the shared cache: its 1024
+    (pair × salt) tasks per job re-touch slices ~64× each, a decode
+    volume two orders of magnitude larger."""
     key = (store_path, block, "frame")
     cached = _BLOCK_CACHE.get(key)
-    if cached is not None:
-        return cached
-    _BLOCK_CACHE.evict_other_stores(store_path)
-    arrays = shared_arrays_get(store_path, block, "f", _SHM_FRAME_ARRAYS)
-    if arrays is not None:
-        cached = pd.DataFrame({"src": arrays[0], "dst": arrays[1]})
-    else:
+    if cached is None:
+        _BLOCK_CACHE.evict_other_stores(store_path)
         cached = _read_block(store_path, block)
-        shared_arrays_put(
-            store_path,
-            block,
-            "f",
-            _SHM_FRAME_ARRAYS,
-            (
-                cached["src"].to_numpy(dtype="int64"),
-                cached["dst"].to_numpy(dtype="int64"),
-            ),
-        )
-    _BLOCK_CACHE.put(key, cached, int(cached.memory_usage(index=False).sum()))
+        _BLOCK_CACHE.put(key, cached, int(cached.memory_usage(index=False).sum()))
     return cached
 
 
