@@ -1859,6 +1859,50 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_per_vertex(_graph(spark, sf_dir))
 
 
+DOULION_NUM, DOULION_DEN = 1, 3
+
+
+def _q_triangles_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION deterministic-coin sparsified triangle estimate at
+    p = 1/3: exact count on the hash-retained edge subset scaled by
+    1/p^3 (algorithms/triangles.triangle_count_doulion)."""
+    from gunrock_spark.algorithms.triangles import triangle_count_doulion
+
+    return triangle_count_doulion(
+        _graph(spark, sf_dir), num=DOULION_NUM, den=DOULION_DEN, seed=SAMPLE_SEED
+    )
+
+
+def _doulion_sql() -> str:
+    from gunrock_spark.pipeline.sampling import HASH_A, HASH_P
+
+    num, den = DOULION_NUM, DOULION_DEN
+    scale = float(den) ** 3 / float(num) ** 3
+    return (
+        "WITH "
+        + _EDGES_CTES
+        + f""",
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+samp AS (
+  SELECT a, b FROM und
+  WHERE ((((((a % {HASH_P}) * {HASH_A} + (b % {HASH_P})) % {HASH_P})
+           * {HASH_A} + {SAMPLE_SEED}) % {HASH_P}) % {den}) < {num}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM samp e1
+  JOIN samp e2 ON e2.a = e1.b
+  JOIN samp e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS sampled_triangles,
+       ROUND(COUNT(*) * {scale!r}, 6) AS est_triangles
+FROM tri"""
+    )
+
+
 def _q_triangles_per_vertex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts via the blocks strategy (bounded
     LRU slice cache, per-corner partial counts) — the scale path,
@@ -8377,6 +8421,7 @@ QUERY_FAMILIES: dict[str, list[str]] = {
     "modularity": ["modularity_lp3", "conductance_lp3"],  # outside window
     "triangles": ["triangles_blocks", "triangles_total",
                   "triangles_per_vertex", "triangles_per_vertex_blocks",
+                  "triangles_doulion_p3",
                   "squares_total", "squares_per_vertex", "local_clustering",
                   "transitivity"],
     "bfs": ["bfs_depths", "bfs_pull_depths", "diameter_lb", "reach_in_k3",
@@ -8534,6 +8579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_per_vertex_blocks": _q_triangles_per_vertex_blocks,
+        "triangles_doulion_p3": _q_triangles_doulion,
         "squares_total": _q_squares_total,
         "squares_per_vertex": _q_squares_per_vertex,
         "densest_rounds": _q_densest_rounds,
@@ -8672,6 +8718,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_blocks": _triangles_total_sql(),
         "triangles_per_vertex": _triangles_per_vertex_sql(),
         "triangles_per_vertex_blocks": _triangles_per_vertex_sql(),
+        "triangles_doulion_p3": _doulion_sql(),
         "squares_total": _squares_total_sql(),
         "squares_per_vertex": _squares_per_vertex_sql(),
         "densest_rounds": _densest_rounds_sql(),

@@ -523,3 +523,71 @@ def triangle_count_per_vertex(graph: EdgeTable) -> DataFrame:
     return graph.vertices.join(counts, "v", "left").select(
         "v", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def doulion_keep(a, b, num: int, den: int, seed: int = 42):
+    """Retention predicate Column for DOULION edge sparsification:
+    keep the canonical undirected pair (a <= b) iff
+    ``sample_hash(combine(a, b)) % den < num`` — the pipeline's
+    arithmetic sampling-hash contract (pipeline/sampling.py), so the
+    kept edge set is bit-stable across runs, engines, repartitioning
+    and cluster sizes, and exactly replayable in ANSI SQL."""
+    from gunrock_spark.pipeline.sampling import HASH_A, HASH_P, sample_hash
+
+    pair_key = F.pmod(
+        F.pmod(a.cast("long"), F.lit(HASH_P)) * HASH_A
+        + F.pmod(b.cast("long"), F.lit(HASH_P)),
+        F.lit(HASH_P),
+    )
+    return F.pmod(sample_hash(pair_key, seed), F.lit(den)) < num
+
+
+def triangle_count_doulion(
+    graph: EdgeTable,
+    num: int = 1,
+    den: int = 3,
+    seed: int = 42,
+    impl: str = "auto",
+) -> DataFrame:
+    """DOULION sparsified triangle estimate (Tsourakakis, Kang, Miller
+    & Faloutsos, KDD 2009 "DOULION: counting triangles in massive
+    graphs with a coin"): keep each undirected edge with probability
+    p = num/den, count triangles EXACTLY on the sparsified graph, and
+    scale the count by 1/p^3 — an unbiased estimator whose error
+    concentrates for p above ~1/sqrt(mean degree). The reference's
+    sampled-TC analog is its `sample` primitive family
+    (gunrock/app/sample/sample_app.cu) composed with tc.
+
+    Deterministic twist: the coin is the arithmetic sampling hash of
+    the canonical pair (:func:`doulion_keep`), not ``rand()`` — the
+    same estimate on every run, every engine, any cluster size, and
+    replayable by the ANSI-SQL oracle.
+
+    The 100 TB story: the full count at p=1/10 runs on a graph with
+    ~|E|/10 edges — the orient/store-build pass (the disk-bound phase,
+    BENCH.md §3k-r5) shrinks 10x, the pair stage ~p^1.5-superlinearly
+    (both slice sizes AND edges-per-pair-task shrink) — while the
+    relative error on a power-law web graph stays sub-percent because
+    triangle-rich hub neighborhoods keep thousands of sampled wedge
+    closures. Sparsification is a pushed-down scan filter: zero extra
+    shuffle before the standard TC plan.
+
+    Returns a 1-row DataFrame[sampled_triangles long,
+    est_triangles double] (estimate rounded to 6 dp)."""
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+    keep = doulion_keep(F.least("src", "dst"), F.greatest("src", "dst"), num, den, seed)
+    sampled = EdgeTable.from_df(
+        graph.edges.where(keep),
+        # graph.edges is already cleaned (deduped, self-loop-free):
+        # skip the re-clean shuffle, keep only the sampling filter
+        drop_self_loops=False,
+        dedup=False,
+    )
+    scale = float(den) ** 3 / float(num) ** 3
+    out = triangle_count_df(sampled, impl=impl).select(
+        F.col("n_triangles").alias("sampled_triangles"),
+        F.round(F.col("n_triangles") * F.lit(scale), 6).alias("est_triangles"),
+    )
+    sampled.unpersist()
+    return out

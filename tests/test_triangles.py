@@ -338,3 +338,41 @@ def test_trussness_triangle_free_and_k4(spark):
     }
     assert all(got2[e] == 4 for e in k4)
     assert all(got2[e] == 3 for e in [(3, 5), (3, 6), (5, 6)])
+
+
+def test_triangle_doulion_matches_python_replica(spark):
+    """DOULION deterministic sparsified estimate: the Spark result must
+    equal a pure-python replay of the arithmetic retention hash + a
+    brute-force count of the kept subgraph, scaled by (den/num)^3."""
+    from gunrock_spark.algorithms.triangles import triangle_count_doulion
+    from gunrock_spark.pipeline.sampling import HASH_A, HASH_P
+
+    raw = [(int(s), int(d)) for s, d in rmat_edges(8, 10, seed=9)]
+    num, den, seed = 1, 3, 11
+
+    def keep(a, b):
+        pair = ((a % HASH_P) * HASH_A + (b % HASH_P)) % HASH_P
+        return ((pair * HASH_A + seed) % HASH_P) % den < num
+
+    kept = sorted(
+        {(min(s, d), max(s, d)) for s, d in clean_edges(raw) if keep(min(s, d), max(s, d))}
+    )
+    assert kept, "sample unexpectedly empty — bad generator seed for this test"
+    expected_sampled = triangle_count_ref(kept)
+
+    g = EdgeTable.from_df(edges_df(spark, raw))
+    row = triangle_count_doulion(g, num=num, den=den, seed=seed).collect()[0]
+    assert row["sampled_triangles"] == expected_sampled
+    assert row["est_triangles"] == round(expected_sampled * (den / num) ** 3, 6)
+
+
+def test_triangle_doulion_full_density_is_exact(spark):
+    """p = 1 keeps every edge: the estimate degenerates to the exact
+    triangle count (the unbiasedness anchor)."""
+    from gunrock_spark.algorithms.triangles import triangle_count_doulion
+
+    g = EdgeTable.from_df(edges_df(spark, G_CC11))
+    row = triangle_count_doulion(g, num=1, den=1).collect()[0]
+    exact = triangle_count_ref(G_CC11, n=11)
+    assert row["sampled_triangles"] == exact
+    assert row["est_triangles"] == float(exact)
