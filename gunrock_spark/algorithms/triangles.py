@@ -172,6 +172,7 @@ def _adjacency_csr(store_path: str, block: int):
         _read_block,
         shared_csr_get,
         shared_csr_put,
+        store_ids_fit_int32,
     )
 
     key = (store_path, block, "csr")
@@ -184,10 +185,13 @@ def _adjacency_csr(store_path: str, block: int):
         _BLOCK_CACHE.put(key, csr, 0)
         return csr
     edf = _read_block(store_path, block)
-    src = edf["src"].to_numpy(dtype="int64")
-    dst = edf["dst"].to_numpy(dtype="int64")
+    # graph-global id downcast (engine/csr_blocks.mark_store_int32):
+    # halves slice bytes + kernel memory traffic when ids fit int32
+    id_dtype = "int32" if store_ids_fit_int32(store_path) else "int64"
+    src = edf["src"].to_numpy(dtype=id_dtype)
+    dst = edf["dst"].to_numpy(dtype=id_dtype)
     if src.size == 0:
-        empty = np.empty(0, dtype="int64")
+        empty = np.empty(0, dtype=id_dtype)
         csr = (empty, np.zeros(1, dtype="int64"), empty)
     else:
         order = np.lexsort((dst, src))
@@ -249,8 +253,11 @@ def triangle_count_blocks(
         verts_w, indptr_w, dsts_w = _adjacency_csr(store, bw)
         total = 0
         if verts_u.size and verts_w.size and len(pdf):
-            u_arr = pdf["u"].to_numpy(dtype="int64")
-            w_arr = pdf["w"].to_numpy(dtype="int64")
+            # probes adopt the slices' (possibly int32) dtype: the
+            # downcast marker is graph-global, so every probe id fits,
+            # and same-dtype searchsorted avoids a promoted copy
+            u_arr = pdf["u"].to_numpy(dtype=verts_u.dtype)
+            w_arr = pdf["w"].to_numpy(dtype=verts_w.dtype)
             order = np.argsort(u_arr, kind="stable")
             u_s, w_s = u_arr[order], w_arr[order]
             # locate every partner w's slice in the w-block CSR
@@ -279,6 +286,7 @@ def triangle_count_blocks(
                     ([0], np.cumsum(lens)[:-1])
                 ), lens)
                 cand = dsts_w[np.arange(tot) + offs]
+                cand = cand.astype(a.dtype, copy=False)  # no-op same-dtype
                 pos = np.minimum(np.searchsorted(a, cand), a.size - 1)
                 total += int(np.count_nonzero(a[pos] == cand))
         return pd.DataFrame({"cnt": pd.Series([total], dtype="int64")})
@@ -407,6 +415,23 @@ def _oriented_block_store(graph: EdgeTable, num_blocks: int | None):
     build_block_store(
         o.select(F.col("u").alias("src"), F.col("w").alias("dst")), num_blocks, store
     )
+    # Graph-global int32 decision off the already-cached |V|-row degree
+    # table (one tiny agg job, dwarfed by the store write): when every
+    # id fits int32, the decoded slices AND the probe arrays downcast,
+    # halving the intersection kernels' memory traffic and the shm
+    # cache footprint. Absent at true web scale (ids >= 2^31) — the
+    # kernels then run int64 exactly as before.
+    from gunrock_spark.engine.csr_blocks import mark_store_int32
+
+    rng = graph.degrees.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    ).collect()[0]
+    if (
+        rng["mx"] is not None
+        and rng["mn"] >= -(2**31)
+        and rng["mx"] < 2**31
+    ):
+        mark_store_int32(store)
     return o, store, (tmp_base or store), num_blocks
 
 
@@ -442,8 +467,10 @@ def triangle_count_per_vertex_blocks(
         verts_w, indptr_w, dsts_w = _adjacency_csr(store, bw)
         corners: list = []
         if verts_u.size and verts_w.size and len(pdf):
-            u_arr = pdf["u"].to_numpy(dtype="int64")
-            w_arr = pdf["w"].to_numpy(dtype="int64")
+            # same probe-dtype adoption as the total-count kernel;
+            # corner concatenation below promotes back to int64
+            u_arr = pdf["u"].to_numpy(dtype=verts_u.dtype)
+            w_arr = pdf["w"].to_numpy(dtype=verts_w.dtype)
             order = np.argsort(u_arr, kind="stable")
             u_s, w_s = u_arr[order], w_arr[order]
             wi = np.minimum(np.searchsorted(verts_w, w_s), verts_w.size - 1)
@@ -469,6 +496,7 @@ def triangle_count_per_vertex_blocks(
                     ([0], np.cumsum(lens)[:-1])
                 ), lens)
                 cand = dsts_w[np.arange(tot) + offs]
+                cand = cand.astype(a.dtype, copy=False)  # no-op same-dtype
                 pos = np.minimum(np.searchsorted(a, cand), a.size - 1)
                 match = a[pos] == cand
                 n = int(np.count_nonzero(match))

@@ -220,6 +220,50 @@ def _shm_store_dir(store_path: str) -> str | None:
 
 _SHM_ARRAYS = ("verts", "indptr", "dsts")
 
+# --- store-level int32 marker -------------------------------------------
+# Written by the DRIVER (after the store build, before any task reads a
+# slice) when every vertex id of the graph fits int32. Consumers that
+# decode slices into numpy (the TC intersection kernels) then halve
+# their memory traffic by downcasting ids — a graph-GLOBAL decision,
+# never per-slice, because probe ids from OTHER blocks must also fit.
+# At 10^12-page scale ids exceed int32 and the marker is simply absent.
+
+_INT32_MARKER = "_IDS_FIT_INT32"
+_INT32_STORES: dict[str, bool] = {}
+
+
+def mark_store_int32(store_path: str) -> None:
+    """Driver-side: record that every vertex id in this store's graph
+    fits int32 (one tiny marker file beside the block directories).
+    ``SPARK_GRAFT_TC_INT32=0`` suppresses the marker (A/B switch)."""
+    if os.environ.get("SPARK_GRAFT_TC_INT32", "1") == "0":
+        return
+    filesystem, root = _resolve_fs(store_path)
+    with filesystem.open_output_stream(
+        root.rstrip("/") + "/" + _INT32_MARKER
+    ) as f:
+        f.write(b"1")
+    _INT32_STORES[store_path] = True
+
+
+def store_ids_fit_int32(store_path: str) -> bool:
+    """Worker-side: does the store carry the int32 marker? Checked
+    once per store per process (uuid'd store paths are never reused)."""
+    cached = _INT32_STORES.get(store_path)
+    if cached is None:
+        from pyarrow import fs as pafs
+
+        try:
+            filesystem, root = _resolve_fs(store_path)
+            info = filesystem.get_file_info(
+                root.rstrip("/") + "/" + _INT32_MARKER
+            )
+            cached = info.type == pafs.FileType.File
+        except Exception:
+            cached = False
+        _INT32_STORES[store_path] = cached
+    return cached
+
 
 def shared_arrays_get(store_path: str, block: int, kind: str, names):
     """Mmap a published array set from the node-shared cache, or None.

@@ -376,3 +376,39 @@ def test_triangle_doulion_full_density_is_exact(spark):
     exact = triangle_count_ref(G_CC11, n=11)
     assert row["sampled_triangles"] == exact
     assert row["est_triangles"] == float(exact)
+
+
+def test_triangle_blocks_int32_downcast_active(spark):
+    """Graphs whose ids fit int32 get downcast decoded slices (the
+    store carries the graph-global marker); indptr stays int64."""
+    from gunrock_spark.algorithms import triangles as T
+    from gunrock_spark.engine.csr_blocks import (
+        remove_block_store,
+        store_ids_fit_int32,
+    )
+
+    g = EdgeTable.from_df(edges_df(spark, G_CC11))
+    o, store, cleanup, nb = T._oriented_block_store(g, 4)
+    try:
+        assert store_ids_fit_int32(store)
+        seen = 0
+        for b in range(nb):
+            verts, indptr, dsts = T._adjacency_csr(store, b)
+            if verts.size:
+                seen += 1
+                assert verts.dtype == "int32" and dsts.dtype == "int32"
+                assert indptr.dtype == "int64"
+        assert seen > 0
+    finally:
+        remove_block_store(cleanup, store)
+
+
+def test_triangle_blocks_ids_above_int32_stay_int64_and_exact(spark):
+    """Vertex ids >= 2^31 (the 10^12-page regime): no marker, int64
+    kernels, counts still exact."""
+    from gunrock_spark.algorithms.triangles import triangle_count_blocks
+
+    shift = 2**31
+    big = [(s + shift, d + shift) for s, d in G_CC11]
+    g = EdgeTable.from_df(edges_df(spark, big))
+    assert triangle_count_blocks(g, num_blocks=4) == triangle_count_ref(G_CC11, n=11)
