@@ -45,7 +45,8 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--pages-generate", type=int, metavar="N",
                      help="generate a deterministic N-page table (power of two)")
     ap.add_argument("--algorithm", default="pagerank",
-                    choices=["pagerank", "cc", "lp", "louvain", "tc", "bfs", "sssp", "widest",
+                    choices=["pagerank", "cc", "lp", "louvain", "tc", "tcdoulion",
+                             "bfs", "sssp", "widest",
                              "bc", "hits", "salsa", "wtf", "topk",
                              "kcore", "corenums", "onion", "ktruss", "trussness", "mis",
                              "walks", "node2vec", "wwalks", "khop", "simrank",
@@ -64,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--delta", type=float, default=0.85)
     ap.add_argument("--threshold", type=float, default=0.01)
     ap.add_argument("--max-iter", type=int, default=50)
+    ap.add_argument("--doulion-num", type=int, default=1,
+                    help="tcdoulion edge-retention numerator (p = num/den)")
+    ap.add_argument("--doulion-den", type=int, default=10,
+                    help="tcdoulion edge-retention denominator")
     ap.add_argument("--compensate", action="store_true",
                     help="dangling-vertex virtual sink (reference --compensate)")
     ap.add_argument("--impl", default="join",
@@ -273,6 +278,13 @@ def main(argv: list[str] | None = None) -> int:
 
         res = None
         out_df = triangle_count_per_vertex(graph)
+    elif args.algorithm == "tcdoulion":
+        from gunrock_spark.algorithms.triangles import triangle_count_doulion
+
+        res = None
+        out_df = triangle_count_doulion(
+            graph, num=args.doulion_num, den=args.doulion_den
+        )
     elif args.algorithm == "bfs":
         from gunrock_spark.algorithms.bfs import bfs
 

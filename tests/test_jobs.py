@@ -242,3 +242,17 @@ def test_job_walks_skipgram_window(spark, edges_parquet, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert set(got.columns) == {"center", "context", "n"}
     assert got.count() > 0
+
+
+def test_job_tcdoulion_matches_library(spark, edges_parquet, tmp_path):
+    from gunrock_spark.algorithms.triangles import triangle_count_doulion
+
+    out = str(tmp_path / "tcd_out")
+    rc = _run_job(["--edges", edges_parquet, "--algorithm", "tcdoulion",
+                   "--doulion-num", "1", "--doulion-den", "1", "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(out).collect()[0]
+    g = EdgeTable.from_df(edges_df(spark, G_TOY7))
+    want = triangle_count_doulion(g, num=1, den=1).collect()[0]
+    assert got["sampled_triangles"] == want["sampled_triangles"]
+    assert got["est_triangles"] == want["est_triangles"]
